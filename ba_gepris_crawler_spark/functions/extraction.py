@@ -1,0 +1,314 @@
+"""Native-Spark-SQL extraction kernel over interleaved text+media spans.
+
+Reproduces the reference's jsoup/regex extraction semantics (citations in
+ba_gepris_crawler_spark/testing/golden.py) as pure Catalyst expressions.
+
+SCALE DESIGN: field grouping is computed INSIDE the span array with
+higher-order functions (transform/filter/aggregate), not by exploding spans
+and windowing over (doc_id, offset). Per-document work therefore never
+shuffles — extraction of a 100 TB corpus is a single narrow, whole-stage
+codegen'd map stage over the documents scan; only the final relation tables
+(explode output) introduce data growth, and those are still narrow. The
+reference processes one page at a time on one thread
+(stage2/extractprojects/projectextractor/ProjectExtractorGraph.scala:15);
+here every row of every partition runs the same kernel JVM-side.
+
+No Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ba_gepris_crawler_spark.sources.synthetic_site import (
+    INSTITUTION_RELATION_TYPES,
+    PERSON_RELATION_TYPES,
+)
+
+LABEL_KINDS = "('name','tab_label')"
+
+# Renders a content span to its HTML fragment (golden.render_html contract).
+_HTML_PIECE = (
+    "CASE WHEN c.kind = 'img' THEN '<img src=\"' || coalesce(c.media_ref,'') || '\">' "
+    "WHEN c.kind = 'link' THEN '<a href=\"' || coalesce(c.media_ref,'') || '\">' || coalesce(c.text,'') || '</a>' "
+    "ELSE coalesce(c.text,'') END"
+)
+# jsoup .text() analog: imgs contribute nothing.
+_TEXT_PIECE = "CASE WHEN c.kind = 'img' THEN '' ELSE coalesce(c.text,'') END"
+
+
+def with_fields(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Adds a `fields` column: array<struct<field_name, field_kind, ord,
+    field_off, html, text, links>> — one entry per label span, content spans
+    grouped by document-order adjacency (label at offset k owns spans until
+    the next label). Entirely array-local: no shuffle."""
+    labs = f"filter({spans_col}, s -> s.kind IN {LABEL_KINDS})"
+    docs = docs.withColumn("_labs", F.expr(labs))
+    fields = f"""
+      transform(_labs, (lab, i) -> named_struct(
+        'field_name', lab.text,
+        'field_kind', lab.kind,
+        'ord', i,
+        'field_off', lab.offset,
+        'html', aggregate(
+            filter({spans_col}, c -> c.offset > lab.offset
+                   AND c.offset < IF(i + 1 < size(_labs), _labs[i + 1].offset, 2147483647)),
+            '', (acc, c) -> acc || {_HTML_PIECE}),
+        'text', aggregate(
+            filter({spans_col}, c -> c.offset > lab.offset
+                   AND c.offset < IF(i + 1 < size(_labs), _labs[i + 1].offset, 2147483647)),
+            '', (acc, c) -> acc || {_TEXT_PIECE}),
+        'links', transform(
+            filter({spans_col}, c -> c.kind = 'link' AND c.offset > lab.offset
+                   AND c.offset < IF(i + 1 < size(_labs), _labs[i + 1].offset, 2147483647)),
+            c -> coalesce(c.media_ref, ''))
+      ))
+    """
+    return docs.withColumn("fields", F.expr(fields)).drop("_labs")
+
+
+def h3_text(spans_col: str = "spans") -> Column:
+    """F7 title: first h3 span's text."""
+    return F.expr(
+        f"coalesce(get(filter({spans_col}, s -> s.kind = 'h3'), 0).text, '')"
+    )
+
+
+def field_html(label_regex: str, kind: str = "name") -> Column:
+    """First field whose name contains `label_regex` (jsoup :matches = find
+    semantics) -> rendered HTML. '' when absent."""
+    return F.expr(
+        f"coalesce(get(filter(fields, f -> f.field_kind = '{kind}' AND f.field_name RLIKE '{label_regex}'), 0).html, '')"
+    )
+
+
+def field_text(label_regex: str, kind: str = "name") -> Column:
+    return F.expr(
+        f"coalesce(get(filter(fields, f -> f.field_kind = '{kind}' AND f.field_name RLIKE '{label_regex}'), 0).text, '')"
+    )
+
+
+def tab_text() -> Column:
+    """Projektbeschreibung: the tab field's text (F4 append-last pair)."""
+    return F.expr("coalesce(get(filter(fields, f -> f.field_kind = 'tab_label'), 0).text, '')")
+
+
+def multivalues(labels: list[str]) -> Column:
+    """F1 extractMultivaluesByFieldNames: for each label in order, matching
+    fields' html split on '<br>' then ', ', trimmed, non-empty; distinct
+    across ALL labels preserving first occurrence (array_distinct). The
+    ', '-split is knowingly lossy on comma-containing subject areas —
+    reference bug reproduced (dataquality-checks.Rmd:258-272)."""
+    per_label = []
+    for label in labels:
+        per_label.append(
+            f"""flatten(transform(
+                 filter(fields, f -> f.field_kind = 'name' AND f.field_name RLIKE '{label}'),
+                 f -> filter(transform(
+                        flatten(transform(split(f.html, '<br>'), seg -> split(seg, ', '))),
+                        v -> trim(v)),
+                      v -> v != '')))"""
+        )
+    arr = per_label[0] if len(per_label) == 1 else f"concat({', '.join(per_label)})"
+    return F.expr(f"array_distinct({arr})")
+
+
+def funding_range_cols() -> tuple[Column, Column]:
+    """F2 extractFundingDateRange: 5 ordered regexes, first-match-wins
+    (ExtractorHelpers.scala:25-38). Returns (start, end) string columns."""
+    term = "coalesce(get(filter(fields, f -> f.field_kind = 'name' AND f.field_name RLIKE 'Term'), 0).text, '')"
+    start = F.expr(
+        f"""CASE
+          WHEN {term} RLIKE 'from ([0-9]+) to ([0-9]+)' THEN regexp_extract({term}, 'from ([0-9]+) to ([0-9]+)', 1)
+          WHEN {term} RLIKE 'since ([0-9]+)'            THEN regexp_extract({term}, 'since ([0-9]+)', 1)
+          WHEN {term} RLIKE 'Funded in ([0-9]+)'        THEN regexp_extract({term}, 'Funded in ([0-9]+)', 1)
+          WHEN {term} RLIKE 'until ([0-9]+)'            THEN ''
+          WHEN {term} RLIKE 'Currently being funded'    THEN 'ongoing'
+          ELSE '' END"""
+    )
+    end = F.expr(
+        f"""CASE
+          WHEN {term} RLIKE 'from ([0-9]+) to ([0-9]+)' THEN regexp_extract({term}, 'from ([0-9]+) to ([0-9]+)', 2)
+          WHEN {term} RLIKE 'since ([0-9]+)'            THEN ''
+          WHEN {term} RLIKE 'Funded in ([0-9]+)'        THEN regexp_extract({term}, 'Funded in ([0-9]+)', 1)
+          WHEN {term} RLIKE 'until ([0-9]+)'            THEN regexp_extract({term}, 'until ([0-9]+)', 1)
+          WHEN {term} RLIKE 'Currently being funded'    THEN 'ongoing'
+          ELSE '' END"""
+    )
+    return start, end
+
+
+def link_ids(urltype: str, labels: list[str]) -> Column:
+    """F3: fields whose name FULL-matches ^\\s*label\\s*$ (any variant) ->
+    their link hrefs -> ids via /gepris/<urltype>/(\\d*); document order,
+    duplicates preserved, non-matching hrefs dropped."""
+    anchored = "^\\\\s*(" + "|".join(labels) + ")\\\\s*$"
+    id_re = f"^/gepris/{urltype}/(\\\\d*)$"
+    return F.expr(
+        f"""filter(
+              transform(
+                flatten(transform(
+                  filter(fields, f -> f.field_kind = 'name' AND f.field_name RLIKE '{anchored}'),
+                  f -> f.links)),
+                href -> regexp_extract(href, '{id_re}', 1)),
+              id -> id != '')"""
+    )
+
+
+def relation_rows(rel_types: list[tuple[str, list[str]]], urltype: str) -> Column:
+    """Array of (related_id, relation_type) structs over all relation types.
+    The PARTICIPATING_INSTITUTION / PARTNER_ORGANISATION label collision of
+    the reference yields both types for one label — reproduced by iterating
+    types independently."""
+    exprs = []
+    for rel_type, labels in rel_types:
+        anchored = "^\\\\s*(" + "|".join(labels) + ")\\\\s*$"
+        id_re = f"^/gepris/{urltype}/(\\\\d*)$"
+        exprs.append(
+            f"""transform(
+                  filter(
+                    transform(
+                      flatten(transform(
+                        filter(fields, f -> f.field_kind = 'name' AND f.field_name RLIKE '{anchored}'),
+                        f -> f.links)),
+                      href -> regexp_extract(href, '{id_re}', 1)),
+                    id -> id != ''),
+                  id -> named_struct('related_id', id, 'relation_type', '{rel_type}'))"""
+        )
+    return F.expr(f"concat({', '.join(exprs)})")
+
+
+def deobfuscated_email() -> Column:
+    """F5: e-mail field html with every <img...> replaced by '@'
+    (split('<img[^<]*>').mkString('@') equivalent; the generator never emits
+    a trailing img so substitution == split+join)."""
+    return F.regexp_replace(field_html("E-Mail"), "<img[^<]*>", "@")
+
+
+def eav(docs_with_fields: DataFrame) -> DataFrame:
+    """F4 generic EAV extraction: (resource_type, resource_id, field_name,
+    field_value, ord) — field_value is the rendered HTML, ord the per-doc
+    field sequence (tab pair last by document construction, matching the
+    reference's append-last quirk, GenericFieldExtractorGraph.scala:75-83)."""
+    return docs_with_fields.select(
+        "resource_type",
+        "resource_id",
+        F.explode("fields").alias("f"),
+    ).select(
+        "resource_type",
+        "resource_id",
+        F.col("f.field_name").alias("field_name"),
+        F.col("f.html").alias("field_value"),
+        F.col("f.ord").cast("int").alias("ord"),
+    )
+
+
+def projects(docs_with_fields: DataFrame) -> DataFrame:
+    """Typed project extraction (ProjectExtractorGraph.scala:15-64)."""
+    start, end = funding_range_cols()
+    d = docs_with_fields.filter(F.col("resource_type") == "project")
+    return d.select(
+        F.col("resource_id").alias("project_id"),
+        h3_text().alias("title"),
+        tab_text().alias("project_description"),
+        field_text("DFG Programme").alias("dfg_programme"),
+        start.alias("funding_start_year"),
+        end.alias("funding_end_year"),
+        F.coalesce(F.try_element_at(link_ids("projekt", ["Subproject of"]), F.lit(1)), F.lit("")).alias(
+            "parent_project_id"
+        ),
+        multivalues(["Subject Area"]).alias("subject_areas"),
+        multivalues(["Participating subject areas"]).alias("participating_subject_areas"),
+        multivalues(["International Connection"]).alias("international_connections"),
+        relation_rows(PERSON_RELATION_TYPES, "person").alias("person_relations"),
+        relation_rows(INSTITUTION_RELATION_TYPES, "institution").alias("institution_relations"),
+    )
+
+
+def persons(docs_with_fields: DataFrame) -> DataFrame:
+    """Typed person extraction (PersonExtractorGraph.scala:11-58)."""
+    d = docs_with_fields.filter(F.col("resource_type") == "person")
+    addr = "transform(split(%s, '<br>'), x -> trim(x))"
+    addr_expr = addr % "coalesce(get(filter(fields, f -> f.field_kind = 'name' AND f.field_name RLIKE 'Address'), 0).html, '')"
+    return d.select(
+        F.col("resource_id").alias("person_id"),
+        h3_text().alias("name"),
+        F.expr(f"coalesce(get({addr_expr}, 0), '')").alias("institution_name"),
+        F.expr(f"array_join({addr_expr}, '\\n')").alias("address"),
+        field_text("Telephone").alias("phone"),
+        field_text("Fax").alias("fax"),
+        deobfuscated_email().alias("email"),
+        field_text("Website").alias("internet"),
+    )
+
+
+def institutions(docs_with_fields: DataFrame) -> DataFrame:
+    """Typed institution extraction (InstitutionExtractorGraph.scala:10-59).
+    Address keeps all segments (no head split); project ids from any
+    /gepris/projekt link on the page (F8)."""
+    d = docs_with_fields.filter(F.col("resource_type") == "institution")
+    addr_expr = (
+        "transform(split(coalesce(get(filter(fields, f -> f.field_kind = 'name' "
+        "AND f.field_name RLIKE 'Address'), 0).html, ''), '<br>'), x -> trim(x))"
+    )
+    proj_ids = (
+        "filter(transform("
+        "  filter(spans, s -> s.kind = 'link' AND s.media_ref LIKE '/gepris/projekt%'),"
+        "  s -> regexp_extract(s.media_ref, '^/gepris/projekt/(\\\\d*)$', 1)),"
+        " id -> id != '')"
+    )
+    return d.select(
+        F.col("resource_id").alias("institution_id"),
+        h3_text().alias("name"),
+        F.expr(f"array_join({addr_expr}, '\\n')").alias("address"),
+        field_text("Telephone").alias("phone"),
+        field_text("Fax").alias("fax"),
+        deobfuscated_email().alias("email"),
+        field_text("Website").alias("internet"),
+        F.expr(proj_ids).alias("project_ids_on_page"),
+    )
+
+
+def relation_tables(projects_df: DataFrame) -> dict[str, DataFrame]:
+    """U2: unnest the project Seq-columns into the 5 relation tables
+    (ExtractProjectsGraph.scala:47-72)."""
+    p = projects_df
+    return {
+        "project_ids_to_subject_areas": p.select(
+            "project_id", F.explode("subject_areas").alias("subject_area")
+        ),
+        "project_ids_to_participating_subject_areas": p.select(
+            "project_id",
+            F.explode("participating_subject_areas").alias("participating_subject_area"),
+        ),
+        "projects_international_connections": p.select(
+            "project_id", F.explode("international_connections").alias("country")
+        ),
+        "project_person_relations": p.select(
+            "project_id", F.explode("person_relations").alias("r")
+        ).select(
+            "project_id",
+            F.col("r.related_id").alias("person_id"),
+            F.col("r.relation_type").alias("relation_type"),
+        ),
+        "project_institution_relations": p.select(
+            "project_id", F.explode("institution_relations").alias("r")
+        ).select(
+            "project_id",
+            F.col("r.related_id").alias("institution_id"),
+            F.col("r.relation_type").alias("relation_type"),
+        ),
+    }
+
+
+def catalog_totals(docs_with_fields: DataFrame) -> DataFrame:
+    """F9 count parse over catalog pages: 'out of ([\\d,]*) on' -> int."""
+    return docs_with_fields.withColumn(
+        "total",
+        F.expr(
+            "try_cast(replace(regexp_extract("
+            "  coalesce(get(filter(spans, s -> s.kind = 'text'), 0).text, ''),"
+            "  'out of ([\\\\d,]*) on', 1), ',', '') AS int)"
+        ),
+    )

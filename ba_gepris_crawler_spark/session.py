@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local-mode knobs mirror what a 1000-executor deployment would set cluster
+side (AQE on, sane shuffle partitioning, Arrow transport for the few pandas
+UDF stages). On a real cluster this module is unchanged — only master/memory
+come from spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEF_SHUFFLE = "32"
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "ba-gepris-crawler-spark",
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", _DEF_SHUFFLE))
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
