@@ -1,0 +1,101 @@
+"""Vectorized fetch stage: Arrow-batched pandas UDF over frontier batches.
+
+The 'network' is the deterministic synthetic site (sources/synthetic_site):
+`render_page(cfg, url)` regenerates any page from the URL alone, so every
+executor fetches its partition independently — the same shape a real HTTP
+layer has (mapInPandas batch -> async HTTP inside the batch), with the
+reference's semantics mapped as:
+
+- mapAsync(10) in-flight cap            -> politeness `slot` waves computed
+  upstream (operators/politeness.py); the UDF charges virtual time
+  slots/rate per host and reports it in the `virtual_cost_sec` column
+- non-200 -> throw (stream dies)        -> non-200 becomes a status row;
+  quarantined by the round loop, never crashes the job
+  (reference: CrawledResourceDetailDataGraph.scala:43-46)
+- cookie zip (CookieFlowGraph)          -> session token broadcast, echoed
+  into the fetch call (no per-row state)
+
+Partitioning: the caller repartitions by host_bucket (salted), so one hot
+host spreads across the cluster while politeness budgets stay global.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ba_gepris_crawler_spark.schema import SPANS_TYPE
+from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig, render_page
+
+FETCH_RESULT_FIELDS = [
+    T.StructField("status", T.IntegerType(), False),
+    T.StructField("spans", SPANS_TYPE, True),
+    T.StructField("virtual_cost_sec", T.DoubleType(), False),
+]
+
+
+def fetch_pages(
+    scheduled: DataFrame,
+    site_cfg: SiteConfig,
+    per_host_rate: float,
+    n_buckets: int = 32,
+    session_token: str = "JSESSIONID-00000",
+) -> DataFrame:
+    """scheduled: output of politeness.schedule_round(...).fetch_now.
+    Returns the same rows + (status, spans, virtual_cost_sec)."""
+    spark = scheduled.sparkSession
+    cfg_bc = spark.sparkContext.broadcast(site_cfg)
+    token_bc = spark.sparkContext.broadcast(session_token)  # session/cookie analog
+    rate = float(per_host_rate)
+
+    in_schema = scheduled.schema
+    out_schema = T.StructType(list(in_schema.fields) + FETCH_RESULT_FIELDS)
+
+    def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cfg = cfg_bc.value
+        _ = token_bc.value  # a real fetcher would send this cookie
+        for pdf in batches:
+            statuses = []
+            spans = []
+            for url in pdf["url"]:
+                st, sp = render_page(cfg, url)  # the simulated HTTP round-trip
+                statuses.append(st)
+                spans.append([{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in sp])
+            # virtual politeness cost: each slot-wave of a host costs 1/rate
+            cost = (pdf.groupby("host")["slot"].transform("max") / rate).astype("float64")
+            yield pdf.assign(status=pd.Series(statuses, index=pdf.index, dtype="int32"), spans=spans, virtual_cost_sec=cost)
+
+    # Salted-bucket repartition: spreads any single host over the cluster.
+    return scheduled.repartition(n_buckets, "host_bucket").mapInPandas(do_fetch, schema=out_schema)
+
+
+def to_documents(fetched: DataFrame, round_no: int) -> DataFrame:
+    """Successful fetches -> crawled-documents rows (doc_id = type/id or
+    catalog/<host>/<index>)."""
+    return (
+        fetched.filter(F.col("status") == 200)
+        .withColumn(
+            "doc_id",
+            F.when(
+                F.col("resource_id").isNotNull(),
+                F.concat_ws("/", "resource_type", "resource_id"),
+            ).otherwise(
+                F.concat(
+                    F.lit("catalog/"),
+                    F.col("resource_type"),
+                    F.lit("/"),
+                    F.col("host"),
+                    F.lit("/"),
+                    F.regexp_extract("url", "index=(\\d*)", 1),
+                )
+            ),
+        )
+        .withColumn("round", F.lit(round_no).cast("int"))
+        .select(
+            "doc_id", "url", "host", "resource_type", "resource_id", "crawl_depth", "round", "status", "spans"
+        )
+    )

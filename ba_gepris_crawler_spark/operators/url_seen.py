@@ -1,0 +1,143 @@
+"""URL-seen filter: partitioned bloom shards + exact anti-join backstop.
+
+Pipeline (north rule): canonicalize -> xxhash64 -> per-partition bloom
+shards, merged via treeReduce (the one deliberate drop below the DataFrame
+API, SURVEY.md §4.2); membership tests run vectorized (numpy over Arrow
+batches). The bloom is an ADMISSION GATE only: rows the bloom rejects are
+*definitely new* and skip the expensive exact join entirely; rows the bloom
+admits ("maybe seen") go through an exact `left_anti` join against the
+url_seen table, so the final seen-set semantics are exact — matching the
+reference's exact CSV set-diff (CrawlResourceDetailsGraph.scala:47-53)
+while scaling: at a 10^10-URL frontier the exact join's left side shrinks
+by (1 - dup_rate - fpp), and the shards themselves stay executor-resident.
+
+Sizing: m = ceil(-n ln(fpp) / ln(2)^2) bits, k = max(1, round(m/n ln 2)).
+At 10^10 URLs / 1% fpp this is ~12 GB of bits — sharded by url_hash range
+across executors in a real deployment; the sandbox build keeps one merged
+bitmap broadcast to all workers (same code path, fewer shards).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class BloomFilterModel:
+    bits: np.ndarray  # uint8 bitmap
+    m: int  # number of bits
+    k: int  # number of hash probes
+    n_items: int
+    version: int = 0
+
+    def might_contain_vec(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Vectorized membership test over two 64-bit hash columns
+        (double-hashing: g_i = h1 + i*h2 mod m)."""
+        if self.m == 0:
+            return np.zeros(len(h1), dtype=bool)
+        out = np.ones(len(h1), dtype=bool)
+        h1u = h1.astype(np.uint64)
+        h2u = h2.astype(np.uint64)
+        m = np.uint64(self.m)
+        for i in range(self.k):
+            pos = (h1u + np.uint64(i) * h2u) % m
+            out &= (self.bits[(pos >> np.uint64(3)).astype(np.int64)] >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return out
+
+
+def _params(expected_items: int, fpp: float) -> tuple[int, int]:
+    n = max(expected_items, 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _hash_cols(df: DataFrame, url_col: str) -> DataFrame:
+    # two independent 64-bit hashes: xxhash64(url) and xxhash64(salted url)
+    return df.withColumn("_h1", F.xxhash64(F.col(url_col))).withColumn(
+        "_h2", F.xxhash64(F.concat(F.col(url_col), F.lit("\x01bloom")))
+    )
+
+
+def build_bloom(
+    seen: DataFrame, url_col: str = "url", expected_items: int | None = None, fpp: float = 0.01, version: int = 0
+) -> BloomFilterModel:
+    """Build per-partition bitmap shards, merge via treeReduce(OR)."""
+    n = expected_items if expected_items is not None else seen.count()
+    m, k = _params(n, fpp)
+    nbytes = m // 8
+
+    hashed = _hash_cols(seen, url_col).select("_h1", "_h2")
+
+    def shard(rows) -> Iterator[np.ndarray]:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        h1 = []
+        h2 = []
+        for r in rows:
+            h1.append(r[0])
+            h2.append(r[1])
+        if h1:
+            h1a = np.array(h1, dtype=np.int64).astype(np.uint64)
+            h2a = np.array(h2, dtype=np.int64).astype(np.uint64)
+            mm = np.uint64(m)
+            for i in range(k):
+                pos = (h1a + np.uint64(i) * h2a) % mm
+                np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64), (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
+        yield bits
+
+    shards = hashed.rdd.mapPartitions(shard)
+    if shards.isEmpty():
+        bits = np.zeros(nbytes, dtype=np.uint8)
+    else:
+        bits = shards.treeReduce(np.bitwise_or)
+    return BloomFilterModel(bits=bits, m=m, k=k, n_items=n, version=version)
+
+
+def split_by_bloom(
+    frontier: DataFrame, bloom: BloomFilterModel, url_col: str = "url"
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen): bloom-negative rows are provably unseen
+    (no false negatives) and bypass the exact join; bloom-positive rows need
+    the exact anti-join backstop. Membership test is Arrow-batched numpy —
+    no per-row Python."""
+    spark = frontier.sparkSession
+    bc = spark.sparkContext.broadcast((bloom.bits, bloom.m, bloom.k))
+    hashed = _hash_cols(frontier, url_col)
+    # copy the fields: df.schema is cached by the DataFrame and .add mutates
+    out_schema = T.StructType(list(hashed.schema.fields)).add("_maybe_seen", "boolean")
+
+    def test(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits, m, k = bc.value
+        model = BloomFilterModel(bits=bits, m=m, k=k, n_items=0)
+        for pdf in batches:
+            mask = model.might_contain_vec(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy())
+            yield pdf.assign(_maybe_seen=mask)
+
+    tested = hashed.mapInPandas(test, schema=out_schema)
+    definitely_new = tested.filter(~F.col("_maybe_seen")).drop("_h1", "_h2", "_maybe_seen")
+    maybe_seen = tested.filter(F.col("_maybe_seen")).drop("_h1", "_h2", "_maybe_seen")
+    return definitely_new, maybe_seen
+
+
+def new_urls(
+    frontier: DataFrame,
+    url_seen: DataFrame,
+    bloom: BloomFilterModel | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """J1, THE core crawl operator: frontier minus seen. Exact semantics
+    always; bloom (when provided) pre-gates the exact join."""
+    seen_keys = url_seen.select(F.col("url").alias(url_col)).dropDuplicates([url_col])
+    if bloom is None:
+        return frontier.join(seen_keys, url_col, "left_anti")
+    definitely_new, maybe_seen = split_by_bloom(frontier, bloom, url_col)
+    return definitely_new.unionByName(maybe_seen.join(seen_keys, url_col, "left_anti"))

@@ -1,0 +1,205 @@
+"""The crawl round loop: frontier Δ seen -> politeness schedule -> fetch ->
+extract -> snapshot commit. Deterministic, resumable, idempotent per round.
+
+Reference lifecycle mapping (SURVEY.md §3.1): the reference runs stage 0-3
+sequentially in one process; here each crawl round is one batch DAG over
+the snapshot store, and stages are expressed as DataFrame transformations
+fused by Catalyst. Resume (§3.2) = continue from the latest committed
+manifest; a crashed round re-runs deterministically because all of its
+inputs live in round k-1 snapshots and the synthetic network is a pure
+function of the URL.
+
+Error semantics: the reference throws on non-200 and dies
+(CrawledResourceDetailDataGraph.scala:43-46); here non-200 rows land in a
+`fetch_errors` quarantine table AND are marked seen (no refetch storms),
+so a failed page never blocks the crawl.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ba_gepris_crawler_spark.functions import extraction as X
+from ba_gepris_crawler_spark.operators import frontier as FR
+from ba_gepris_crawler_spark.operators import url_seen as US
+from ba_gepris_crawler_spark.operators.fetch import fetch_pages, to_documents
+from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, schedule_round
+from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+from ba_gepris_crawler_spark.schema import URL_SEEN_SCHEMA
+from ba_gepris_crawler_spark.sources.synthetic_site import OFFICIAL_SUBJECT_AREAS, SiteConfig
+
+
+@dataclass
+class CrawlSettings:
+    n_buckets: int = 32
+    politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
+    bloom_fpp: float = 0.01
+    use_bloom: bool = True
+    extract: bool = True
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, site: SiteConfig, store: SnapshotStore, settings: CrawlSettings | None = None):
+        self.spark = spark
+        self.site = site
+        self.store = store
+        self.s = settings or CrawlSettings()
+
+    # ---------------- state loading ----------------
+    def _prev_state(self, rnd: int) -> tuple[DataFrame, DataFrame]:
+        if rnd == 0:
+            frontier = FR.seed_frontier(self.spark, self.site)
+            seen = self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+        else:
+            frontier = self.store.read_state("frontier", rnd - 1)
+            seen = self.store.read_union("url_seen", rnd - 1)
+            if seen is None:
+                seen = self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+        return frontier, seen
+
+    # ---------------- one round ----------------
+    def run_round(self, rnd: int) -> dict:
+        s = self.s
+        frontier_prev, seen = self._prev_state(rnd)
+        seen = seen.cache()
+        n_seen = seen.count()
+
+        bloom = None
+        if s.use_bloom and n_seen > 0:
+            bloom = US.build_bloom(seen, expected_items=max(n_seen, 1024), fpp=s.bloom_fpp, version=rnd)
+
+        # J1: the core frontier anti-join (bloom pre-gate + exact backstop)
+        candidates = US.new_urls(frontier_prev, seen, bloom).cache()
+        n_candidates = candidates.count()
+        if n_candidates == 0:
+            tables = {"frontier": self.store.write_table("frontier", rnd, candidates)}
+            return self.store.commit(rnd, tables, {"fetched": 0, "errors": 0, "done": True,
+                                                   "seen_total": n_seen, "candidates": 0})
+
+        fetch_now, deferred = schedule_round(candidates, s.politeness, s.n_buckets)
+        fetched = fetch_pages(fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets).cache()
+
+        docs = to_documents(fetched, rnd).cache()
+        errors = fetched.filter(F.col("status") != 200).select(
+            "url", "host", "resource_type", "resource_id", "status", F.lit(rnd).cast("int").alias("round")
+        )
+
+        # seen delta: everything we attempted this round (errors included —
+        # deterministic no-retry policy, quarantined in fetch_errors)
+        seen_delta = fetched.select(
+            F.xxhash64("url").alias("url_hash"), "url", F.lit(rnd).cast("int").alias("round")
+        )
+
+        # deterministic crawl-order trace: per-host order is host_rank (the
+        # politeness queue order); global sequence sorts by
+        # (depth, priority, host, host_rank). The global row_number is a
+        # driver-side-sized sort over ONE round's fetch set (bounded by the
+        # politeness budget), not the frontier.
+        trace = fetched.select("crawl_depth", "priority", "host", "host_rank", "url").withColumn(
+            "seq", F.row_number().over(Window.orderBy("crawl_depth", "priority", "host", "host_rank"))
+        ).select(F.lit(rnd).cast("int").alias("round"), F.col("seq").cast("long"), "url")
+
+        # link discovery -> next frontier
+        disc_detail = FR.discovered_detail_urls(docs, self.site, rnd + 1)
+        disc_catalog = FR.discovered_catalog_urls(docs, self.site, rnd + 1)
+        seen_after = seen.select("url").unionByName(seen_delta.select("url"))
+        next_frontier = (
+            FR.merge_frontier(deferred, disc_detail, disc_catalog)
+            .join(seen_after.dropDuplicates(["url"]), "url", "left_anti")
+        )
+
+        # per-partition lineage: fetch counters per salted host_bucket
+        lineage_rows = [
+            {"host_bucket": r["host_bucket"], "fetched": r["n"], "virtual_cost_sec": r["cost"]}
+            for r in fetched.groupBy("host_bucket")
+            .agg(F.count("*").alias("n"), F.max("virtual_cost_sec").alias("cost"))
+            .collect()
+        ]
+
+        tables = {
+            "url_seen": self.store.write_table("url_seen", rnd, seen_delta),
+            "documents": self.store.write_table("documents", rnd, docs),
+            "fetch_errors": self.store.write_table("fetch_errors", rnd, errors),
+            "trace": self.store.write_table("trace", rnd, trace),
+            "frontier": self.store.write_table("frontier", rnd, next_frontier),
+        }
+
+        if s.extract:
+            details = X.with_fields(docs.filter(F.col("resource_id").isNotNull()))
+            projects = X.projects(details).cache()
+            tables["eav"] = self.store.write_table("eav", rnd, X.eav(details))
+            tables["projects"] = self.store.write_table("projects", rnd, projects)
+            tables["persons"] = self.store.write_table("persons", rnd, X.persons(details))
+            tables["institutions"] = self.store.write_table("institutions", rnd, X.institutions(details))
+            for name, rel in X.relation_tables(projects).items():
+                tables[name] = self.store.write_table(name, rnd, rel)
+            projects.unpersist()
+
+        n_fetched = fetched.count()
+        n_errors = errors.count()
+        counters = {
+            "round": rnd,
+            "candidates": n_candidates,
+            "fetched": n_fetched,
+            "errors": n_errors,
+            "dedup_dropped": None,  # frontier_prev may contain already-seen rows only on resume
+            "frontier_next": tables["frontier"],
+            "seen_total": n_seen + tables["url_seen"],
+            "bloom": {"m": bloom.m, "k": bloom.k, "version": bloom.version} if bloom else None,
+            "virtual_cost_sec": max((r["virtual_cost_sec"] for r in lineage_rows), default=0.0),
+            "done": False,
+        }
+        manifest = self.store.commit(rnd, tables, counters, lineage_rows)
+        for df in (fetched, docs, candidates, seen):
+            df.unpersist()
+        return manifest
+
+    # ---------------- loops ----------------
+    def run(self, max_rounds: int = 50, start_round: int = 0) -> list[dict]:
+        manifests = []
+        for rnd in range(start_round, start_round + max_rounds):
+            m = self.run_round(rnd)
+            manifests.append(m)
+            if m["counters"].get("done"):
+                break
+        return manifests
+
+    def resume(self, max_rounds: int = 50) -> list[dict]:
+        """Continue from the latest committed snapshot (GeprisCrawler
+        resume-crawl analog, but manifest-driven instead of directory
+        heuristics)."""
+        latest = self.store.latest_round()
+        start = 0 if latest is None else latest + 1
+        return self.run(max_rounds=max_rounds, start_round=start)
+
+
+def official_subject_areas(spark: SparkSession) -> DataFrame:
+    """Stage-0 taxonomy dimension (broadcast-sized, 213 rows in the
+    reference — README.md:134)."""
+    return spark.createDataFrame(
+        OFFICIAL_SUBJECT_AREAS, "subject_area string, review_board string, research_area string"
+    )
+
+
+def published_tables(store: SnapshotStore) -> dict[str, DataFrame]:
+    """Final artifacts (stage-3 analog): union-read of all committed deltas."""
+    upto = store.latest_round()
+    if upto is None:
+        return {}
+    names = [
+        "documents", "url_seen", "trace", "fetch_errors", "eav",
+        "projects", "persons", "institutions",
+        "project_ids_to_subject_areas", "project_ids_to_participating_subject_areas",
+        "projects_international_connections", "project_person_relations",
+        "project_institution_relations",
+    ]
+    out = {}
+    for n in names:
+        df = store.read_union(n, upto)
+        if df is not None:
+            out[n] = df
+    out["frontier"] = store.read_state("frontier", upto)
+    return out

@@ -1,0 +1,146 @@
+"""End-to-end crawl engine vs the golden crawl simulator: URL-seen set
+equality, deterministic crawl-order trace equality, quarantine semantics,
+and deterministic resume (fresh run == interrupted+resumed run)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig
+from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+from ba_gepris_crawler_spark.plans.round_loop import CrawlEngine, CrawlSettings, published_tables
+from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+from ba_gepris_crawler_spark.testing.golden_crawl import simulate_crawl
+
+BUDGET = 25  # small budget + small pages => several rounds
+
+
+@pytest.fixture(scope="module")
+def crawl_cfg() -> SiteConfig:
+    return SiteConfig(
+        hosts=("gepris.example.org", "alt1.example.org", "alt2.example.org"),
+        n_projects=30,
+        n_persons=18,
+        n_institutions=6,
+        hits_per_page=7,
+        seed=7,
+        error_mod=13,  # some detail pages 503 -> quarantine path
+    )
+
+
+def _settings() -> CrawlSettings:
+    return CrawlSettings(
+        n_buckets=8,
+        politeness=PolitenessConfig(per_host_rate=BUDGET, round_seconds=1.0, max_in_flight=5),
+        bloom_fpp=0.01,
+        use_bloom=True,
+        extract=False,  # extraction correctness is covered in test_extraction
+    )
+
+
+@pytest.fixture(scope="module")
+def run(spark, crawl_cfg, tmp_path_factory):
+    store = SnapshotStore(spark, tmp_path_factory.mktemp("crawl"))
+    engine = CrawlEngine(spark, crawl_cfg, store, _settings())
+    manifests = engine.run(max_rounds=30)
+    golden = simulate_crawl(crawl_cfg, per_host_budget=BUDGET, max_rounds=30)
+    return store, manifests, golden
+
+
+def test_crawl_converges(run):
+    _, manifests, golden = run
+    assert manifests[-1]["counters"]["done"]
+    # engine needs exactly golden.rounds fetch rounds + 1 empty-done round
+    assert len(manifests) == golden.rounds + 1
+
+
+def test_url_seen_set_matches_golden_exactly(spark, run):
+    store, _, golden = run
+    seen = store.read_union("url_seen", store.latest_round())
+    got = {(r.url, r.round) for r in seen.select("url", "round").collect()}
+    want = set(golden.seen.items())
+    assert {u for u, _ in got} == set(golden.seen)  # the SET matches exactly
+    assert got == want  # and so does the round each url was fetched in
+
+
+def test_crawl_trace_matches_golden(spark, run):
+    store, _, golden = run
+    trace = store.read_union("trace", store.latest_round())
+    got = sorted((r.round, r.seq, r.url) for r in trace.collect())
+    assert got == sorted(golden.trace)
+
+
+def test_errors_quarantined_not_fatal(spark, run, crawl_cfg):
+    store, _, golden = run
+    errs = store.read_union("fetch_errors", store.latest_round())
+    got = {(r.url, r.status) for r in errs.collect()}
+    want = {(u, st) for (u, st, _r) in golden.errors}
+    assert got == want
+    assert len(got) > 0  # the trap actually triggered
+    # errored urls are seen (never refetched)
+    seen_urls = {r.url for r in store.read_union("url_seen", store.latest_round()).collect()}
+    assert {u for u, _ in got} <= seen_urls
+
+
+def test_documents_match_golden_pages(spark, run):
+    store, _, golden = run
+    docs = store.read_union("documents", store.latest_round())
+    got = {r.url: (r.resource_type, r.resource_id, r.crawl_depth, r.round) for r in docs.collect()}
+    want = {u: (t[0], t[1], t[2], t[3]) for u, t in golden.docs.items()}
+    assert got == want
+
+
+def test_politeness_budget_never_exceeded(spark, run):
+    store, manifests, _ = run
+    for m in manifests:
+        rnd = m["round"]
+        if m["counters"].get("done"):
+            continue
+        per_host = (
+            store.read_union("url_seen", store.latest_round())
+            .filter(F.col("round") == rnd)
+            .withColumn("host", F.regexp_extract("url", "^https://([^/]*)/", 1))
+            .groupBy("host")
+            .count()
+            .collect()
+        )
+        assert all(r["count"] <= BUDGET for r in per_host), (rnd, per_host)
+
+
+def test_resume_is_deterministic(spark, crawl_cfg, tmp_path_factory, run):
+    """Fresh full run == run interrupted after 2 rounds then resumed by a
+    NEW engine instance (plus a simulated mid-round crash: orphan round-2
+    table data without a manifest must be overwritten on resume)."""
+    store_b = SnapshotStore(spark, tmp_path_factory.mktemp("crawl_b"))
+    engine_b1 = CrawlEngine(spark, crawl_cfg, store_b, _settings())
+    engine_b1.run(max_rounds=2)
+    assert store_b.latest_round() == 1
+
+    # simulate a crash mid-round-2: data written, no manifest commit
+    frontier_orphan = store_b.read_state("frontier", 1).limit(3)
+    frontier_orphan.write.mode("overwrite").parquet(str(store_b.table_path("frontier", 2)))
+
+    engine_b2 = CrawlEngine(spark, crawl_cfg, store_b, _settings())
+    engine_b2.resume(max_rounds=30)
+
+    store_a, _, _ = run
+    for name in ("url_seen", "trace", "fetch_errors"):
+        a = {tuple(r) for r in store_a.read_union(name, store_a.latest_round()).collect()}
+        b = {tuple(r) for r in store_b.read_union(name, store_b.latest_round()).collect()}
+        assert a == b, name
+
+
+def test_published_tables_nonempty(spark, crawl_cfg, tmp_path_factory):
+    """Smoke: full run with extraction on; published tables exist and agree
+    with the documents that were crawled."""
+    store = SnapshotStore(spark, tmp_path_factory.mktemp("crawl_x"))
+    settings = _settings()
+    settings.extract = True
+    CrawlEngine(spark, crawl_cfg, store, settings).run(max_rounds=30)
+    pub = published_tables(store)
+    n_proj = pub["projects"].count()
+    assert n_proj > 0
+    assert pub["projects"].select("project_id").distinct().count() == n_proj
+    assert pub["eav"].count() > n_proj
+    assert pub["project_person_relations"].count() > 0

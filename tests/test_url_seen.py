@@ -1,0 +1,54 @@
+"""Bloom-shard URL-seen filter + canonicalization unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ba_gepris_crawler_spark.operators import url_seen as US
+from ba_gepris_crawler_spark.operators.canonicalize import canonical_url, host_of
+
+
+def _urls(spark, n, prefix="https://h.example.org/p"):
+    return spark.range(n).select(F.concat(F.lit(prefix), F.col("id")).alias("url"))
+
+
+def test_bloom_no_false_negatives(spark):
+    seen = _urls(spark, 5000)
+    bloom = US.build_bloom(seen, fpp=0.01)
+    definitely_new, maybe_seen = US.split_by_bloom(seen, bloom)
+    assert definitely_new.count() == 0  # every seen url must test positive
+    assert maybe_seen.count() == 5000
+
+
+def test_bloom_fpp_in_range(spark):
+    seen = _urls(spark, 5000)
+    bloom = US.build_bloom(seen, fpp=0.01)
+    fresh = _urls(spark, 20000, prefix="https://other.example.org/q")
+    _, maybe = US.split_by_bloom(fresh, bloom)
+    fp_rate = maybe.count() / 20000
+    assert fp_rate < 0.05, fp_rate  # target 1%, generous bound
+
+
+def test_new_urls_exact_with_and_without_bloom(spark):
+    frontier = _urls(spark, 1000)
+    seen = _urls(spark, 600).withColumn("round", F.lit(0))  # first 600 seen
+    bloom = US.build_bloom(seen, fpp=0.01)
+    no_bloom = {r.url for r in US.new_urls(frontier, seen).collect()}
+    with_bloom = {r.url for r in US.new_urls(frontier, seen, bloom).collect()}
+    assert no_bloom == with_bloom
+    assert len(no_bloom) == 400
+
+
+def test_canonicalize(spark):
+    cases = [
+        ("HTTPS://Gepris.Example.ORG:443/gepris/projekt/5#frag", "https://gepris.example.org/gepris/projekt/5"),
+        ("http://Host.de:80/a?x=1", "http://host.de/a?x=1"),
+        ("https://h.de", "https://h.de/"),
+        ("https://h.de/p?", "https://h.de/p"),
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [w for _, w in cases]
+    hosts = [r.h for r in df.select(host_of("url").alias("h")).collect()]
+    assert hosts[0] == "gepris.example.org"
