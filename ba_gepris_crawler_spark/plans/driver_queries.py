@@ -1,0 +1,1125 @@
+"""Driver-contract query registry: every operator family of SURVEY.md §2
+(plus the training-data-pipeline operators) expressed over the driver's
+testdata tables, each with a DuckDB oracle twin.
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql|None).
+Column names are aliased identically on both sides (the driver sorts columns
+by name before value-hashing). Floats are rounded and cast to double on
+both sides; counts are cast to bigint (DuckDB sum() returns HUGEINT).
+
+Query families:
+  crawl_*   - the crawl-engine kernels (frontier anti-join, canonicalize,
+              pagination windows, funding-term regex cascade, multivalue
+              split, e-mail de-obfuscation, link-id extraction, politeness
+              priority queue, dedup rate, catalog count parse)
+  dq_*      - the reference R-notebook DQ query shapes (SURVEY.md §2.11)
+  tpch_*    - classic relational workloads (agg/join/top-k credibility)
+  text_*    - text analysis: token stats, quality score, lang-id heuristic,
+              rolling-hash fingerprint
+  dedup_*   - exact + near-duplicate detection
+  emb_*     - embedding similarity search (brute-force + IVF-style)
+  events_*  - event-stream shapes (tumbling windows, sessionization)
+  mm_*      - multimodal metadata plumbing (binary-ish features)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ba_gepris_crawler_spark.operators.canonicalize import canonical_url
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# 60-bit portable string hash: identical in Spark and DuckDB.
+def _h60_spark(col: str) -> str:
+    return f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
+
+
+def _h60_duck(col: str) -> str:
+    return f"(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
+
+
+REGISTRY: dict[str, tuple[SparkFn, str | None]] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn: SparkFn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# crawl_* — engine kernels
+# --------------------------------------------------------------------------
+
+@_q(
+    "crawl_frontier_anti_join",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    seen AS (SELECT url FROM urls WHERE doc_id % 3 = 0)
+    SELECT regexp_extract(url, '^https://([^/]*)/', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_new
+    FROM urls WHERE url NOT IN (SELECT url FROM seen)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def crawl_frontier_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: frontier minus seen (left_anti), grouped by host."""
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    seen = urls.filter(F.col("doc_id") % 3 == 0).select("url")
+    new = urls.join(seen, "url", "left_anti")
+    return (
+        new.groupBy(F.regexp_extract("url", "^https://([^/]*)/", 1).alias("host"))
+        .agg(F.count("*").alias("n_new"))
+        .orderBy("host")
+    )
+
+
+@_q(
+    "crawl_url_canonicalize",
+    """
+    SELECT doc_id,
+      CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/path/' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN 'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/path/' || CAST(doc_id AS VARCHAR) || '?x=1'
+        WHEN 2 THEN 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/path/' || CAST(doc_id AS VARCHAR)
+        ELSE 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/'
+      END AS canonical
+    FROM documents ORDER BY doc_id
+    """,
+)
+def crawl_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine canonicalizer vs independently-constructed expected URLs."""
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 5).cast("string")
+    i = F.col("doc_id").cast("string")
+    messy = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTPS://Host"), k, F.lit(".Example.ORG:443/path/"), i, F.lit("#frag")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("http://host"), k, F.lit(".example.org:80/path/"), i, F.lit("?x=1")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://Host"), k, F.lit(".example.org/path/"), i, F.lit("?")))
+        .otherwise(F.concat(F.lit("https://host"), k, F.lit(".example.org")))
+    )
+    return d.select("doc_id", canonical_url(messy).alias("canonical")).orderBy("doc_id")
+
+
+@_q(
+    "crawl_pagination_windows",
+    """
+    WITH p AS (SELECT unnest(generate_series(0,
+        (SELECT CAST(ceil(count(*) / 50.0) AS BIGINT) - 1 FROM documents))) AS page)
+    SELECT CAST(page AS BIGINT) AS page, CAST(page * 50 AS BIGINT) AS idx
+    FROM p ORDER BY page
+    """,
+)
+def crawl_pagination_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: total count -> ceil-div page windows (PaginatedResourceCatalogUrlsGraph)."""
+    total = _t(spark, sf_dir, "documents").agg(F.count("*").alias("total"))
+    return (
+        total.select(F.explode(F.sequence(F.lit(0), (F.ceil(F.col("total") / 50.0) - 1).cast("int"))).alias("p"))
+        .select(F.col("p").cast("bigint").alias("page"), (F.col("p") * 50).cast("bigint").alias("idx"))
+        .orderBy("page")
+    )
+
+
+_TERM_DUCK = """
+      CASE CAST(doc_id % 6 AS INT)
+        WHEN 0 THEN 'Funded from ' || CAST(1998 + doc_id % 20 AS VARCHAR) || ' to ' || CAST(1998 + doc_id % 20 + doc_id % 7 AS VARCHAR)
+        WHEN 1 THEN 'Funded since ' || CAST(1998 + doc_id % 20 AS VARCHAR)
+        WHEN 2 THEN 'Funded in ' || CAST(1998 + doc_id % 20 AS VARCHAR)
+        WHEN 3 THEN 'Funded until ' || CAST(1998 + doc_id % 20 + doc_id % 7 AS VARCHAR)
+        WHEN 4 THEN 'Currently being funded'
+        ELSE 'Funding period unclear'
+      END
+"""
+
+
+@_q(
+    "crawl_funding_term_cascade",
+    f"""
+    WITH t AS (SELECT doc_id, {_TERM_DUCK} AS term FROM documents)
+    SELECT doc_id, term,
+      CASE
+        WHEN regexp_matches(term, 'from ([0-9]+) to ([0-9]+)') THEN regexp_extract(term, 'from ([0-9]+) to ([0-9]+)', 1)
+        WHEN regexp_matches(term, 'since ([0-9]+)') THEN regexp_extract(term, 'since ([0-9]+)', 1)
+        WHEN regexp_matches(term, 'Funded in ([0-9]+)') THEN regexp_extract(term, 'Funded in ([0-9]+)', 1)
+        WHEN regexp_matches(term, 'until ([0-9]+)') THEN ''
+        WHEN regexp_matches(term, 'Currently being funded') THEN 'ongoing'
+        ELSE '' END AS start_year,
+      CASE
+        WHEN regexp_matches(term, 'from ([0-9]+) to ([0-9]+)') THEN regexp_extract(term, 'from ([0-9]+) to ([0-9]+)', 2)
+        WHEN regexp_matches(term, 'since ([0-9]+)') THEN ''
+        WHEN regexp_matches(term, 'Funded in ([0-9]+)') THEN regexp_extract(term, 'Funded in ([0-9]+)', 1)
+        WHEN regexp_matches(term, 'until ([0-9]+)') THEN regexp_extract(term, 'until ([0-9]+)', 1)
+        WHEN regexp_matches(term, 'Currently being funded') THEN 'ongoing'
+        ELSE '' END AS end_year
+    FROM t ORDER BY doc_id
+    """,
+)
+def crawl_funding_term_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: the five-regex first-match-wins cascade (ExtractorHelpers.scala:25-38)."""
+    d = _t(spark, sf_dir, "documents")
+    y1 = (F.lit(1998) + F.col("doc_id") % 20).cast("string")
+    y2 = (F.lit(1998) + F.col("doc_id") % 20 + F.col("doc_id") % 7).cast("string")
+    term = (
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("Funded from "), y1, F.lit(" to "), y2))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("Funded since "), y1))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("Funded in "), y1))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("Funded until "), y2))
+        .when(F.col("doc_id") % 6 == 4, F.lit("Currently being funded"))
+        .otherwise(F.lit("Funding period unclear"))
+    )
+    d = d.select("doc_id", term.alias("term"))
+    t = F.col("term")
+    start = (
+        F.when(t.rlike("from ([0-9]+) to ([0-9]+)"), F.regexp_extract(t, "from ([0-9]+) to ([0-9]+)", 1))
+        .when(t.rlike("since ([0-9]+)"), F.regexp_extract(t, "since ([0-9]+)", 1))
+        .when(t.rlike("Funded in ([0-9]+)"), F.regexp_extract(t, "Funded in ([0-9]+)", 1))
+        .when(t.rlike("until ([0-9]+)"), F.lit(""))
+        .when(t.rlike("Currently being funded"), F.lit("ongoing"))
+        .otherwise(F.lit(""))
+    )
+    end = (
+        F.when(t.rlike("from ([0-9]+) to ([0-9]+)"), F.regexp_extract(t, "from ([0-9]+) to ([0-9]+)", 2))
+        .when(t.rlike("since ([0-9]+)"), F.lit(""))
+        .when(t.rlike("Funded in ([0-9]+)"), F.regexp_extract(t, "Funded in ([0-9]+)", 1))
+        .when(t.rlike("until ([0-9]+)"), F.regexp_extract(t, "until ([0-9]+)", 1))
+        .when(t.rlike("Currently being funded"), F.lit("ongoing"))
+        .otherwise(F.lit(""))
+    )
+    return d.select("doc_id", "term", start.alias("start_year"), end.alias("end_year")).orderBy("doc_id")
+
+
+@_q(
+    "crawl_multivalue_split",
+    """
+    WITH v AS (SELECT doc_id, lang || ', ' || source || '<br> ' || lang || ', zz' AS value FROM documents)
+    SELECT DISTINCT doc_id, trim(u2) AS value_item
+    FROM v, unnest(string_split(value, '<br>')) AS t(u), unnest(string_split(u, ', ')) AS t2(u2)
+    WHERE trim(u2) <> ''
+    ORDER BY doc_id, value_item
+    """,
+)
+def crawl_multivalue_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: split '<br>' then ', ', trim, drop empties, distinct per doc."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit(", "), F.col("source"), F.lit("<br> "), F.col("lang"), F.lit(", zz")).alias("value"),
+    )
+    items = F.expr(
+        "array_distinct(filter(transform("
+        "  flatten(transform(split(value, '<br>'), s -> split(s, ', '))),"
+        "  v -> trim(v)), v -> v != ''))"
+    )
+    return (
+        d.select("doc_id", F.explode(items).alias("value_item"))
+        .distinct()
+        .orderBy("doc_id", "value_item")
+    )
+
+
+@_q(
+    "crawl_email_deobfuscate",
+    """
+    SELECT doc_id,
+           regexp_replace('user' || CAST(doc_id AS VARCHAR) || '<img src="/img/at.png">' || source || '.example',
+                          '<img[^<]*>', '@', 'g') AS email
+    FROM documents ORDER BY doc_id
+    """,
+)
+def crawl_email_deobfuscate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: <img...> -> '@' (PersonExtractorGraph.scala:46-51)."""
+    d = _t(spark, sf_dir, "documents")
+    obf = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"),
+        F.lit('<img src="/img/at.png">'), F.col("source"), F.lit(".example"),
+    )
+    return d.select("doc_id", F.regexp_replace(obf, "<img[^<]*>", "@").alias("email")).orderBy("doc_id")
+
+
+@_q(
+    "crawl_link_extract",
+    """
+    WITH h AS (SELECT doc_id,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN '/gepris/projekt/' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN '/gepris/person/' || CAST(doc_id AS VARCHAR)
+        ELSE '/other/' || CAST(doc_id AS VARCHAR) END AS href
+      FROM documents)
+    SELECT doc_id, regexp_extract(href, '^/gepris/projekt/([0-9]+)$', 1) AS project_id
+    FROM h WHERE regexp_extract(href, '^/gepris/projekt/([0-9]+)$', 1) <> ''
+    ORDER BY doc_id
+    """,
+)
+def crawl_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 id extraction: /gepris/projekt/(\\d+), non-matches dropped."""
+    d = _t(spark, sf_dir, "documents")
+    href = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/gepris/projekt/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/gepris/person/"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/other/"), F.col("doc_id").cast("string")))
+    )
+    d = d.select("doc_id", F.regexp_extract(href, "^/gepris/projekt/([0-9]+)$", 1).alias("project_id"))
+    return d.filter(F.col("project_id") != "").orderBy("doc_id")
+
+
+@_q(
+    "crawl_host_priority_queue",
+    """
+    WITH f AS (SELECT doc_id, 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+                      CAST(n_chars % 3 AS INT) AS priority FROM documents)
+    SELECT host, priority, doc_id, rnk FROM (
+      SELECT host, priority, doc_id,
+             CAST(row_number() OVER (PARTITION BY host ORDER BY priority, doc_id) AS BIGINT) AS rnk
+      FROM f) WHERE rnk <= 10
+    ORDER BY host, rnk
+    """,
+)
+def crawl_host_priority_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted priority queue shape: per-host deterministic rank, budget cut."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")).alias("host"),
+        (F.col("n_chars") % 3).cast("int").alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("host", "priority", "doc_id", "rnk")
+        .orderBy("host", "rnk")
+    )
+
+
+@_q(
+    "crawl_seen_dedup_rate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id % 97) AS BIGINT) AS n_unique,
+           round(CAST(1.0 - count(DISTINCT doc_id % 97) * 1.0 / count(*) AS DOUBLE), 6) AS dedup_rate
+    FROM documents
+    """,
+)
+def crawl_seen_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-style ratio: frontier-dedup rate metric."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct(F.col("doc_id") % 97).alias("n_unique"),
+        F.round(1.0 - F.countDistinct(F.col("doc_id") % 97) / F.count("*"), 6).alias("dedup_rate"),
+    )
+
+
+@_q(
+    "crawl_catalog_count_parse",
+    """
+    WITH l AS (SELECT doc_id,
+      'Results 1 to 50 out of ' ||
+      CASE WHEN doc_id % 2 = 0 THEN '1,234' ELSE CAST(doc_id % 999 AS VARCHAR) END || ' on 2018-10-20' AS line
+      FROM documents)
+    SELECT doc_id, CAST(replace(regexp_extract(line, 'out of ([0-9,]*) on', 1), ',', '') AS BIGINT) AS total
+    FROM l ORDER BY doc_id
+    """,
+)
+def crawl_catalog_count_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: 'out of ([\\d,]*) on' -> strip commas -> int."""
+    d = _t(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit("Results 1 to 50 out of "),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("1,234")).otherwise((F.col("doc_id") % 999).cast("string")),
+        F.lit(" on 2018-10-20"),
+    )
+    total = F.regexp_replace(F.regexp_extract(line, "out of ([0-9,]*) on", 1), ",", "").cast("bigint")
+    return d.select("doc_id", total.alias("total")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# dq_* — the reference DQ workload shapes (SURVEY.md §2.11) over TPC-H
+# --------------------------------------------------------------------------
+
+@_q(
+    "dq_referential_integrity",
+    """
+    WITH present AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orphans
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM present)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/Q5 shape: relation rows whose key is missing from the primary
+    table (left_anti), counted per status."""
+    orders = _t(spark, sf_dir, "orders")
+    present = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        orders.join(present, "o_custkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orphans"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q(
+    "dq_semantic_date_order",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           round(CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) * 1.0 / count(*) AS DOUBLE), 6) AS violation_rate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def dq_semantic_date_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: semantic rule 'ship after order' violation ratio."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    viol = F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
+    return j.agg(
+        F.count("*").alias("n_checked"),
+        viol.alias("n_violations"),
+        F.round(viol / F.count("*"), 6).alias("violation_rate"),
+    )
+
+
+@_q(
+    "dq_schema_coverage",
+    """
+    SELECT * FROM (
+      SELECT DISTINCT 'events' AS src_table, event_type AS name FROM events
+      UNION
+      SELECT DISTINCT 'documents' AS src_table, source AS name FROM documents)
+    ORDER BY src_table, name
+    """,
+)
+def dq_schema_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: distinct 'field names' per source, sorted union."""
+    ev = _t(spark, sf_dir, "events").select(F.lit("events").alias("src_table"), F.col("event_type").alias("name")).distinct()
+    dc = _t(spark, sf_dir, "documents").select(F.lit("documents").alias("src_table"), F.col("source").alias("name")).distinct()
+    return ev.unionByName(dc).distinct().orderBy("src_table", "name")
+
+
+@_q(
+    "dq_population_coverage",
+    """
+    WITH t AS (SELECT count(*) AS total FROM orders)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(count(*) * 1.0 / (SELECT total FROM t) AS DOUBLE), 6) AS coverage
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq_population_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: per-class counts vs stored population total."""
+    o = _t(spark, sf_dir, "orders")
+    total = o.count()
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.round(F.count("*") / F.lit(total), 6).alias("coverage"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q(
+    "dq_year_validity",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           round(CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END) * 1.0 / count(*) AS DOUBLE), 6) AS dq_value
+    FROM orders
+    """,
+)
+def dq_year_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 shape: regex syntactic-validity ratio (rlike find semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    valid = F.sum(F.when(F.col("o_orderpriority").rlike("^[0-9]-"), 1).otherwise(0))
+    return o.agg(
+        F.count("*").alias("n_checked"),
+        valid.alias("n_valid"),
+        F.round(valid / F.count("*"), 6).alias("dq_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# tpch_* — relational credibility workloads
+# --------------------------------------------------------------------------
+
+@_q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+      round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+      round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+      round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+      round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
+      round(CAST(avg(l_discount) AS DOUBLE), 4) AS avg_disc,
+      CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "tpch_q3_top10_revenue",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_top10_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")).select("o_orderkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "tpch_top_customers_per_nation",
+    """
+    WITH rev AS (
+      SELECT c_nationkey, c_custkey, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_nationkey, c_custkey)
+    SELECT n_name, c_custkey, revenue, rnk FROM (
+      SELECT n_name, c_custkey, revenue,
+             CAST(row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rnk
+      FROM rev JOIN nation ON c_nationkey = n_nationkey)
+    WHERE rnk <= 3 ORDER BY n_name, rnk
+    """,
+)
+def tpch_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family: ranking window over a join+agg (top-3 customers/nation);
+    nation is broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), "c_custkey")
+    return (
+        rev.join(F.broadcast(n), rev.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "revenue")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("n_name", "rnk")
+    )
+
+
+@_q(
+    "tpch_region_revenue",
+    """
+    SELECT r_name, round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def tpch_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy("r_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# text_* — text-analysis pipeline operators over `documents`
+# --------------------------------------------------------------------------
+
+_TOKS_SPARK = "filter(split(trim(text), '\\\\s+'), t -> t != '')"
+_TOKS_DUCK = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+
+@_q(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenizer + regex word tokenizer."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"cast(size({_TOKS_SPARK}) as bigint)").alias("n_ws_tokens"),
+        F.expr("cast(size(regexp_extract_all(text, '[a-z]+', 0)) as bigint)").alias("n_word_tokens"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "text_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    s AS (SELECT doc_id,
+            len(toks) AS n_tokens,
+            len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'a', 'to', 'in'))) AS stop_hits,
+            list_aggregate(list_transform(toks, x -> strlen(x)), 'sum') AS char_sum
+          FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(stop_hits * 1.0 / n_tokens AS DOUBLE), 6) AS stopword_ratio,
+           round(CAST(char_sum * 1.0 / n_tokens AS DOUBLE), 6) AS avg_token_len,
+           round(CAST(least(n_tokens / 50.0, 1.0) * 0.5
+                 + (stop_hits * 1.0 / n_tokens) * 0.25
+                 + least((char_sum * 1.0 / n_tokens) / 8.0, 1.0) * 0.25 AS DOUBLE), 6) AS quality_score
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/token-shape heuristics (a training
+    -data filter stage)."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
+    n = F.expr("size(toks)")
+    stop = F.expr("size(filter(toks, x -> x IN ('the', 'and', 'of', 'a', 'to', 'in')))")
+    chars = F.expr("aggregate(toks, 0, (acc, x) -> acc + length(x))")
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(stop / n, 6).alias("stopword_ratio"),
+        F.round(chars / n, 6).alias("avg_token_len"),
+        F.round(
+            F.least(n / 50.0, F.lit(1.0)) * 0.5 + (stop / n) * 0.25 + F.least((chars / n) / 8.0, F.lit(1.0)) * 0.25,
+            6,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+            len(list_filter(toks, x -> x IN ('the', 'and', 'of'))) AS en_hits,
+            len(list_filter(toks, x -> x IN ('der', 'und', 'das'))) AS de_hits,
+            len(list_filter(toks, x -> x IN ('le', 'et', 'la'))) AS fr_hits
+          FROM t)
+    SELECT doc_id, lang, CAST(en_hits AS BIGINT) AS en_hits, CAST(de_hits AS BIGINT) AS de_hits,
+           CAST(fr_hits AS BIGINT) AS fr_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+                WHEN fr_hits > 0 THEN 'fr'
+                ELSE 'unknown' END AS predicted_lang
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-marker counting (n-gram heuristic
+    class; the fixture corpus is English-wordlist text, the heuristic is the
+    operator under test, not the fixture's labels)."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
+    en = F.expr("size(filter(toks, x -> x IN ('the', 'and', 'of')))")
+    de = F.expr("size(filter(toks, x -> x IN ('der', 'und', 'das')))")
+    fr = F.expr("size(filter(toks, x -> x IN ('le', 'et', 'la')))")
+    d = d.select(
+        "doc_id", "lang",
+        en.cast("bigint").alias("en_hits"), de.cast("bigint").alias("de_hits"), fr.cast("bigint").alias("fr_hits"),
+    )
+    pred = (
+        F.when((F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("fr_hits")) & (F.col("en_hits") > 0), "en")
+        .when((F.col("de_hits") >= F.col("fr_hits")) & (F.col("de_hits") > 0), "de")
+        .when(F.col("fr_hits") > 0, "fr")
+        .otherwise("unknown")
+    )
+    return d.withColumn("predicted_lang", pred).orderBy("doc_id")
+
+
+@_q(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> {_h60_duck('x')} % 1000000007)),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: rolling polynomial hash over the token stream
+    (order-sensitive, portable 60-bit md5 token hash)."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
+    fp = F.expr(
+        f"aggregate(toks, cast(0 as bigint), (a, x) -> (a * 31 + {_h60_spark('x')} % 1000000007) % 1000000007)"
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# dedup_* — exact and near-duplicate detection (training-data pipeline)
+# --------------------------------------------------------------------------
+
+# Planted duplicates: doc_id % 10 == 0 rows share one sentinel text.
+_DTEXT_DUCK = "CASE WHEN doc_id % 10 = 0 THEN 'duplicate sentinel text body' ELSE text END"
+_DTEXT_SPARK = "CASE WHEN doc_id % 10 = 0 THEN 'duplicate sentinel text body' ELSE text END"
+
+
+@_q(
+    "dedup_exact",
+    f"""
+    WITH t AS (SELECT doc_id, {_DTEXT_DUCK} AS body FROM documents)
+    SELECT md5(body) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM t GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep min doc_id."""
+    d = _t(spark, sf_dir, "documents").withColumn("body", F.expr(_DTEXT_SPARK))
+    return (
+        d.groupBy(F.md5("body").alias("text_md5"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("text_md5")
+    )
+
+
+_SHINGLES_DUCK = """
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim({body}), '\\s+'), x -> x <> '') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+           FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS s(i))
+"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    _SHINGLES_DUCK.format(body="CASE WHEN doc_id % 10 = 0 THEN 'duplicate sentinel text body extended for shingling purposes' ELSE text END")
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           round(CAST(n_common * 1.0 / (sa.n + sb.n - n_common) AS DOUBLE), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (3-shingle) Jaccard near-dup pairs >= 0.5."""
+    body = "CASE WHEN doc_id % 10 = 0 THEN 'duplicate sentinel text body extended for shingling purposes' ELSE text END"
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks", F.expr(f"filter(split(trim({body}), '\\\\s+'), x -> x != '')")
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+                " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        j.filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@_q(
+    "dedup_simhash",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    h AS (SELECT doc_id, {_h60_duck('tok')} AS hv FROM tok),
+    bits AS (
+      SELECT doc_id, b.b AS bit,
+             CASE WHEN sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS v
+      FROM h, (SELECT unnest(generate_series(0, 15)) AS b) b
+      GROUP BY doc_id, b.b)
+    SELECT doc_id, CAST(sum(v * (1 << bit)) AS BIGINT) AS simhash16
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit here; 64-bit is the same plan with b in 0..63):
+    per-bit majority vote over token hashes."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
+    tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    h = tok.select("doc_id", F.expr(_h60_spark("tok")).alias("hv"))
+    bits = h.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"), "hv")
+    bits = bits.groupBy("doc_id", "bit").agg(
+        F.when(F.sum(F.when(F.expr("(hv >> bit) & 1 = 1"), 1).otherwise(-1)) >= 0, 1).otherwise(0).alias("v")
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(F.sum(F.expr("v * (1 << bit)")).cast("bigint").alias("simhash16"))
+        .orderBy("doc_id")
+    )
+
+
+_MINHASH_P = 2147483647
+_MINHASH_FUNCS = [(2 * j + 1, 7 * j + 3) for j in range(8)]
+
+
+def _minhash_cols_spark() -> list:
+    cols = []
+    for j, (a, b) in enumerate(_MINHASH_FUNCS):
+        cols.append(F.min(F.expr(f"(({a} * hv + {b}) % {_MINHASH_P} + {_MINHASH_P}) % {_MINHASH_P}")).alias(f"m{j}"))
+    return cols
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+    h AS (SELECT doc_id, {_h60_duck('tok')} % {_MINHASH_P} AS hv FROM tok),
+    sig AS (SELECT doc_id,
+      {', '.join(f'min(({a} * hv + {b}) % {_MINHASH_P}) AS m{j}' for j, (a, b) in enumerate(_MINHASH_FUNCS))}
+      FROM h GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || '_' || CAST(m1 AS VARCHAR)) AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || '_' || CAST(m3 AS VARCHAR)) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || '_' || CAST(m5 AS VARCHAR)) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || '_' || CAST(m7 AS VARCHAR)) FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+               FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT CAST(c.doc_a AS BIGINT) AS doc_a, CAST(c.doc_b AS BIGINT) AS doc_b,
+           round(CAST(n_common * 1.0 / (sa.n + sb.n - n_common) AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN common co ON c.doc_a = co.doc_a AND c.doc_b = co.doc_b
+      JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 perms) + LSH banding (4 bands x 2 rows): candidates from
+    band-bucket join, verified by true token Jaccard >= 0.7. The scale path
+    for near-dup dedup: the pairwise join only touches band collisions."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
+    tok = d.select("doc_id", F.explode("toks").alias("tok")).distinct()
+    h = tok.select("doc_id", F.expr(f"{_h60_spark('tok')} % {_MINHASH_P}").alias("hv"))
+    sig = h.groupBy("doc_id").agg(*_minhash_cols_spark())
+    bands = None
+    for band in range(4):
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws("_", F.col(f"m{2*band}").cast("string"), F.col(f"m{2*band+1}").cast("string"))).alias("bkey"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    cand = (
+        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = tok.alias("ta")
+    tb = tok.alias("tb")
+    common = (
+        ta.join(tb, (F.col("ta.tok") == F.col("tb.tok")) & (F.col("ta.doc_id") < F.col("tb.doc_id")))
+        .groupBy(F.col("ta.doc_id").alias("doc_a"), F.col("tb.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    j = (
+        cand.join(common, ["doc_a", "doc_b"])
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        j.filter(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# emb_* — similarity search over the embedding column
+# --------------------------------------------------------------------------
+
+_DOT_DUCK = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+)
+_NORM_DUCK = "sqrt(list_aggregate(list_transform({a}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))"
+_DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+_NORM_SPARK = "sqrt(aggregate({a}, cast(0 as double), (acc, y) -> acc + cast(y as double) * cast(y as double)))"
+
+
+@_q(
+    "emb_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT q.qid, e.vec_id,
+            round(CAST({_DOT_DUCK.format(a='e.embedding', b='q.qe')}
+              / ({_NORM_DUCK.format(a='e.embedding')} * {_NORM_DUCK.format(a='q.qe')}) AS DOUBLE), 4) AS cosine
+          FROM embeddings e, q WHERE e.vec_id <> q.qid)
+    SELECT qid, vec_id, cosine, rnk FROM (
+      SELECT qid, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+      FROM s) WHERE rnk <= 10
+    ORDER BY qid, rnk
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: broadcast the query set,
+    JVM-side fold for the dot product (zip_with/aggregate — no Python)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    cos = F.round(
+        F.expr(_DOT_SPARK.format(a="embedding", b="qe"))
+        / (F.expr(_NORM_SPARK.format(a="embedding")) * F.expr(_NORM_SPARK.format(a="qe"))),
+        4,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        pairs.select("qid", "vec_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("qid", "rnk")
+    )
+
+
+@_q(
+    "emb_ivf_assign",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+    s AS (SELECT e.vec_id, c.cid,
+            round(CAST({_DOT_DUCK.format(a='e.embedding', b='c.ce')}
+              / ({_NORM_DUCK.format(a='e.embedding')} * {_NORM_DUCK.format(a='c.ce')}) AS DOUBLE), 4) AS cosine
+          FROM embeddings e, c),
+    best AS (SELECT vec_id, cid, cosine,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid) AS rn FROM s)
+    SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_assigned,
+           round(CAST(avg(cosine) AS DOUBLE), 3) AS avg_cosine
+    FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid
+    """,
+)
+def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization: assign every vector to its nearest
+    centroid (the scale path for ANN — search only the probed cell)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    pairs = e.crossJoin(F.broadcast(c))
+    cos = F.round(
+        F.expr(_DOT_SPARK.format(a="embedding", b="ce"))
+        / (F.expr(_NORM_SPARK.format(a="embedding")) * F.expr(_NORM_SPARK.format(a="ce"))),
+        4,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "cid")
+    best = (
+        pairs.select("vec_id", "cid", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.groupBy(F.col("cid").alias("centroid_id"))
+        .agg(F.count("*").alias("n_assigned"), F.round(F.avg("cosine"), 3).alias("avg_cosine"))
+        .orderBy("centroid_id")
+    )
+
+
+@_q(
+    "emb_neardup_pairs",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_DUCK.format(a='embedding')} AS nrm FROM embeddings WHERE vec_id < 200)
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+           round(CAST({_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS DOUBLE), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) > 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold (pairwise on
+    a bounded slice; the LSH/IVF variants above are the scale path)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding", F.expr(_NORM_SPARK.format(a="embedding")).alias("nrm")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos_raw = F.expr(_DOT_SPARK.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cos_raw", cos_raw)
+        .filter(F.col("cos_raw") > 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_* — event-stream shapes (batch equivalents of the streaming ops)
+# --------------------------------------------------------------------------
+
+@_q(
+    "events_tumbling_window",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_epoch, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(avg(value) AS DOUBLE), 3) AS avg_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregation (batch twin of the streaming
+    window op in streaming/events.py)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("bigint")
+    return (
+        ev.groupBy(bucket.alias("bucket_epoch"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 3).alias("avg_value"))
+        .orderBy("bucket_epoch", "event_type")
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    WITH o AS (SELECT user_id, floor(epoch(ts))::BIGINT AS te,
+                      lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_te
+               FROM events),
+    f AS (SELECT user_id, te,
+                 CASE WHEN prev_te IS NULL OR te - prev_te > 1800 THEN 1 ELSE 0 END AS brk
+          FROM o),
+    s AS (SELECT user_id, te,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY te
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM f)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(te) AS BIGINT) AS start_epoch, CAST(max(te) AS BIGINT) AS end_epoch
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag -> break flags -> running sum
+    -> per-session aggregates. The batch twin of stateful streaming
+    sessionization."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").cast("bigint").alias("te"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn("prev_te", F.lag("te").over(w))
+    f = o.withColumn(
+        "brk", F.when(F.col("prev_te").isNull() | (F.col("te") - F.col("prev_te") > 1800), 1).otherwise(0)
+    )
+    ws = Window.partitionBy("user_id").orderBy("te").rowsBetween(Window.unboundedPreceding, 0)
+    s = f.withColumn("session_id", F.sum("brk").over(ws).cast("bigint"))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("te").alias("start_epoch"),
+            F.max("te").alias("end_epoch"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# mm_* — multimodal metadata plumbing (binary columns + typed metadata)
+# --------------------------------------------------------------------------
+
+@_q(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST((doc_id % 16) * 40 + 320 AS BIGINT) AS fake_width,
+           CAST((doc_id % 9) * 40 + 240 AS BIGINT) AS fake_height,
+           CAST(n_chars % 30 + 1 AS BIGINT) AS fake_n_frames
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata over an opaque payload: byte length + digest +
+    deterministic fake decode features (the real decoder is stubbed in
+    operators/multimodal.py — no image/audio libs in this container; the
+    Spark-side plumbing is what is under test)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.md5("text").alias("digest"),
+        ((F.col("doc_id") % 16) * 40 + 320).cast("bigint").alias("fake_width"),
+        ((F.col("doc_id") % 9) * 40 + 240).cast("bigint").alias("fake_height"),
+        (F.col("n_chars") % 30 + 1).cast("bigint").alias("fake_n_frames"),
+    ).orderBy("doc_id")
