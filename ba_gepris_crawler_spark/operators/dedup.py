@@ -1,0 +1,183 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All pure DataFrame/Catalyst plans (no Python in the hot path):
+
+- exact_dedup:       hash-groupBy on content (map-side partial agg)
+- minhash_signatures + lsh_candidate_pairs + verified_near_dups:
+                     MinHash + LSH banding; candidates are (bucket-anchor,
+                     member) pairs — linear in bucket size, never the full
+                     clique — then verified with true Jaccard
+- simhash:           per-bit majority vote over token hashes (64-bit)
+- ngram_jaccard_pairs: naive shingle-bucket pairwise baseline (small data /
+                     verification only; LSH is the scale path)
+
+Token/shingle hashing uses xxhash64 (JVM-side). The driver-oracle twins in
+plans/driver_queries.py use a portable md5-based hash instead so DuckDB can
+replay them; semantics are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKENIZE = "filter(split(trim({col}), '\\\\s+'), t -> t != '')"
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return (
+        df.select(id_col, F.explode(F.expr(TOKENIZE.format(col=text_col))).alias("tok"))
+        .dropDuplicates([id_col, "tok"])
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    toks = F.expr(TOKENIZE.format(col=text_col))
+    parts = ", ".join(f"toks[i + {j} - 1]" for j in range(n))
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), i -> concat_ws(' ', {parts}))"
+    )
+    return (
+        df.withColumn("toks", toks)
+        .select(id_col, F.explode(sh).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical content: (content_hash, keeper_id, n_copies,
+    member_ids). Keeper = min id (deterministic)."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+_P = 2147483647
+
+
+def minhash_signatures(
+    unit_df: DataFrame, id_col: str = "doc_id", unit_col: str = "shingle", num_perm: int = 16
+) -> DataFrame:
+    """One row per doc with m0..m{k-1} minhash columns. Input: exploded
+    (id, shingle|token) rows. Single shuffle on id (the groupBy)."""
+    h = unit_df.withColumn("hv", F.pmod(F.xxhash64(F.col(unit_col)), F.lit(_P)))
+    aggs = [
+        F.min(F.expr(f"({2 * j + 1} * hv + {7 * j + 3}) % {_P}")).alias(f"m{j}")
+        for j in range(num_perm)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidates: docs sharing any band bucket, paired with
+    the bucket's min-id anchor (linear in bucket size)."""
+    rows_per_band = num_perm // bands
+    parts = None
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        part = sig.select(
+            F.col(id_col), F.lit(b).alias("band"), F.xxhash64(F.concat_ws("_", *cols)).alias("bkey")
+        )
+        parts = part if parts is None else parts.unionByName(part)
+    w = Window.partitionBy("band", "bkey")
+    return (
+        parts.withColumn("anchor", F.min(id_col).over(w))
+        .filter(F.col(id_col) > F.col("anchor"))
+        .select(F.col("anchor").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_near_dups(
+    cand: DataFrame, unit_df: DataFrame, id_col: str = "doc_id", unit_col: str = "shingle",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs only: |A∩B| / (|A|+|B|-|A∩B|)."""
+    ta = unit_df.select(F.col(id_col).alias("doc_a"), F.col(unit_col).alias("u_a"))
+    tb = unit_df.select(F.col(id_col).alias("doc_b"), F.col(unit_col).alias("u_b"))
+    common = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.col("u_a") == F.col("u_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = unit_df.groupBy(id_col).agg(F.count("*").alias("n"))
+    j = (
+        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return j.filter(jac >= threshold).select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """SimHash: per-bit majority vote over token hashes. Two shuffles (bit
+    agg keyed by (id, bit) then id); the bit explosion is a narrow op."""
+    tok = tokens(df, text_col, id_col).withColumn("hv", F.xxhash64("tok"))
+    b = tok.select(id_col, "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+    votes = b.groupBy(id_col, "bit").agg(
+        F.when(F.sum(F.when(F.expr("(hv >> bit) & 1 = 1"), 1).otherwise(-1)) >= 0, 1).otherwise(0).alias("v")
+    )
+    # NB: shiftleft must be on a BIGINT — `1 << bit` is INT arithmetic in
+    # Spark SQL and wraps for bit >= 31, collapsing the upper 32 bits.
+    return votes.groupBy(id_col).agg(
+        F.sum(F.expr("v * shiftleft(cast(1 as bigint), bit)")).cast("long").alias("simhash")
+    )
+
+
+def simhash_near_dups(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance, bucketed on 4 simhash quarters
+    (two near-dups within distance<=3 share at least one exact quarter —
+    pigeonhole), so the pairwise test only runs inside small buckets."""
+    parts = None
+    for q in range(4):
+        part = sim.select(
+            id_col, "simhash", F.lit(q).alias("q"), F.expr(f"(simhash >> {q * 16}) & 65535").alias("qkey")
+        )
+        parts = part if parts is None else parts.unionByName(part)
+    w = Window.partitionBy("q", "qkey")
+    cand = (
+        parts.withColumn("anchor", F.min(id_col).over(w))
+        .filter(F.col(id_col) > F.col("anchor"))
+        .select(F.col("anchor").alias("doc_a"), F.col(id_col).alias("doc_b"))
+        .distinct()
+    )
+    sa = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Naive baseline: pairwise Jaccard for docs sharing any n-gram shingle.
+    Quadratic in duplicate-cluster size — verification/small-data only."""
+    sh = shingles(df, text_col, id_col, n)
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("s"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("s"))
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    j = (
+        pairs.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return j.filter(jac >= threshold).select("doc_a", "doc_b", jac.alias("jaccard"))

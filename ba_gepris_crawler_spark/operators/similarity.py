@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force baseline — broadcast the query set, JVM-side
+  zip_with/aggregate fold, per-query row_number window. Exact.
+- ivf_index/ivf_topk: IVF-style coarse quantization — assign every vector
+  to its nearest centroid once (the index build), then search only the
+  nprobe closest cells per query. The 100 TB path: the expensive crossJoin
+  shrinks from |corpus| x |queries| to |cell| x |queries|.
+- random_hyperplane_lsh: sign-bit sketch over deterministic pseudo-random
+  hyperplanes (seeded hash arithmetic, no RNG state) for bucketed
+  candidate generation.
+
+All exact math is double-precision folds in Catalyst; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+NORM = "sqrt(aggregate({a}, cast(0 as double), (acc, y) -> acc + cast(y as double) * cast(y as double)))"
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    return F.expr(DOT.format(a=a, b=b)) / (F.expr(NORM.format(a=a)) * F.expr(NORM.format(a=b)))
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    q_id_col: str = "qid", q_vec_col: str = "qe",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (queries broadcast).
+    Self-matches (same id) are excluded."""
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(F.col(id_col) != F.col(q_id_col))
+    cos = _cosine(vec_col, q_vec_col).alias("cosine")
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), id_col)
+    return (
+        pairs.select(q_id_col, id_col, cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def ivf_index(
+    corpus: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    c_id_col: str = "cid", c_vec_col: str = "ce",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid. The result should
+    be persisted (and at real scale, written partitioned BY centroid so a
+    probe reads only its cells' files — partition pruning does the rest)."""
+    pairs = corpus.crossJoin(F.broadcast(centroids))
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), c_id_col)
+    return (
+        pairs.select(id_col, vec_col, c_id_col, _cosine(vec_col, c_vec_col).alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, c_id_col)
+    )
+
+
+def ivf_topk(
+    index: DataFrame, centroids: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    c_id_col: str = "cid", c_vec_col: str = "ce",
+    q_id_col: str = "qid", q_vec_col: str = "qe",
+) -> DataFrame:
+    """Search only the nprobe nearest cells per query."""
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        q_id_col, q_vec_col, c_id_col, _cosine(q_vec_col, c_vec_col).alias("ccos")
+    )
+    wq = Window.partitionBy(q_id_col).orderBy(F.col("ccos").desc(), c_id_col)
+    probes = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe).select(
+        q_id_col, q_vec_col, c_id_col
+    )
+    cand = index.join(probes, c_id_col)  # partition-pruned cell scan at scale
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), id_col)
+    return (
+        cand.select(q_id_col, id_col, _cosine(vec_col, q_vec_col).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def random_hyperplane_sketch(
+    df: DataFrame, n_planes: int = 16, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42
+) -> DataFrame:
+    """sign(v . h_p) bits from deterministic pseudo-hyperplanes:
+    h_p[i] = hash(seed, p, i) mapped to [-1, 1). No RNG state, executor-pure."""
+    bit_exprs = []
+    for p in range(n_planes):
+        dot = (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
+            f" (x, i) -> cast(x as double) * (pmod(xxhash64({seed + p}, i), 1000003) / 500001.5 - 1.0)),"
+            " cast(0 as double), (acc, v) -> acc + v)"
+        )
+        bit_exprs.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {1 << p}")
+    return df.select(id_col, F.expr(" + ".join(bit_exprs)).cast("long").alias("lsh_sketch"))

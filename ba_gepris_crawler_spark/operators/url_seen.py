@@ -69,11 +69,19 @@ def _hash_cols(df: DataFrame, url_col: str) -> DataFrame:
 
 
 def build_bloom(
-    seen: DataFrame, url_col: str = "url", expected_items: int | None = None, fpp: float = 0.01, version: int = 0
+    seen: DataFrame,
+    url_col: str = "url",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    version: int = 0,
+    m: int | None = None,
+    k: int | None = None,
 ) -> BloomFilterModel:
-    """Build per-partition bitmap shards, merge via treeReduce(OR)."""
+    """Build per-partition bitmap shards, merge via treeReduce(OR). Pass
+    m/k to build a delta shard compatible with an existing filter."""
     n = expected_items if expected_items is not None else seen.count()
-    m, k = _params(n, fpp)
+    if m is None or k is None:
+        m, k = _params(n, fpp)
     nbytes = m // 8
 
     hashed = _hash_cols(seen, url_col).select("_h1", "_h2")
@@ -100,6 +108,20 @@ def build_bloom(
     else:
         bits = shards.treeReduce(np.bitwise_or)
     return BloomFilterModel(bits=bits, m=m, k=k, n_items=n, version=version)
+
+
+def update_bloom(bloom: BloomFilterModel, delta: DataFrame, url_col: str = "url") -> BloomFilterModel:
+    """Incremental filter maintenance: OR the delta's shard into the
+    existing bitmap (same m/k). Avoids rescanning the full seen set every
+    round — at a 10^10-URL frontier the rebuild would dominate the round."""
+    shard = build_bloom(delta, url_col=url_col, expected_items=bloom.n_items, m=bloom.m, k=bloom.k)
+    return BloomFilterModel(
+        bits=np.bitwise_or(bloom.bits, shard.bits),
+        m=bloom.m,
+        k=bloom.k,
+        n_items=bloom.n_items,
+        version=bloom.version + 1,
+    )
 
 
 def split_by_bloom(

@@ -852,23 +852,26 @@ def _minhash_cols_spark() -> list:
       UNION ALL SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || '_' || CAST(m3 AS VARCHAR)) FROM sig
       UNION ALL SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || '_' || CAST(m5 AS VARCHAR)) FROM sig
       UNION ALL SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || '_' || CAST(m7 AS VARCHAR)) FROM sig),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    anch AS (SELECT doc_id, band, bkey, min(doc_id) OVER (PARTITION BY band, bkey) AS anchor FROM bands),
+    cand AS (SELECT DISTINCT anchor AS doc_a, doc_id AS doc_b FROM anch WHERE doc_id > anchor),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
-    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-               FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
-    SELECT CAST(c.doc_a AS BIGINT) AS doc_a, CAST(c.doc_b AS BIGINT) AS doc_b,
+    common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+               FROM cand c JOIN tok a ON a.doc_id = c.doc_a JOIN tok b ON b.doc_id = c.doc_b AND b.tok = a.tok
+               GROUP BY 1, 2)
+    SELECT CAST(co.doc_a AS BIGINT) AS doc_a, CAST(co.doc_b AS BIGINT) AS doc_b,
            round(CAST(n_common * 1.0 / (sa.n + sb.n - n_common) AS DOUBLE), 6) AS jaccard
-    FROM cand c JOIN common co ON c.doc_a = co.doc_a AND c.doc_b = co.doc_b
-      JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
+    FROM common co
+      JOIN sizes sa ON co.doc_a = sa.doc_id JOIN sizes sb ON co.doc_b = sb.doc_id
     WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.7
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (8 perms) + LSH banding (4 bands x 2 rows): candidates from
-    band-bucket join, verified by true token Jaccard >= 0.7. The scale path
-    for near-dup dedup: the pairwise join only touches band collisions."""
+    """MinHash (8 perms) + LSH banding (4 bands x 2 rows): candidates are
+    (bucket-anchor, member) pairs — LINEAR in bucket size, never the full
+    clique (a duplicate cluster of k docs yields k-1 pairs, not k^2/2) —
+    then verified by true token Jaccard >= 0.7. This anchor pairing is what
+    keeps the candidate join bounded at 100 TB."""
     d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
     tok = d.select("doc_id", F.explode("toks").alias("tok")).distinct()
     h = tok.select("doc_id", F.expr(f"{_h60_spark('tok')} % {_MINHASH_P}").alias("hv"))
@@ -881,18 +884,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws("_", F.col(f"m{2*band}").cast("string"), F.col(f"m{2*band+1}").cast("string"))).alias("bkey"),
         )
         bands = b if bands is None else bands.unionByName(b)
-    a = bands.alias("a")
-    b2 = bands.alias("b")
+    wb = Window.partitionBy("band", "bkey")
     cand = (
-        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bands.withColumn("anchor", F.min("doc_id").over(wb))
+        .filter(F.col("doc_id") > F.col("anchor"))
+        .select(F.col("anchor").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
-    ta = tok.alias("ta")
-    tb = tok.alias("tb")
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     common = (
-        ta.join(tb, (F.col("ta.tok") == F.col("tb.tok")) & (F.col("ta.doc_id") < F.col("tb.doc_id")))
-        .groupBy(F.col("ta.doc_id").alias("doc_a"), F.col("tb.doc_id").alias("doc_b"))
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.col("tok_a") == F.col("tok_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))

@@ -37,6 +37,7 @@ class CrawlSettings:
     n_buckets: int = 32
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     bloom_fpp: float = 0.01
+    bloom_expected_items: int = 1 << 17  # sizes m once; incremental OR after
     use_bloom: bool = True
     extract: bool = True
 
@@ -47,6 +48,8 @@ class CrawlEngine:
         self.site = site
         self.store = store
         self.s = settings or CrawlSettings()
+        self._bloom = None  # incremental bloom state (rebuilt on resume)
+        self._bloom_round: int = -10
 
     # ---------------- state loading ----------------
     def _prev_state(self, rnd: int) -> tuple[DataFrame, DataFrame]:
@@ -65,11 +68,19 @@ class CrawlEngine:
         s = self.s
         frontier_prev, seen = self._prev_state(rnd)
         seen = seen.cache()
-        n_seen = seen.count()
+        # seen_total is carried through manifests (no per-round count job)
+        n_seen = 0 if rnd == 0 else self.store.manifest(rnd - 1)["counters"].get("seen_total", 0)
 
         bloom = None
         if s.use_bloom and n_seen > 0:
-            bloom = US.build_bloom(seen, expected_items=max(n_seen, 1024), fpp=s.bloom_fpp, version=rnd)
+            if self._bloom is not None and self._bloom_round == rnd - 1:
+                # incremental: OR in only last round's delta
+                delta = self.store.read_state("url_seen", rnd - 1)
+                bloom = US.update_bloom(self._bloom, delta)
+            else:
+                bloom = US.build_bloom(
+                    seen, expected_items=max(n_seen * 4, s.bloom_expected_items), fpp=s.bloom_fpp, version=rnd
+                )
 
         # J1: the core frontier anti-join (bloom pre-gate + exact backstop)
         candidates = US.new_urls(frontier_prev, seen, bloom).cache()
@@ -93,21 +104,51 @@ class CrawlEngine:
             F.xxhash64("url").alias("url_hash"), "url", F.lit(rnd).cast("int").alias("round")
         )
 
-        # deterministic crawl-order trace: per-host order is host_rank (the
-        # politeness queue order); global sequence sorts by
-        # (depth, priority, host, host_rank). The global row_number is a
-        # driver-side-sized sort over ONE round's fetch set (bounded by the
-        # politeness budget), not the frontier.
-        trace = fetched.select("crawl_depth", "priority", "host", "host_rank", "url").withColumn(
-            "seq", F.row_number().over(Window.orderBy("crawl_depth", "priority", "host", "host_rank"))
-        ).select(F.lit(rnd).cast("int").alias("round"), F.col("seq").cast("long"), "url")
+        # deterministic crawl-order trace, WITHOUT a global sort: seq =
+        # group_offset(depth, priority, host) + host_rank. The per-group
+        # counts are tiny (#depths x #priorities x #hosts rows) and the
+        # offsets join is a broadcast — the trace stays fully parallel
+        # (a global Window.orderBy would serialize the round through one
+        # partition and cap scaling).
+        ranked = fetched.select("crawl_depth", "priority", "host", "host_rank", "url")
+        grp = sorted(
+            (
+                (r["crawl_depth"], r["priority"], r["host"], r["n"], r["min_rank"])
+                for r in ranked.groupBy("crawl_depth", "priority", "host")
+                .agg(F.count("*").alias("n"), F.min("host_rank").alias("min_rank"))
+                .collect()
+            )
+        )
+        # within a (depth, priority, host) group the host_ranks are a
+        # contiguous ascending range (host_rank orders by (depth, priority,
+        # url)), so position-in-group = host_rank - min_rank.
+        offsets, acc = [], 0
+        for d_, p_, h_, n_, mr_ in grp:
+            offsets.append((d_, p_, h_, acc, mr_))
+            acc += n_
+        if offsets:
+            off_df = self.spark.createDataFrame(
+                offsets, "crawl_depth int, priority int, host string, grp_off long, min_rank int"
+            )
+            trace = (
+                ranked.join(F.broadcast(off_df), ["crawl_depth", "priority", "host"])
+                .select(
+                    F.lit(rnd).cast("int").alias("round"),
+                    (F.col("grp_off") + F.col("host_rank") - F.col("min_rank") + 1).cast("long").alias("seq"),
+                    "url",
+                )
+            )
+        else:
+            trace = self.spark.createDataFrame([], "round int, seq long, url string")
 
         # link discovery -> next frontier
         disc_detail = FR.discovered_detail_urls(docs, self.site, rnd + 1)
         disc_catalog = FR.discovered_catalog_urls(docs, self.site, rnd + 1)
+        disc = disc_detail.unionByName(disc_catalog).cache()
+        n_discovered_raw = disc.count()
         seen_after = seen.select("url").unionByName(seen_delta.select("url"))
         next_frontier = (
-            FR.merge_frontier(deferred, disc_detail, disc_catalog)
+            FR.merge_frontier(deferred, disc)
             .join(seen_after.dropDuplicates(["url"]), "url", "left_anti")
         )
 
@@ -138,22 +179,30 @@ class CrawlEngine:
                 tables[name] = self.store.write_table(name, rnd, rel)
             projects.unpersist()
 
-        n_fetched = fetched.count()
-        n_errors = errors.count()
+        n_fetched = tables["url_seen"]  # write-time metadata count
+        n_errors = tables["fetch_errors"]
         counters = {
             "round": rnd,
             "candidates": n_candidates,
             "fetched": n_fetched,
             "errors": n_errors,
-            "dedup_dropped": None,  # frontier_prev may contain already-seen rows only on resume
+            "discovered_raw": n_discovered_raw,
             "frontier_next": tables["frontier"],
-            "seen_total": n_seen + tables["url_seen"],
+            "seen_total": n_seen + tables["url_seen"],  # carried forward, no count job
             "bloom": {"m": bloom.m, "k": bloom.k, "version": bloom.version} if bloom else None,
             "virtual_cost_sec": max((r["virtual_cost_sec"] for r in lineage_rows), default=0.0),
             "done": False,
         }
         manifest = self.store.commit(rnd, tables, counters, lineage_rows)
-        for df in (fetched, docs, candidates, seen):
+        if bloom is not None:
+            self._bloom, self._bloom_round = bloom, rnd
+        elif s.use_bloom and rnd == 0:
+            # bootstrap the incremental filter from round 0's delta
+            self._bloom = US.build_bloom(
+                seen_delta, expected_items=s.bloom_expected_items, fpp=s.bloom_fpp, version=0
+            )
+            self._bloom_round = 0
+        for df in (fetched, docs, candidates, seen, disc):
             df.unpersist()
         return manifest
 

@@ -137,6 +137,9 @@ class SiteConfig:
     # exercises the quarantine path (reference throws and dies instead:
     # CrawledResourceDetailDataGraph.scala:43-46).
     error_mod: int = 0
+    # page heft multiplier (longer descriptions, more relation links) —
+    # bench tiers use >1 so page payloads approximate real GEPRIS pages
+    page_weight: int = 1
 
     @property
     def id_base(self) -> dict[str, int]:
@@ -289,7 +292,8 @@ def _project_spans(cfg: SiteConfig, rid: str) -> list[tuple[str, str, str, int]]
     # dangling person id outside the site population (Q5 trap,
     # dataquality-checks.Rmd:307-310).
     person_ids = cfg.ids("person")
-    for rel_type, variants in rng.sample(PERSON_RELATION_TYPES, rng.randint(1, 4)):
+    n_rel_types = rng.randint(1, 4) if cfg.page_weight == 1 else min(4 * cfg.page_weight, 12)
+    for rel_type, variants in rng.sample(PERSON_RELATION_TYPES, n_rel_types):
         label = rng.choice(variants)
         s.add("name", label)
         for _ in range(rng.randint(1, 3)):
@@ -318,7 +322,7 @@ def _project_spans(cfg: SiteConfig, rid: str) -> list[tuple[str, str, str, int]]
     # Projektbeschreibung tab — always the LAST field pair: the reference
     # appends it after all .name fields (GenericFieldExtractorGraph.scala:75-83).
     s.add("tab_label", "Projektbeschreibung")
-    s.add("tab_text", _sentence(rng, 24).capitalize() + ".")
+    s.add("tab_text", _sentence(rng, 24 * cfg.page_weight).capitalize() + ".")
     return s.spans
 
 

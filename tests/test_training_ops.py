@@ -1,0 +1,183 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing — with planted near-duplicates."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ba_gepris_crawler_spark.operators import dedup as D
+from ba_gepris_crawler_spark.operators import multimodal as MM
+from ba_gepris_crawler_spark.operators import similarity as S
+from ba_gepris_crawler_spark.operators import text_analysis as TA
+
+WORDS = [f"w{n:03d}" for n in range(500)]  # wide vocab: random docs are NOT near-dups
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 docs: 3 exact-dup groups, 3 near-dup pairs (1-word edit), rest random."""
+    rng = random.Random(7)
+    rows = []
+    base = {}
+    for i in range(60):
+        if i in (10, 11, 12):  # exact dups of doc 10
+            text = base.get("e") or " ".join(rng.choice(WORDS) for _ in range(40))
+            base["e"] = text
+        elif i in (20, 21):  # near dups: one token differs
+            text = base.get("n") or " ".join(rng.choice(WORDS) for _ in range(40))
+            base["n"] = text
+            if i == 21:
+                toks = text.split()
+                toks[5] = "REPLACED"
+                text = " ".join(toks)
+        else:
+            text = " ".join(rng.choice(WORDS) for _ in range(40))
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    groups = {r.keeper_id: r for r in D.exact_dedup(corpus).filter("n_copies > 1").collect()}
+    assert list(groups) == [10]
+    assert groups[10].n_copies == 3
+    assert groups[10].member_ids == [10, 11, 12]
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    toks = D.tokens(corpus)
+    sig = D.minhash_signatures(toks, unit_col="tok", num_perm=16)
+    cand = D.lsh_candidate_pairs(sig, num_perm=16, bands=4)
+    found = D.verified_near_dups(cand, toks, unit_col="tok", threshold=0.7)
+    pairs = {(r.doc_a, r.doc_b) for r in found.collect()}
+    assert (10, 11) in pairs and (10, 12) in pairs  # exact dups found via anchor
+    assert (20, 21) in pairs  # 1-token edit caught
+    for a, b in pairs:  # no false positives among random docs
+        assert {a, b} <= {10, 11, 12, 20, 21}
+
+
+def test_simhash_near_dups(corpus):
+    sim = D.simhash(corpus, bits=64)
+    vals = {r.doc_id: r.simhash for r in sim.collect()}
+    assert vals[10] == vals[11] == vals[12]
+    ham_edit = bin(vals[20] ^ vals[21]).count("1")
+    assert ham_edit <= 12  # 1-token edit stays close in simhash space
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_dups(sim, max_hamming=12).collect()}
+    assert (10, 11) in pairs and pairs[(10, 11)] == 0
+    # quarter-bucket pigeonhole guarantee only holds for distance <= 3;
+    # the edit pair must be found whenever it shares a 16-bit quarter
+    shares_quarter = any((vals[20] >> (q * 16)) & 0xFFFF == (vals[21] >> (q * 16)) & 0xFFFF for q in range(4))
+    assert ((20, 21) in pairs) == shares_quarter
+    for (a, b), h in pairs.items():
+        assert bin(vals[a] ^ vals[b]).count("1") == h  # reported distances exact
+
+
+def test_ngram_jaccard_baseline(corpus):
+    found = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()}
+    assert (10, 11) in found and (20, 21) in found
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """40 vectors in 8-dim; 35 is a near-copy of 3."""
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    rng = random.Random(3)
+    rows = []
+    vecs = {}
+    for i in range(40):
+        v = [f32(rng.uniform(-1, 1)) for _ in range(8)]
+        if i == 35:
+            v = [f32(x + 0.01) for x in vecs[3]]
+        vecs[i] = v  # float32-exact, matching what Spark reads from array<float>
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def _brute_topk(vecs, qid, k):
+    import math
+
+    q = vecs[qid]
+    nq = math.sqrt(sum(x * x for x in q))
+    scored = []
+    for i, v in vecs.items():
+        if i == qid:
+            continue
+        dot = sum(a * b for a, b in zip(q, v))
+        nv = math.sqrt(sum(x * x for x in v))
+        scored.append((dot / (nv * nq), -i))
+    scored.sort(reverse=True)
+    return [-i for _, i in scored[:k]]
+
+
+def test_cosine_topk_exact(vectors):
+    df, vecs = vectors
+    q = df.filter("vec_id in (3, 7)").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    got = S.cosine_topk(df, q, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.qid, []).append((r.rnk, r.vec_id))
+    for qid in (3, 7):
+        want = _brute_topk(vecs, qid, 5)
+        assert [v for _, v in sorted(by_q[qid])] == want, qid
+    assert by_q[3][0][1] == 35  # the planted near-copy is rank 1
+
+
+def test_ivf_recall_of_planted_neighbor(vectors):
+    df, _ = vectors
+    cents = df.filter("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    index = S.ivf_index(df, cents)
+    assert index.count() == 40
+    q = df.filter("vec_id = 3").select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    got = S.ivf_topk(index, cents, q, k=3, nprobe=4)
+    top = [r.vec_id for r in got.orderBy("rnk").collect()]
+    assert 35 in top  # near-copy recalled through the probed cells
+
+
+def test_lsh_sketch_similar_vectors_share_bits(vectors):
+    df, _ = vectors
+    sk = {r.vec_id: r.lsh_sketch for r in S.random_hyperplane_sketch(df, n_planes=16).collect()}
+    ham = bin(sk[3] ^ sk[35]).count("1")
+    assert ham <= 2  # near-copies agree on almost all hyperplane signs
+
+
+def test_text_analysis_ops(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the hat of things"), (1, "der hund und das haus"), (2, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    lang = {r.doc_id: r.predicted_lang for r in TA.language_id(df).collect()}
+    assert lang == {0: "en", 1: "de", 2: "unknown"}
+    q = {r.doc_id: r for r in TA.quality_score(df).collect()}
+    assert 0 < q[0].quality_score < 1
+    assert q[0].stopword_ratio > q[2].stopword_ratio
+    tc = {r.doc_id: r for r in TA.token_counts(df).collect()}
+    assert tc[0].n_ws_tokens == 7
+    fp = {r.doc_id: r.fingerprint for r in TA.fingerprint(df).collect()}
+    assert len(set(fp.values())) == 3  # distinct docs -> distinct fingerprints
+    fp2 = {r.doc_id: r.fingerprint for r in TA.fingerprint(df).collect()}
+    assert fp == fp2  # deterministic
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload body {i} " * (i + 1)) for i in range(9)], "doc_id long, text string"
+    )
+    media = MM.documents_as_media(docs)
+    feats = MM.extract_features(media)
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert len(rows) == 9
+    assert all(r.n_bytes > 0 and len(r.digest) == 32 for r in rows.values())
+    frames = MM.sample_frames(media, every_nth=5)
+    fr = frames.collect()
+    assert len(fr) > 0
+    assert {r.doc_id % 3 for r in fr} == {2}  # only video rows fan out
+    with pytest.raises(NotImplementedError):
+        MM.real_decode(b"x")
