@@ -1,0 +1,92 @@
+"""spark-submit entry point — the reference's scopt CLI re-expressed
+(App.scala:16-67): new-crawl / resume-crawl / dq / export.
+
+Deploy:
+  spark-submit --py-files ba_gepris_crawler_spark.zip -m ba_gepris_crawler_spark.cli new-crawl /data/crawl1
+or locally:
+  python -m ba_gepris_crawler_spark.cli new-crawl /tmp/crawl1 --hosts 4 --projects 1000
+
+Unlike the reference (stage-directory heuristics, GeprisCrawler.scala:31-38)
+resume is manifest-driven and deterministic mid-round.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig
+from ba_gepris_crawler_spark.plans import dq
+from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+from ba_gepris_crawler_spark.plans.round_loop import (
+    CrawlEngine,
+    CrawlSettings,
+    official_subject_areas,
+    published_tables,
+)
+from ba_gepris_crawler_spark.session import get_spark
+from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+
+def _site(args: argparse.Namespace) -> SiteConfig:
+    return SiteConfig(
+        hosts=tuple(f"h{i:02d}.gepris.example.org" for i in range(args.hosts)),
+        n_projects=args.projects,
+        n_persons=int(args.projects * 0.4),
+        n_institutions=max(int(args.projects * 0.1), 1),
+        hits_per_page=50,
+        seed=args.seed,
+    )
+
+
+def _settings(args: argparse.Namespace) -> CrawlSettings:
+    return CrawlSettings(
+        n_buckets=args.buckets,
+        politeness=PolitenessConfig(
+            per_host_rate=args.rate, round_seconds=1.0, max_in_flight=args.in_flight
+        ),
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ba-gepris-crawler-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("new-crawl", "resume-crawl"):
+        c = sub.add_parser(name)
+        c.add_argument("root", help="snapshot-store root folder")
+        c.add_argument("--hosts", type=int, default=4)
+        c.add_argument("--projects", type=int, default=200)
+        c.add_argument("--rate", type=float, default=1000)
+        c.add_argument("--in-flight", dest="in_flight", type=int, default=10)
+        c.add_argument("--buckets", type=int, default=32)
+        c.add_argument("--seed", type=int, default=42)
+        c.add_argument("--max-rounds", type=int, default=30)
+    d = sub.add_parser("dq")
+    d.add_argument("root")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name=f"gepris-{args.cmd}")
+    store = SnapshotStore(spark, args.root)
+
+    if args.cmd in ("new-crawl", "resume-crawl"):
+        engine = CrawlEngine(spark, _site(args), store, _settings(args))
+        if args.cmd == "new-crawl":
+            manifests = engine.run(max_rounds=args.max_rounds)
+        else:
+            manifests = engine.resume(max_rounds=args.max_rounds)
+        for m in manifests:
+            print(json.dumps(m["counters"]))
+        return 0
+
+    tables = published_tables(store)
+    results = dq.run_all(spark, tables, official_subject_areas(spark))
+    for name, df in results.items():
+        print(f"== {name}")
+        for row in df.limit(20).collect():
+            print("  ", row.asDict())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -94,57 +94,72 @@ class CrawlEngine:
         fetched = fetch_pages(fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets).cache()
 
         docs = to_documents(fetched, rnd).cache()
-        errors = fetched.filter(F.col("status") != 200).select(
-            "url", "host", "resource_type", "resource_id", "status", F.lit(rnd).cast("int").alias("round")
-        )
 
-        # seen delta: everything we attempted this round (errors included —
-        # deterministic no-retry policy, quarantined in fetch_errors)
-        seen_delta = fetched.select(
-            F.xxhash64("url").alias("url_hash"), "url", F.lit(rnd).cast("int").alias("round")
-        )
-
-        # deterministic crawl-order trace, WITHOUT a global sort: seq =
-        # group_offset(depth, priority, host) + host_rank. The per-group
-        # counts are tiny (#depths x #priorities x #hosts rows) and the
-        # offsets join is a broadcast — the trace stays fully parallel
-        # (a global Window.orderBy would serialize the round through one
-        # partition and cap scaling).
-        ranked = fetched.select("crawl_depth", "priority", "host", "host_rank", "url")
-        grp = sorted(
-            (
-                (r["crawl_depth"], r["priority"], r["host"], r["n"], r["min_rank"])
-                for r in ranked.groupBy("crawl_depth", "priority", "host")
-                .agg(F.count("*").alias("n"), F.min("host_rank").alias("min_rank"))
-                .collect()
+        # ONE stats pass feeds both the per-partition lineage and the trace
+        # offsets (fused to avoid extra jobs on small data).
+        stats = (
+            fetched.groupBy("crawl_depth", "priority", "host", "host_bucket")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("host_rank").alias("min_rank"),
+                F.max("virtual_cost_sec").alias("cost"),
+                F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("errs"),
             )
+            .collect()
         )
-        # within a (depth, priority, host) group the host_ranks are a
-        # contiguous ascending range (host_rank orders by (depth, priority,
-        # url)), so position-in-group = host_rank - min_rank.
+        lineage_acc: dict[int, dict] = {}
+        for r in stats:
+            a = lineage_acc.setdefault(r["host_bucket"], {"host_bucket": r["host_bucket"], "fetched": 0, "virtual_cost_sec": 0.0})
+            a["fetched"] += r["n"]
+            a["virtual_cost_sec"] = max(a["virtual_cost_sec"], r["cost"])
+        lineage_rows = sorted(lineage_acc.values(), key=lambda d: d["host_bucket"])
+
+        # deterministic crawl-order trace WITHOUT a global sort: seq =
+        # group_offset(depth, priority, host) + position-in-group, where the
+        # position is host_rank - min_rank (host_ranks are contiguous within
+        # a group because they order by (depth, priority, url)). The offsets
+        # table is tiny and broadcast — a global Window.orderBy here would
+        # serialize the round through one partition and cap scaling.
+        grp: dict[tuple, list] = {}
+        for r in stats:
+            key = (r["crawl_depth"], r["priority"], r["host"])
+            cur = grp.get(key)
+            if cur is None:
+                grp[key] = [r["n"], r["min_rank"]]
+            else:
+                cur[0] += r["n"]
+                cur[1] = min(cur[1], r["min_rank"])
         offsets, acc = [], 0
-        for d_, p_, h_, n_, mr_ in grp:
+        for (d_, p_, h_), (n_, mr_) in sorted(grp.items()):
             offsets.append((d_, p_, h_, acc, mr_))
             acc += n_
+
+        # the consolidated crawl log: seen-set + deterministic trace +
+        # fetch status (errors quarantined by status != 200) in ONE table.
         if offsets:
             off_df = self.spark.createDataFrame(
                 offsets, "crawl_depth int, priority int, host string, grp_off long, min_rank int"
             )
-            trace = (
-                ranked.join(F.broadcast(off_df), ["crawl_depth", "priority", "host"])
+            crawl_log = (
+                fetched.join(F.broadcast(off_df), ["crawl_depth", "priority", "host"])
                 .select(
+                    F.xxhash64("url").alias("url_hash"),
+                    "url",
                     F.lit(rnd).cast("int").alias("round"),
                     (F.col("grp_off") + F.col("host_rank") - F.col("min_rank") + 1).cast("long").alias("seq"),
-                    "url",
+                    "status",
+                    "host",
                 )
             )
         else:
-            trace = self.spark.createDataFrame([], "round int, seq long, url string")
+            crawl_log = self.spark.createDataFrame([], "url_hash long, url string, round int, seq long, status int, host string")
+        seen_delta = crawl_log  # url column is what downstream joins use
 
-        # link discovery -> next frontier
+        # link discovery -> next frontier (narrow recompute over cached docs
+        # is cheaper than materializing the discovery set)
         disc_detail = FR.discovered_detail_urls(docs, self.site, rnd + 1)
         disc_catalog = FR.discovered_catalog_urls(docs, self.site, rnd + 1)
-        disc = disc_detail.unionByName(disc_catalog).cache()
+        disc = disc_detail.unionByName(disc_catalog)
         n_discovered_raw = disc.count()
         seen_after = seen.select("url").unionByName(seen_delta.select("url"))
         next_frontier = (
@@ -152,19 +167,9 @@ class CrawlEngine:
             .join(seen_after.dropDuplicates(["url"]), "url", "left_anti")
         )
 
-        # per-partition lineage: fetch counters per salted host_bucket
-        lineage_rows = [
-            {"host_bucket": r["host_bucket"], "fetched": r["n"], "virtual_cost_sec": r["cost"]}
-            for r in fetched.groupBy("host_bucket")
-            .agg(F.count("*").alias("n"), F.max("virtual_cost_sec").alias("cost"))
-            .collect()
-        ]
-
         tables = {
             "url_seen": self.store.write_table("url_seen", rnd, seen_delta),
             "documents": self.store.write_table("documents", rnd, docs),
-            "fetch_errors": self.store.write_table("fetch_errors", rnd, errors),
-            "trace": self.store.write_table("trace", rnd, trace),
             "frontier": self.store.write_table("frontier", rnd, next_frontier),
         }
 
@@ -180,7 +185,7 @@ class CrawlEngine:
             projects.unpersist()
 
         n_fetched = tables["url_seen"]  # write-time metadata count
-        n_errors = tables["fetch_errors"]
+        n_errors = int(sum(r["errs"] for r in stats))
         counters = {
             "round": rnd,
             "candidates": n_candidates,
@@ -239,7 +244,7 @@ def published_tables(store: SnapshotStore) -> dict[str, DataFrame]:
     if upto is None:
         return {}
     names = [
-        "documents", "url_seen", "trace", "fetch_errors", "eav",
+        "documents", "url_seen", "eav",
         "projects", "persons", "institutions",
         "project_ids_to_subject_areas", "project_ids_to_participating_subject_areas",
         "projects_international_connections", "project_person_relations",
@@ -251,4 +256,10 @@ def published_tables(store: SnapshotStore) -> dict[str, DataFrame]:
         if df is not None:
             out[n] = df
     out["frontier"] = store.read_state("frontier", upto)
+    if "url_seen" in out:
+        # derived views of the consolidated crawl log
+        out["trace"] = out["url_seen"].select("round", "seq", "url")
+        out["fetch_errors"] = out["url_seen"].filter(F.col("status") != 200).select(
+            "url", "host", "status", "round"
+        )
     return out

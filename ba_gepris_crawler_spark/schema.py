@@ -66,19 +66,16 @@ FRONTIER_SCHEMA = T.StructType(
     ]
 )
 
+# The consolidated per-round crawl log: exact URL-seen set + deterministic
+# fetch-order trace (round, seq) + status (non-200 = quarantined error).
 URL_SEEN_SCHEMA = T.StructType(
     [
         T.StructField("url_hash", T.LongType(), False),
         T.StructField("url", T.StringType(), False),
         T.StructField("round", T.IntegerType(), False),
-    ]
-)
-
-TRACE_SCHEMA = T.StructType(
-    [
-        T.StructField("round", T.IntegerType(), False),
         T.StructField("seq", T.LongType(), False),
-        T.StructField("url", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("host", T.StringType(), False),
     ]
 )
 

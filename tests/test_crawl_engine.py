@@ -66,14 +66,15 @@ def test_url_seen_set_matches_golden_exactly(spark, run):
 
 def test_crawl_trace_matches_golden(spark, run):
     store, _, golden = run
-    trace = store.read_union("trace", store.latest_round())
+    trace = store.read_union("url_seen", store.latest_round()).select("round", "seq", "url")
     got = sorted((r.round, r.seq, r.url) for r in trace.collect())
     assert got == sorted(golden.trace)
 
 
 def test_errors_quarantined_not_fatal(spark, run, crawl_cfg):
     store, _, golden = run
-    errs = store.read_union("fetch_errors", store.latest_round())
+    log = store.read_union("url_seen", store.latest_round())
+    errs = log.filter(F.col("status") != 200)
     got = {(r.url, r.status) for r in errs.collect()}
     want = {(u, st) for (u, st, _r) in golden.errors}
     assert got == want
@@ -100,7 +101,6 @@ def test_politeness_budget_never_exceeded(spark, run):
         per_host = (
             store.read_union("url_seen", store.latest_round())
             .filter(F.col("round") == rnd)
-            .withColumn("host", F.regexp_extract("url", "^https://([^/]*)/", 1))
             .groupBy("host")
             .count()
             .collect()
@@ -125,10 +125,9 @@ def test_resume_is_deterministic(spark, crawl_cfg, tmp_path_factory, run):
     engine_b2.resume(max_rounds=30)
 
     store_a, _, _ = run
-    for name in ("url_seen", "trace", "fetch_errors"):
-        a = {tuple(r) for r in store_a.read_union(name, store_a.latest_round()).collect()}
-        b = {tuple(r) for r in store_b.read_union(name, store_b.latest_round()).collect()}
-        assert a == b, name
+    a = {tuple(r) for r in store_a.read_union("url_seen", store_a.latest_round()).collect()}
+    b = {tuple(r) for r in store_b.read_union("url_seen", store_b.latest_round()).collect()}
+    assert a == b  # full crawl log: seen set + trace + statuses
 
 
 def test_published_tables_nonempty(spark, crawl_cfg, tmp_path_factory):
