@@ -1128,3 +1128,284 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") % 9) * 40 + 240).cast("bigint").alias("fake_height"),
         (F.col("n_chars") % 30 + 1).cast("bigint").alias("fake_n_frames"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# round-2 additions: the remaining SURVEY.md §2 query shapes
+# --------------------------------------------------------------------------
+
+@_q(
+    "dq_taxonomy_consistency",
+    """
+    WITH sa AS (SELECT 'sa' || CAST(doc_id % 40 AS VARCHAR) AS subject_area FROM documents),
+    official AS (SELECT 'sa' || CAST(unnest(generate_series(0, 19)) AS VARCHAR) AS subject_area)
+    SELECT CAST((SELECT count(*) FROM sa) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_unmatched,
+           round(CAST(1.0 - count(*) * 1.0 / (SELECT count(*) FROM sa) AS DOUBLE), 6) AS dq_value
+    FROM sa WHERE subject_area NOT IN (SELECT subject_area FROM official)
+    """,
+)
+def dq_taxonomy_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4/J2: project subject areas anti-joined against the official taxonomy
+    (broadcast — 213 rows in the reference, README.md:134; Scala twin
+    ProjectSubjectAreasHaveMatchesInOfficialSubjectAreaSet.scala:22-47,
+    R twin dataquality-checks.Rmd:236-255). The official set is broadcast;
+    the anti-join is the O(n·m) reference loop done hash-side."""
+    sa = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("sa"), (F.col("doc_id") % 40).cast("string")).alias("subject_area")
+    )
+    official = spark.createDataFrame([(f"sa{i}",) for i in range(20)], "subject_area string")
+    n_total = sa.count()
+    unmatched = sa.join(F.broadcast(official), "subject_area", "left_anti")
+    return unmatched.agg(
+        F.lit(n_total).cast("bigint").alias("n_total"),
+        F.count("*").alias("n_unmatched"),
+        F.round(1.0 - F.count("*") / F.lit(float(n_total)), 6).alias("dq_value"),
+    )
+
+
+@_q(
+    "dq_source_evidence_coverage",
+    """
+    SELECT CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_ids,
+           CAST(count(*) AS BIGINT) AS n_without_evidence,
+           round(CAST(1.0 - count(*) * 1.0 / (SELECT count(*) FROM customer) AS DOUBLE), 6) AS coverage
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def dq_source_evidence_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: id list anti-joined against the evidence table (reference checks
+    file-existence per id, dataquality-checks.Rmd:194-223; in Spark the
+    evidence is a table, so existence = left_anti)."""
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    n_ids = c.count()
+    missing = c.join(ev, "c_custkey", "left_anti")
+    return missing.agg(
+        F.lit(n_ids).cast("bigint").alias("n_ids"),
+        F.count("*").alias("n_without_evidence"),
+        F.round(1.0 - F.count("*") / F.lit(float(n_ids)), 6).alias("coverage"),
+    )
+
+
+@_q(
+    "dq_sample_audit",
+    """
+    WITH agg AS (SELECT o_custkey, count(*) AS n_orders,
+                        round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_spent
+                 FROM orders GROUP BY o_custkey)
+    SELECT c_custkey, c_name, n_name, r_name,
+           CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(total_spent, 0.0) AS DOUBLE) AS total_spent
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    LEFT JOIN agg ON c_custkey = o_custkey
+    WHERE c_custkey IN (1, 7, 42, 99, 123)
+    ORDER BY c_custkey
+    """,
+)
+def dq_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7/J4: pinned-sample audit via a chained left-join denormalization
+    (dataquality-checks.Rmd:401-412: filter isin -> 5-way left-join -> sort).
+    Dims broadcast; the fact-side agg happens before the join."""
+    sample = [1, 7, 42, 99, 123]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey").isin(sample))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("n_regionkey"), "r_name")
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isin(sample))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+    )
+    return (
+        c.join(F.broadcast(n), "c_nationkey", "left")
+        .join(F.broadcast(r), "n_regionkey", "left")
+        .join(agg, "c_custkey", "left")
+        .select(
+            "c_custkey", "c_name", "n_name", "r_name",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce(F.col("total_spent"), F.lit(0.0)).cast("double").alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "rel_dictionary_encode",
+    """
+    WITH dict AS (SELECT p_brand, row_number() OVER (ORDER BY p_brand) AS brand_id
+                  FROM (SELECT DISTINCT p_brand FROM part))
+    SELECT CAST(brand_id AS BIGINT) AS brand_id, p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM part JOIN dict USING (p_brand)
+    GROUP BY brand_id, p_brand ORDER BY brand_id
+    """,
+)
+def dq_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: distinct names -> deterministic surrogate ids (reference uses a
+    driver-side autoincrement, SqliteAccess.scala:111-130; here a
+    row_number over the sorted distinct set — same contract, distributed)."""
+    p = _t(spark, sf_dir, "part")
+    dict_df = (
+        p.select("p_brand").distinct()
+        .withColumn("brand_id", F.row_number().over(Window.orderBy("p_brand")).cast("bigint"))
+    )
+    return (
+        p.join(F.broadcast(dict_df), "p_brand")
+        .groupBy("brand_id", "p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("brand_id")
+    )
+
+
+@_q(
+    "crawl_span_adjacency",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ')[1:40] AS ts FROM documents),
+    s AS (SELECT doc_id, unnest(ts) AS tok,
+                 unnest(range(1, len(ts) + 1)) AS span_off
+          FROM toks),
+    p AS (SELECT doc_id, span_off, tok,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY span_off) AS nxt
+          FROM s)
+    SELECT doc_id, CAST(span_off AS BIGINT) AS span_off,
+           tok AS field_name, nxt AS field_value
+    FROM p WHERE span_off % 2 = 1 AND nxt IS NOT NULL
+    ORDER BY doc_id, span_off
+    """,
+)
+def crawl_span_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+F4: ordered span sequence per document, label/value pairing by
+    adjacency (GenericFieldExtractorGraph.scala:73-83: every `.name` span's
+    value is the next sibling span). posexplode preserves array order; the
+    pairing is a lead() window keyed on the span offset."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split("text", " "), 1, 40).alias("ts")
+    )
+    s = d.select("doc_id", F.posexplode("ts").alias("pos", "tok")).select(
+        "doc_id", (F.col("pos") + 1).cast("bigint").alias("span_off"), "tok"
+    )
+    w = Window.partitionBy("doc_id").orderBy("span_off")
+    p = s.withColumn("nxt", F.lead("tok").over(w))
+    return (
+        p.filter((F.col("span_off") % 2 == 1) & F.col("nxt").isNotNull())
+        .select("doc_id", "span_off", F.col("tok").alias("field_name"), F.col("nxt").alias("field_value"))
+        .orderBy("doc_id", "span_off")
+    )
+
+
+@_q(
+    "crawl_address_assembly",
+    """
+    WITH a AS (SELECT c_custkey,
+        c_name || '<br> Street ' || CAST(c_custkey AS VARCHAR) || ' <br>City ' ||
+        CAST(c_custkey % 50 AS VARCHAR) AS addr_html FROM customer),
+    sp AS (SELECT c_custkey, string_split(addr_html, '<br>') AS parts FROM a)
+    SELECT c_custkey, trim(parts[1]) AS institution_name,
+           array_to_string(list_transform(parts[2:], x -> trim(x)), chr(10)) AS address
+    FROM sp ORDER BY c_custkey
+    """,
+)
+def crawl_address_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: Address field split on <br>; head = institution name, the rest
+    re-joined with newlines (PersonExtractorGraph.scala:17-27)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit("<br> Street "), F.col("c_custkey").cast("string"),
+            F.lit(" <br>City "), (F.col("c_custkey") % 50).cast("string"),
+        ).alias("addr_html"),
+    )
+    parts = F.split("addr_html", "<br>")
+    return c.select(
+        "c_custkey",
+        F.trim(F.element_at(parts, 1)).alias("institution_name"),
+        F.expr(
+            "array_join(transform(slice(split(addr_html, '<br>'), 2, size(split(addr_html, '<br>')) - 1),"
+            " x -> trim(x)), '\\n')"
+        ).alias("address"),
+    ).orderBy("c_custkey")
+
+
+@_q(
+    "crawl_parent_hierarchy",
+    """
+    SELECT c.doc_id, CAST(c.doc_id // 10 AS BIGINT) AS parent_id,
+           p.source AS parent_source
+    FROM documents c JOIN documents p ON p.doc_id = c.doc_id // 10
+    ORDER BY c.doc_id
+    """,
+)
+def crawl_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: parent_project_id self-join (extracted at
+    ProjectExtractorGraph.scala:41-43; column DTOs.scala:46)."""
+    d = _t(spark, sf_dir, "documents")
+    child = d.select("doc_id", F.floor(F.col("doc_id") / 10).cast("bigint").alias("parent_id"))
+    parent = d.select(F.col("doc_id").alias("parent_id"), F.col("source").alias("parent_source"))
+    return child.join(parent, "parent_id").select("doc_id", "parent_id", "parent_source").orderBy("doc_id")
+
+
+@_q(
+    "tpch_rollup_revenue",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region, nation
+    """,
+)
+def tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region -> nation -> grand total) via grouping
+    sets — partial aggregation map-side, dims broadcast."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("n_regionkey"), "r_name")
+    j = (
+        o.join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .join(F.broadcast(r), "n_regionkey")
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "revenue", "n_orders",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@_q(
+    "text_bigram_topk",
+    """
+    WITH toks AS (SELECT string_split(lower(text), ' ') AS ts FROM documents
+                  WHERE len(string_split(lower(text), ' ')) >= 2),
+    bg AS (SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+           FROM toks)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram top-k (training-pipeline n-gram stats): tokenized
+    JVM-side, partial-aggregated map-side, deterministic tie-break."""
+    d = _t(spark, sf_dir, "documents").select(F.split(F.lower("text"), " ").alias("ts"))
+    d = d.filter(F.size("ts") >= 2)
+    bigrams = F.expr("transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
