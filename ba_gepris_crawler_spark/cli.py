@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from dataclasses import asdict
 
 from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig
 from ba_gepris_crawler_spark.plans import dq
@@ -70,7 +71,32 @@ def main(argv: list[str] | None = None) -> int:
     store = SnapshotStore(spark, args.root)
 
     if args.cmd in ("new-crawl", "resume-crawl"):
-        engine = CrawlEngine(spark, _site(args), store, _settings(args))
+        site, settings = _site(args), _settings(args)
+        if args.cmd == "new-crawl":
+            store.save_config(
+                {
+                    "site": {**asdict(site), "hosts": list(site.hosts)},
+                    "politeness": asdict(settings.politeness),
+                    "n_buckets": settings.n_buckets,
+                }
+            )
+        else:
+            # A crawl folder is self-describing: resume MUST replay the same
+            # site + politeness config or every frontier URL turns 404 and
+            # poisons the seen set. CLI flags are ignored on resume.
+            cfg = store.load_config()
+            if cfg is not None:
+                sc = dict(cfg["site"])
+                sc["hosts"] = tuple(sc["hosts"])
+                sc["disallow"] = tuple(tuple(x) for x in sc.get("disallow", ()))
+                site = SiteConfig(**{k: v for k, v in sc.items() if k in SiteConfig.__dataclass_fields__})
+                pol = dict(cfg["politeness"])
+                pol["disallow"] = tuple(tuple(x) for x in pol.get("disallow", ()))
+                settings = CrawlSettings(
+                    n_buckets=cfg.get("n_buckets", settings.n_buckets),
+                    politeness=PolitenessConfig(**pol),
+                )
+        engine = CrawlEngine(spark, site, store, settings)
         if args.cmd == "new-crawl":
             manifests = engine.run(max_rounds=args.max_rounds)
         else:

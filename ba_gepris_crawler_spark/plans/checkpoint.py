@@ -32,7 +32,8 @@ import re
 import time
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotStore:
@@ -57,8 +58,11 @@ class SnapshotStore:
         """Write one table of round `rnd`; returns row count. Not visible
         until commit()."""
         path = str(self.table_path(name, rnd))
-        df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path).count()
+        # Row count is observed DURING the write action (CollectMetrics node)
+        # instead of re-reading the written files — one job per table, not two.
+        obs = Observation(f"write-{name}-{rnd}")
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(path)
+        return int(obs.get["n"])
 
     def commit(self, rnd: int, tables: dict[str, int], counters: dict, lineage: list[dict] | None = None) -> dict:
         manifest = {
@@ -72,6 +76,17 @@ class SnapshotStore:
         tmp.write_text(json.dumps(manifest, indent=2))
         os.replace(tmp, self.manifest_path(rnd))  # atomic commit point
         return manifest
+
+    # -- crawl config (persisted once at new-crawl; resume must reuse it:
+    #    a crawl folder is self-describing, like the reference's crawl dirs) --
+    def save_config(self, cfg: dict) -> None:
+        tmp = (self.root / "config.json").with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(cfg, indent=2))
+        os.replace(tmp, self.root / "config.json")
+
+    def load_config(self) -> dict | None:
+        p = self.root / "config.json"
+        return json.loads(p.read_text()) if p.exists() else None
 
     # -- read ----------------------------------------------------------
     def committed_rounds(self) -> list[int]:

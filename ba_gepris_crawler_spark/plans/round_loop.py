@@ -17,9 +17,11 @@ so a failed page never blocks the crawl.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ba_gepris_crawler_spark.functions import extraction as X
@@ -66,6 +68,17 @@ class CrawlEngine:
     # ---------------- one round ----------------
     def run_round(self, rnd: int) -> dict:
         s = self.s
+        timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+        phases: dict[str, float] = {}
+        _t = time.time()
+
+        def _mark(name: str) -> None:
+            nonlocal _t
+            if timing:
+                now = time.time()
+                phases[name] = round(now - _t, 3)
+                _t = now
+
         frontier_prev, seen = self._prev_state(rnd)
         seen = seen.cache()
         # seen_total is carried through manifests (no per-round count job)
@@ -82,19 +95,33 @@ class CrawlEngine:
                     seen, expected_items=max(n_seen * 4, s.bloom_expected_items), fpp=s.bloom_fpp, version=rnd
                 )
 
+        _mark('state_bloom')
         # J1: the core frontier anti-join (bloom pre-gate + exact backstop)
         candidates = US.new_urls(frontier_prev, seen, bloom).cache()
-        n_candidates = candidates.count()
+        # The frontier written at round k-1 was already anti-joined against
+        # the full seen set, and new_urls is exact (bloom only pre-gates), so
+        # |candidates| == the frontier_next count carried in the manifest —
+        # no count job needed except at round 0 / legacy manifests.
+        n_candidates = None if rnd == 0 else self.store.manifest(rnd - 1)["counters"].get("frontier_next")
+        if n_candidates is None:
+            n_candidates = candidates.count()
         if n_candidates == 0:
             tables = {"frontier": self.store.write_table("frontier", rnd, candidates)}
             return self.store.commit(rnd, tables, {"fetched": 0, "errors": 0, "done": True,
                                                    "seen_total": n_seen, "candidates": 0})
 
+        _mark('candidates_count')
         fetch_now, deferred = schedule_round(candidates, s.politeness, s.n_buckets)
         fetched = fetch_pages(fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets).cache()
 
-        docs = to_documents(fetched, rnd).cache()
+        # docs is a narrow projection of the cached fetch result; caching it
+        # too would build a SECOND columnar copy of every span payload. Only
+        # worth it when extraction re-reads docs many times.
+        docs = to_documents(fetched, rnd)
+        if s.extract:
+            docs = docs.cache()
 
+        _mark('schedule')
         # ONE stats pass feeds both the per-partition lineage and the trace
         # offsets (fused to avoid extra jobs on small data).
         stats = (
@@ -107,6 +134,7 @@ class CrawlEngine:
             )
             .collect()
         )
+        _mark('fetch_stats_collect')
         lineage_acc: dict[int, dict] = {}
         for r in stats:
             a = lineage_acc.setdefault(r["host_bucket"], {"host_bucket": r["host_bucket"], "fetched": 0, "virtual_cost_sec": 0.0})
@@ -155,24 +183,32 @@ class CrawlEngine:
             crawl_log = self.spark.createDataFrame([], "url_hash long, url string, round int, seq long, status int, host string")
         seen_delta = crawl_log  # url column is what downstream joins use
 
+        _mark('crawl_log_build')
         # link discovery -> next frontier (narrow recompute over cached docs
-        # is cheaper than materializing the discovery set)
+        # is cheaper than materializing the discovery set); the raw discovery
+        # count is observed during the frontier write, not a separate job.
         disc_detail = FR.discovered_detail_urls(docs, self.site, rnd + 1)
         disc_catalog = FR.discovered_catalog_urls(docs, self.site, rnd + 1)
-        disc = disc_detail.unionByName(disc_catalog)
-        n_discovered_raw = disc.count()
+        disc_obs = Observation(f"disc-{rnd}")
+        disc = disc_detail.unionByName(disc_catalog).observe(disc_obs, F.count(F.lit(1)).alias("n"))
         seen_after = seen.select("url").unionByName(seen_delta.select("url"))
         next_frontier = (
             FR.merge_frontier(deferred, disc)
             .join(seen_after.dropDuplicates(["url"]), "url", "left_anti")
         )
 
+        _mark('discover_counts')
         tables = {
             "url_seen": self.store.write_table("url_seen", rnd, seen_delta),
             "documents": self.store.write_table("documents", rnd, docs),
             "frontier": self.store.write_table("frontier", rnd, next_frontier),
         }
 
+        # the frontier write above executed the discovery sub-plan; the
+        # observed metric is available now without its own job
+        n_discovered_raw = int(disc_obs.get["n"])
+
+        _mark('writes')
         if s.extract:
             details = X.with_fields(docs.filter(F.col("resource_id").isNotNull()))
             projects = X.projects(details).cache()
@@ -184,6 +220,7 @@ class CrawlEngine:
                 tables[name] = self.store.write_table(name, rnd, rel)
             projects.unpersist()
 
+        _mark('extract')
         n_fetched = tables["url_seen"]  # write-time metadata count
         n_errors = int(sum(r["errs"] for r in stats))
         counters = {
@@ -198,6 +235,8 @@ class CrawlEngine:
             "virtual_cost_sec": max((r["virtual_cost_sec"] for r in lineage_rows), default=0.0),
             "done": False,
         }
+        if timing:
+            counters["phase_secs"] = phases
         manifest = self.store.commit(rnd, tables, counters, lineage_rows)
         if bloom is not None:
             self._bloom, self._bloom_round = bloom, rnd
@@ -207,7 +246,7 @@ class CrawlEngine:
                 seen_delta, expected_items=s.bloom_expected_items, fpp=s.bloom_fpp, version=0
             )
             self._bloom_round = 0
-        for df in (fetched, docs, candidates, seen, disc):
+        for df in (fetched, docs, candidates, seen):
             df.unpersist()
         return manifest
 
