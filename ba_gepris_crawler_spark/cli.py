@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--max-rounds", type=int, default=30)
     d = sub.add_parser("dq")
     d.add_argument("root")
+    e = sub.add_parser("export")
+    e.add_argument("root")
+    e.add_argument("--out", default=None, help="output dir (default <root>/final)")
+    e.add_argument("--format", dest="fmt", choices=["parquet", "csv"], default="parquet")
     args = p.parse_args(argv)
 
     spark = get_spark(app_name=f"gepris-{args.cmd}")
@@ -103,6 +107,14 @@ def main(argv: list[str] | None = None) -> int:
             manifests = engine.resume(max_rounds=args.max_rounds)
         for m in manifests:
             print(json.dumps(m["counters"]))
+        return 0
+
+    if args.cmd == "export":
+        from ba_gepris_crawler_spark.plans.export import export_tables
+
+        out_dir = args.out or f"{args.root}/final"
+        counts = export_tables(published_tables(store), out_dir, fmt=args.fmt)
+        print(json.dumps({"out": out_dir, "format": args.fmt, "tables": counts}))
         return 0
 
     tables = published_tables(store)

@@ -73,12 +73,17 @@ def fetch_pages(
     return scheduled.repartition(n_buckets, "host_bucket").mapInPandas(do_fetch, schema=out_schema)
 
 
-def to_documents(fetched: DataFrame, round_no: int) -> DataFrame:
-    """Successful fetches -> crawled-documents rows (doc_id = type/id or
-    catalog/<host>/<index>)."""
-    return (
-        fetched.filter(F.col("status") == 200)
-        .withColumn(
+def to_documents(fetched: DataFrame, round_no: int, keep_errors: bool = False) -> DataFrame:
+    """Fetches -> crawled-documents rows (doc_id = type/id or
+    catalog/<host>/<index>). With keep_errors=True, non-200 rows are kept
+    (empty spans) plus the politeness lineage columns (priority, host_bucket,
+    host_rank, virtual_cost_sec) — the write-once layout: the round writes
+    this table straight off the fetch stage and every later pass (stats,
+    crawl log, discovery, extraction) re-reads it with column pruning
+    instead of holding a second in-memory columnar copy of all spans."""
+    base = fetched if keep_errors else fetched.filter(F.col("status") == 200)
+    out = (
+        base.withColumn(
             "doc_id",
             F.when(
                 F.col("resource_id").isNotNull(),
@@ -95,7 +100,8 @@ def to_documents(fetched: DataFrame, round_no: int) -> DataFrame:
             ),
         )
         .withColumn("round", F.lit(round_no).cast("int"))
-        .select(
-            "doc_id", "url", "host", "resource_type", "resource_id", "crawl_depth", "round", "status", "spans"
-        )
     )
+    cols = ["doc_id", "url", "host", "resource_type", "resource_id", "crawl_depth", "round", "status", "spans"]
+    if keep_errors:
+        cols += ["priority", "host_bucket", "host_rank", "virtual_cost_sec"]
+    return out.select(*cols)

@@ -114,6 +114,65 @@ def discovered_catalog_urls(docs: DataFrame, cfg: SiteConfig, next_round: int) -
     return out
 
 
+def discovered_urls(docs: DataFrame, cfg: SiteConfig, next_round: int) -> DataFrame:
+    """Single-pass link + catalog-pagination discovery.
+
+    One scan of the documents parquet, one explode: each doc projects a
+    combined array of frontier-candidate structs — its /gepris/<type>/<id>
+    links (detail discovery) plus, for catalog pages, the ceil-div page
+    window expansion of the parsed result total (W5+F9). The two-branch
+    union formulation (discovered_detail_urls ∪ discovered_catalog_urls)
+    decodes the span column twice; at 100 TB the spans decode IS the cost
+    of this stage, so halving scans halves the stage."""
+    hosts_arr = "array(" + ",".join(f"'{h}'" for h in cfg.hosts) + ")"
+    nh = len(cfg.hosts)
+    hits = cfg.hits_per_page
+    link_structs = f"""
+      transform(
+        filter(transform(
+          filter(spans, s -> s.kind = 'link'),
+          s -> named_struct(
+            'urltype', regexp_extract(s.media_ref, '^/gepris/(projekt|person|institution)/(\\\\d+)$', 1),
+            'rid',     regexp_extract(s.media_ref, '^/gepris/(projekt|person|institution)/(\\\\d+)$', 2))),
+          x -> x.rid != ''),
+        x -> named_struct(
+          'url', concat('https://', element_at({hosts_arr}, cast(cast(x.rid as long) % {nh} as int) + 1),
+                        '/gepris/', x.urltype, '/', x.rid, '?language=en'),
+          'host', element_at({hosts_arr}, cast(cast(x.rid as long) % {nh} as int) + 1),
+          'resource_type', element_at({_TYPE_FROM_URL_SQL}, x.urltype),
+          'resource_id', x.rid,
+          'crawl_depth', cast(crawl_depth + 1 as int)))
+    """
+    total_expr = (
+        "try_cast(replace(regexp_extract("
+        "  coalesce(get(filter(spans, s -> s.kind = 'text'), 0).text, ''),"
+        "  'out of ([\\\\d,]*) on', 1), ',', '') AS int)"
+    )
+    urltype_expr = "element_at(map('project','projekt','person','person','institution','institution'), resource_type)"
+    catalog_structs = f"""
+      CASE WHEN resource_id IS NULL AND coalesce({total_expr}, 0) > 0 THEN
+        transform(sequence(0, cast(ceil(({total_expr}) / {hits}.0) as int) - 1),
+          p -> named_struct(
+            'url', concat('https://', host, '/gepris/OCTOPUS?context=', {urltype_expr},
+                          '&hitsPerPage={hits}&index=', cast(p * {hits} as string),
+                          '&task=doSearchExtended&resourceTypeQuery=', {urltype_expr}, '&language=en'),
+            'host', host,
+            'resource_type', resource_type,
+            'resource_id', cast(NULL as string),
+            'crawl_depth', cast(crawl_depth as int)))
+      ELSE array() END
+    """
+    cand = docs.select(
+        F.explode(F.expr(f"concat({link_structs}, {catalog_structs})")).alias("c")
+    ).select("c.url", "c.host", "c.resource_type", "c.resource_id", "c.crawl_depth")
+    return _with_priority(cand).select(
+        "url", "host", "resource_type", "resource_id",
+        F.col("crawl_depth").cast("int"),
+        F.col("priority").cast("int"),
+        F.lit(next_round).cast("int").alias("discovered_round"),
+    )
+
+
 def merge_frontier(*parts: DataFrame) -> DataFrame:
     """Union frontier candidates keeping, per url, the minimum
     (crawl_depth, priority, discovered_round) — a deterministic groupBy,

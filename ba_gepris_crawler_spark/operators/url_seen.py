@@ -86,27 +86,41 @@ def build_bloom(
 
     hashed = _hash_cols(seen, url_col).select("_h1", "_h2")
 
-    def shard(rows) -> Iterator[np.ndarray]:
-        bits = np.zeros(nbytes, dtype=np.uint8)
-        h1 = []
-        h2 = []
-        for r in rows:
-            h1.append(r[0])
-            h2.append(r[1])
-        if h1:
-            h1a = np.array(h1, dtype=np.int64).astype(np.uint64)
-            h2a = np.array(h2, dtype=np.int64).astype(np.uint64)
-            mm = np.uint64(m)
-            for i in range(k):
-                pos = (h1a + np.uint64(i) * h2a) % mm
-                np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64), (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
-        yield bits
+    def set_bits(bits: np.ndarray, h1a: np.ndarray, h2a: np.ndarray) -> None:
+        mm = np.uint64(m)
+        for i in range(k):
+            pos = (h1a + np.uint64(i) * h2a) % mm
+            np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64), (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
 
-    shards = hashed.rdd.mapPartitions(shard)
-    if shards.isEmpty():
+    if nbytes <= 64 * 1024 * 1024:
+        # Arrow-vectorized shard build: one bitmap row per partition,
+        # collected and OR'd on the driver (shards are small at this m).
+        def shard_pd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            for pdf in batches:
+                if len(pdf):
+                    set_bits(bits, pdf["_h1"].to_numpy().astype(np.uint64), pdf["_h2"].to_numpy().astype(np.uint64))
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
         bits = np.zeros(nbytes, dtype=np.uint8)
+        for row in hashed.mapInPandas(shard_pd, schema="bits binary").collect():
+            bits |= np.frombuffer(row["bits"], dtype=np.uint8)
     else:
-        bits = shards.treeReduce(np.bitwise_or)
+        # Giant filters (10^10-URL regime): shards stay executor-resident and
+        # merge pairwise via treeReduce — never collected in one piece.
+        def shard(rows) -> Iterator[np.ndarray]:
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            h1 = [r[0] for r in rows]
+            h2 = [r[1] for r in rows]
+            if h1:
+                set_bits(bits, np.array(h1, dtype=np.int64).astype(np.uint64), np.array(h2, dtype=np.int64).astype(np.uint64))
+            yield bits
+
+        shards = hashed.rdd.mapPartitions(shard)
+        if shards.isEmpty():
+            bits = np.zeros(nbytes, dtype=np.uint8)
+        else:
+            bits = shards.treeReduce(np.bitwise_or)
     return BloomFilterModel(bits=bits, m=m, k=k, n_items=n, version=version)
 
 

@@ -112,20 +112,25 @@ class CrawlEngine:
 
         _mark('candidates_count')
         fetch_now, deferred = schedule_round(candidates, s.politeness, s.n_buckets)
-        fetched = fetch_pages(fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets).cache()
+        fetched = fetch_pages(fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets)
 
-        # docs is a narrow projection of the cached fetch result; caching it
-        # too would build a SECOND columnar copy of every span payload. Only
-        # worth it when extraction re-reads docs many times.
-        docs = to_documents(fetched, rnd)
-        if s.extract:
-            docs = docs.cache()
+        # WRITE-ONCE layout: the fetch stage streams straight into the round's
+        # documents table (all rows incl. quarantined errors + politeness
+        # lineage columns). Every later pass — stats, crawl log, discovery,
+        # extraction — re-reads the written parquet with column pruning
+        # instead of holding a second in-memory columnar copy of every span
+        # payload (cache build was the round's biggest non-fetch cost, and at
+        # 100 TB a cache of the fetch output cannot exist anyway).
+        docs_full = to_documents(fetched, rnd, keep_errors=True)
+        tables = {"documents": self.store.write_table("documents", rnd, docs_full)}
+        docs_stored = self.store.read_state("documents", rnd)
+        docs = docs_stored.filter(F.col("status") == 200)
 
-        _mark('schedule')
-        # ONE stats pass feeds both the per-partition lineage and the trace
-        # offsets (fused to avoid extra jobs on small data).
+        _mark('fetch_write')
+        # ONE stats pass (pruned parquet read — never touches spans) feeds
+        # both the per-partition lineage and the trace offsets.
         stats = (
-            fetched.groupBy("crawl_depth", "priority", "host", "host_bucket")
+            docs_stored.groupBy("crawl_depth", "priority", "host", "host_bucket")
             .agg(
                 F.count("*").alias("n"),
                 F.min("host_rank").alias("min_rank"),
@@ -169,7 +174,7 @@ class CrawlEngine:
                 offsets, "crawl_depth int, priority int, host string, grp_off long, min_rank int"
             )
             crawl_log = (
-                fetched.join(F.broadcast(off_df), ["crawl_depth", "priority", "host"])
+                docs_stored.join(F.broadcast(off_df), ["crawl_depth", "priority", "host"])
                 .select(
                     F.xxhash64("url").alias("url_hash"),
                     "url",
@@ -184,13 +189,11 @@ class CrawlEngine:
         seen_delta = crawl_log  # url column is what downstream joins use
 
         _mark('crawl_log_build')
-        # link discovery -> next frontier (narrow recompute over cached docs
-        # is cheaper than materializing the discovery set); the raw discovery
-        # count is observed during the frontier write, not a separate job.
-        disc_detail = FR.discovered_detail_urls(docs, self.site, rnd + 1)
-        disc_catalog = FR.discovered_catalog_urls(docs, self.site, rnd + 1)
+        # link discovery -> next frontier (pruned re-read of the written
+        # documents: only spans of 200-rows); the raw discovery count is
+        # observed during the frontier write, not a separate job.
         disc_obs = Observation(f"disc-{rnd}")
-        disc = disc_detail.unionByName(disc_catalog).observe(disc_obs, F.count(F.lit(1)).alias("n"))
+        disc = FR.discovered_urls(docs, self.site, rnd + 1).observe(disc_obs, F.count(F.lit(1)).alias("n"))
         seen_after = seen.select("url").unionByName(seen_delta.select("url"))
         next_frontier = (
             FR.merge_frontier(deferred, disc)
@@ -198,11 +201,8 @@ class CrawlEngine:
         )
 
         _mark('discover_counts')
-        tables = {
-            "url_seen": self.store.write_table("url_seen", rnd, seen_delta),
-            "documents": self.store.write_table("documents", rnd, docs),
-            "frontier": self.store.write_table("frontier", rnd, next_frontier),
-        }
+        tables["url_seen"] = self.store.write_table("url_seen", rnd, seen_delta)
+        tables["frontier"] = self.store.write_table("frontier", rnd, next_frontier)
 
         # the frontier write above executed the discovery sub-plan; the
         # observed metric is available now without its own job
@@ -246,7 +246,7 @@ class CrawlEngine:
                 seen_delta, expected_items=s.bloom_expected_items, fpp=s.bloom_fpp, version=0
             )
             self._bloom_round = 0
-        for df in (fetched, docs, candidates, seen):
+        for df in (candidates, seen):
             df.unpersist()
         return manifest
 
@@ -293,6 +293,13 @@ def published_tables(store: SnapshotStore) -> dict[str, DataFrame]:
     for n in names:
         df = store.read_union(n, upto)
         if df is not None:
+            if n == "documents":
+                # stored layout keeps quarantined rows + politeness lineage;
+                # the published view is successful pages, original columns
+                df = df.filter(F.col("status") == 200).select(
+                    "doc_id", "url", "host", "resource_type", "resource_id",
+                    "crawl_depth", "round", "status", "spans",
+                )
             out[n] = df
     out["frontier"] = store.read_state("frontier", upto)
     if "url_seen" in out:

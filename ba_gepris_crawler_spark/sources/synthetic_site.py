@@ -30,6 +30,7 @@ import math
 import random
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 from urllib.parse import parse_qs, urlparse
 
 URL_TYPE = {"project": "projekt", "person": "person", "institution": "institution"}
@@ -149,8 +150,9 @@ class SiteConfig:
         return {"project": self.n_projects, "person": self.n_persons, "institution": self.n_institutions}[rtype]
 
     def ids(self, rtype: str) -> list[str]:
-        base = self.id_base[rtype]
-        return [str(base + i) for i in range(self.n_of(rtype))]
+        # cached: render_page calls this per page; rebuilding an n-element
+        # list per render made page cost O(site size)
+        return _ids_cached(self, rtype)
 
     def host_of(self, rtype: str, rid: str) -> str:
         return self.hosts[int(rid) % len(self.hosts)]
@@ -175,6 +177,13 @@ def seed_urls(cfg: SiteConfig) -> list[str]:
     return [catalog_url(cfg, rtype, host, 0) for rtype in RESOURCE_TYPES for host in cfg.hosts]
 
 
+@lru_cache(maxsize=256)
+def _ids_cached(cfg: SiteConfig, rtype: str) -> list[str]:
+    base = cfg.id_base[rtype]
+    return [str(base + i) for i in range(cfg.n_of(rtype))]
+
+
+@lru_cache(maxsize=1024)
 def _host_resources(cfg: SiteConfig, rtype: str, host: str) -> list[str]:
     return [rid for rid in cfg.ids(rtype) if cfg.host_of(rtype, rid) == host]
 
@@ -224,7 +233,7 @@ def _institution_name(rid: str) -> str:
 
 
 def _sentence(rng: random.Random, n: int) -> str:
-    return " ".join(rng.choice(WORDS) for _ in range(n))
+    return " ".join(rng.choices(WORDS, k=n))
 
 
 class _SpanList:

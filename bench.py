@@ -43,10 +43,137 @@ def main() -> None:
     from ba_gepris_crawler_spark.session import get_spark
     from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
 
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8), app_name="bench")
+    # Partition layout (shuffle partitions, host buckets) is pinned to 32 at
+    # every parallelism level: the two-cluster-size scaling comparison must
+    # vary ONLY the executor count, and politeness budgets are partition-
+    # count-invariant by design (SURVEY.md §7.4 risk 5).
+    #
+    # SPARK_GRAFT_EXECUTORS=n -> local-cluster[n,8,mem]: n REAL executor
+    # JVMs (own heap, GC, python workers) on this machine — the sandbox
+    # proxy for an n-executor cluster, used for the N-vs-4N scaling
+    # evidence in BENCH/BASELINE.md. Plain local[k] shares one JVM across
+    # all task slots and mismeasures scaling (allocator/GC contention).
+    execs = os.environ.get("SPARK_GRAFT_EXECUTORS")
+    if execs:
+        import pyspark
+
+        os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+        mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
+        exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+        spark = get_spark(
+            master=f"local-cluster[{int(execs)},{exec_cores},{mem_mb}]",
+            shuffle_partitions=32,
+            app_name="bench",
+            extra_conf={
+                "spark.executorEnv.PYTHONPATH": "/root/repo",
+                # cgroup-CPU-limit analog: size each executor JVM's internal
+                # pools (GC etc.) for its core share, like YARN/K8s do
+                "spark.executor.extraJavaOptions": f"-XX:ActiveProcessorCount={exec_cores}",
+            },
+        )
+        extras_cluster = {"executors": int(execs), "cores_per_executor": exec_cores}
+    else:
+        spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=32, app_name="bench")
+        extras_cluster = {}
+    crawl_only = os.environ.get("SPARK_GRAFT_CRAWL_ONLY") == "1"
 
     queries: dict[str, float] = {}
-    extras: dict[str, object] = {"cpus": cpus}
+    extras: dict[str, object] = {"cpus": cpus, **extras_cluster}
+
+    # ---------------- 0. steady-state scaling round ----------------
+    # SPARK_GRAFT_STEADY=1: one BIG engine round over a pre-seeded frontier
+    # (30% already seen). This is the 10^10-URL-frontier regime in miniature:
+    # at that scale every round is huge and per-round fixed cost amortizes
+    # away, so sustained throughput == steady-round throughput. This is the
+    # configuration the two-parallelism scaling-efficiency evidence uses
+    # (BENCH/BASELINE.md); the multi-round crawl below measures end-to-end
+    # ramp-up instead.
+    if os.environ.get("SPARK_GRAFT_STEADY") == "1":
+        from pyspark.sql import functions as F
+
+        from ba_gepris_crawler_spark.schema import URL_SEEN_SCHEMA  # noqa: F401
+
+        spark_f = F
+        n_pages = approx_pages
+        n_proj = int(n_pages * 0.65)
+        n_pers = int(n_pages * 0.25)
+        n_inst = n_pages - n_proj - n_pers
+        site = SiteConfig(
+            hosts=tuple(f"h{i:02d}.gepris.example.org" for i in range(16)),
+            n_projects=n_proj, n_persons=n_pers, n_institutions=n_inst,
+            hits_per_page=50, seed=42,
+            page_weight=int(os.environ.get("SPARK_GRAFT_PAGE_WEIGHT", "8")),
+        )
+        work = tempfile.mkdtemp(prefix="bench_steady_")
+        try:
+            store = SnapshotStore(spark, work)
+
+            def detail_urls(rtype: str, urltype: str, base: int, n: int):
+                return (
+                    spark.range(n)
+                    .select((spark_f.lit(base) + spark_f.col("id")).cast("string").alias("resource_id"))
+                    .select(
+                        "resource_id",
+                        spark_f.format_string(
+                            "https://h%02d.gepris.example.org/gepris/" + urltype + "/%s?language=en",
+                            (spark_f.col("resource_id").cast("long") % 16).cast("int"),
+                            "resource_id",
+                        ).alias("url"),
+                        spark_f.lit(rtype).alias("resource_type"),
+                    )
+                )
+
+            frontier = (
+                detail_urls("project", "projekt", 100000, n_proj)
+                .unionByName(detail_urls("person", "person", 200000, n_pers))
+                .unionByName(detail_urls("institution", "institution", 300000, n_inst))
+                .select(
+                    "url",
+                    spark_f.regexp_extract("url", "^https://([^/]*)/", 1).alias("host"),
+                    "resource_type",
+                    "resource_id",
+                    spark_f.lit(1).cast("int").alias("crawl_depth"),
+                    spark_f.lit(1).cast("int").alias("priority"),
+                    spark_f.lit(0).cast("int").alias("discovered_round"),
+                )
+            )
+            seen = (
+                frontier.filter(spark_f.col("resource_id").cast("long") % 10 < 3)
+                .select(
+                    spark_f.xxhash64("url").alias("url_hash"),
+                    "url",
+                    spark_f.lit(0).cast("int").alias("round"),
+                    spark_f.col("resource_id").cast("long").alias("seq"),
+                    spark_f.lit(200).cast("int").alias("status"),
+                    "host",
+                )
+            )
+            t_seen = store.write_table("url_seen", 0, seen)
+            t_frontier = store.write_table("frontier", 0, frontier)
+            store.commit(0, {"url_seen": t_seen, "frontier": t_frontier},
+                         {"round": 0, "seen_total": t_seen, "frontier_next": t_frontier, "done": False})
+            settings = CrawlSettings(
+                n_buckets=32,
+                politeness=PolitenessConfig(per_host_rate=float(n_pages), round_seconds=1.0, max_in_flight=10),
+                bloom_fpp=0.01, use_bloom=True, extract=False,
+            )
+            engine = CrawlEngine(spark, site, store, settings)
+            t0 = time.time()
+            m = engine.run_round(1)
+            steady_sec = time.time() - t0
+            fetched = m["counters"]["fetched"]
+            queries["steady_round"] = round(steady_sec, 3)
+            extras["steady_pages_fetched"] = fetched
+            extras["steady_pages_per_sec"] = round(fetched / steady_sec, 1)
+            extras["steady_frontier"] = t_frontier
+            extras["steady_dedup_rate"] = round(1.0 - fetched / max(t_frontier, 1), 4)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps({
+            "metric": "steady_round_pages_per_sec", "value": queries["steady_round"],
+            "unit": "sec", "queries": queries, "sf": sf, **extras,
+        }))
+        return
 
     # ---------------- 1. crawl bench ----------------
     n_projects = int(approx_pages * 30 / 46)
@@ -63,7 +190,7 @@ def main() -> None:
     try:
         store = SnapshotStore(spark, work)
         settings = CrawlSettings(
-            n_buckets=max(cpus, 8),
+            n_buckets=32,
             politeness=PolitenessConfig(per_host_rate=8000, round_seconds=1.0, max_in_flight=10),
             bloom_fpp=0.01,
             use_bloom=True,
@@ -83,7 +210,7 @@ def main() -> None:
         # extraction throughput over the crawled corpus (stage-2 analog)
         docs = store.read_union("documents", store.latest_round())
         t0 = time.time()
-        d = X.with_fields(docs.filter("resource_id is not null")).persist()
+        d = X.with_fields(docs.filter("status = 200 and resource_id is not null")).persist()
         for out in (X.eav(d), X.projects(d), X.persons(d), X.institutions(d)):
             out.write.format("noop").mode("overwrite").save()
         extract_sec = time.time() - t0
@@ -94,7 +221,7 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     # ---------------- 2. headline driver queries ----------------
-    bench_queries = [
+    bench_queries = [] if crawl_only else [
         "crawl_frontier_anti_join",
         "crawl_funding_term_cascade",
         "tpch_q1_pricing_summary",

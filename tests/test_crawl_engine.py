@@ -86,7 +86,9 @@ def test_errors_quarantined_not_fatal(spark, run, crawl_cfg):
 
 def test_documents_match_golden_pages(spark, run):
     store, _, golden = run
-    docs = store.read_union("documents", store.latest_round())
+    # stored layout keeps quarantined non-200 rows; golden pages are the
+    # successful fetches (the published-view contract)
+    docs = store.read_union("documents", store.latest_round()).filter(F.col("status") == 200)
     got = {r.url: (r.resource_type, r.resource_id, r.crawl_depth, r.round) for r in docs.collect()}
     want = {u: (t[0], t[1], t[2], t[3]) for u, t in golden.docs.items()}
     assert got == want
