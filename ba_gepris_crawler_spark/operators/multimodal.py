@@ -108,7 +108,9 @@ def sample_frames(media: DataFrame, every_nth: int = 10, decoder=fake_decode) ->
                 for i in range(0, n, every_nth):
                     ids.append(doc_id)
                     idxs.append(i)
-                    digs.append(hashlib.md5((payload or b"") + i.to_bytes(4, "big")).hexdigest())
+                    # digest layout payload#idx keeps the fake path oracle-
+                    # checkable in plain SQL (md5(text || '#' || idx))
+                    digs.append(hashlib.md5((payload or b"") + b"#" + str(i).encode()).hexdigest())
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_digest": digs})
 
     return media.filter(F.col("media_type") == "video").mapInPandas(run, schema=out_schema)

@@ -1409,3 +1409,50 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@_q(
+    "mm_extract_features",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(320 + (('0x' || substr(md5(text), 1, 2))::INT % 16) * 40 AS INT) AS width,
+           CAST(240 + (('0x' || substr(md5(text), 3, 2))::INT % 9) * 40 AS INT) AS height,
+           CAST(1 + (('0x' || substr(md5(text), 5, 2))::INT % 30) AS INT) AS n_frames
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction through the REAL module path
+    (operators/multimodal.py): binary payload column -> Arrow-batched
+    mapInPandas decode (fake_decode stands in for codecs; same output
+    contract). The oracle reproduces fake_decode's md5-derived features."""
+    from ba_gepris_crawler_spark.operators.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return extract_features(media).orderBy("doc_id")
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+    f AS (SELECT doc_id, text,
+                 1 + (('0x' || substr(md5(text), 5, 2))::INT % 30) AS n_frames
+          FROM v)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           md5(text || '#' || CAST(i AS VARCHAR)) AS frame_digest
+    FROM f, unnest(range(0, n_frames, 10)) AS t(i)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the REAL module path: row fan-out
+    mapInPandas (one row per sampled frame). Decode stubbed; batch shape,
+    fan-out and partitioning are what is under test."""
+    from ba_gepris_crawler_spark.operators.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, every_nth=10).orderBy("doc_id", "frame_idx")

@@ -70,3 +70,28 @@ def run_available_now(df: DataFrame, query_name: str, checkpoint: str, output_mo
     )
     q.awaitTermination()
     return q
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (n_events, total_value) maintained in the state store across
+    micro-batches — the arbitrary-state API the built-in windows can't
+    express (e.g. per-key counters, custom eviction). Emits the cumulative
+    row for every user seen in each micro-batch (update mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

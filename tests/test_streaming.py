@@ -53,3 +53,44 @@ def test_session_windows(spark, tmp_path, events_dir):
     for r in rows:
         assert r.end_epoch > r.start_epoch
         assert r.n_events >= 1
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches —
+    events split into two file chunks, streamed one file per trigger; the
+    final cumulative row per user must equal the batch aggregate."""
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    d = tmp_path / "chunks"
+    d.mkdir()
+    src.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d / "c0"))
+    src.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d / "c1"))
+    import glob, shutil as sh
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(d / "c*" / "part-*.parquet")))):
+        sh.copy(f, flat / f"file-{i}.parquet")
+
+    stream = SE.read_events_stream(spark, str(flat), max_files_per_trigger=1)
+    out = SE.running_user_totals(stream)
+    q = SE.run_available_now(out, "t_state", str(tmp_path / "cp3"), output_mode="update")
+    assert q.lastProgress is not None
+
+    rows = spark.sql("select * from t_state").collect()
+    # multiple emissions per user (one per micro-batch it appears in);
+    # the LAST emission carries the cumulative total
+    last = {}
+    for r in rows:
+        last[r.user_id] = (r.n_events, r.total_value)
+    batch = src.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("t")
+    )
+    want = {r.user_id: (r.n, r.t) for r in batch.collect()}
+    assert set(last) == set(want)
+    for u, (n, t) in want.items():
+        assert last[u][0] == n, u
+        assert abs(last[u][1] - t) < 1e-4, u
+    # and state genuinely spanned micro-batches: some user must have been
+    # emitted more than once
+    from collections import Counter
+    c = Counter(r.user_id for r in rows)
+    assert max(c.values()) >= 2
