@@ -873,17 +873,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     then verified by true token Jaccard >= 0.7. This anchor pairing is what
     keeps the candidate join bounded at 100 TB."""
     d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
-    tok = d.select("doc_id", F.explode("toks").alias("tok")).distinct()
+    # tok feeds the signature, both sides of the verify join, and the size
+    # table — persist the post-shuffle distinct once instead of 4 rescans
+    # (without it the whole tokenize+distinct pipeline re-runs per consumer:
+    # 24 parquet scans, 0 reused exchanges).
+    tok = d.select("doc_id", F.explode("toks").alias("tok")).distinct().persist()
     h = tok.select("doc_id", F.expr(f"{_h60_spark('tok')} % {_MINHASH_P}").alias("hv"))
     sig = h.groupBy("doc_id").agg(*_minhash_cols_spark())
-    bands = None
-    for band in range(4):
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.md5(F.concat_ws("_", F.col(f"m{2*band}").cast("string"), F.col(f"m{2*band+1}").cast("string"))).alias("bkey"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # one signature computation -> 4 band rows per doc via a single explode
+    # (a per-band union would recompute the signature pipeline 4x)
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bkey', md5(concat_ws('_', cast(m{2*b} as string), cast(m{2*b+1} as string))))"
+        for b in range(4)
+    )
+    bands = sig.select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
     wb = Window.partitionBy("band", "bkey")
     cand = (
         bands.withColumn("anchor", F.min("doc_id").over(wb))
