@@ -1461,3 +1461,73 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = documents_as_media(_t(spark, sf_dir, "documents"))
     return sample_frames(media, every_nth=10).orderBy("doc_id", "frame_idx")
+
+
+@_q(
+    "crawl_json_api_parse",
+    """
+    WITH j AS (SELECT doc_id,
+      '{"id": ' || CAST(doc_id AS VARCHAR) || ', "type": "' ||
+      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'projekt' WHEN 1 THEN 'person' ELSE 'institution' END ||
+      '", "title": "Resource ' || CAST(doc_id AS VARCHAR) || '"}' AS payload
+      FROM documents)
+    SELECT doc_id,
+           CAST(json_extract(payload, '$.id') AS BIGINT) AS rid,
+           json_extract_string(payload, '$.type') AS rtype,
+           json_extract_string(payload, '$.title') AS title
+    FROM j ORDER BY doc_id
+    """,
+)
+def crawl_json_api_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the reference's dormant JSON-API source
+    (CrawledResourceDetailDataFromJsonAPIGraph.scala:15-46) — fetched JSON
+    payload parsed with from_json into typed columns."""
+    d = _t(spark, sf_dir, "documents")
+    rtype = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("projekt"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("person"))
+        .otherwise(F.lit("institution"))
+    )
+    payload = F.concat(
+        F.lit('{"id": '), F.col("doc_id").cast("string"),
+        F.lit(', "type": "'), rtype,
+        F.lit('", "title": "Resource '), F.col("doc_id").cast("string"), F.lit('"}'),
+    )
+    parsed = F.from_json(payload, "id bigint, type string, title string")
+    return d.select(
+        "doc_id",
+        parsed["id"].alias("rid"),
+        parsed["type"].alias("rtype"),
+        parsed["title"].alias("title"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "crawl_robots_filter",
+    """
+    WITH f AS (SELECT doc_id, 'h' || CAST(doc_id % 4 AS VARCHAR) || '.example.org' AS host,
+                      CASE WHEN doc_id % 5 = 0 THEN '/private/' ELSE '/public/' END ||
+                      CAST(doc_id AS VARCHAR) AS path
+               FROM documents)
+    SELECT doc_id, host, path FROM f
+    WHERE NOT (host = 'h1.example.org' AND regexp_matches(path, '^/private/'))
+      AND NOT (host = 'h2.example.org' AND regexp_matches(path, '.*'))
+    ORDER BY doc_id
+    """,
+)
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness robots.txt disallow filter (operators/politeness.py
+    apply_robots): per-host path-regex disallows compiled into the plan —
+    h1 blocks /private/*, h2 blocks everything."""
+    from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, apply_robots
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/private/")).otherwise(F.lit("/public/")),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    ).withColumn("url", F.col("path"))
+    cfg = PolitenessConfig(disallow=(("h1.example.org", "^/private/"), ("h2.example.org", ".*")))
+    return apply_robots(d, cfg).select("doc_id", "host", "path").orderBy("doc_id")

@@ -33,6 +33,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # shuffle/spill scratch on tmpfs when available: keeps shuffle I/O off
+        # the (slow, writeback-bursty) local disk; a real cluster would use
+        # NVMe-backed local dirs. Override with SPARK_GRAFT_LOCAL_DIR.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
     )
