@@ -210,15 +210,27 @@ class CrawlEngine:
 
         _mark('writes')
         if s.extract:
-            details = X.with_fields(docs.filter(F.col("resource_id").isNotNull()))
+            from concurrent.futures import ThreadPoolExecutor
+
+            # details (the parsed-fields struct) feeds 4 typed outputs —
+            # cache it once rather than re-running the extraction kernel per
+            # table; the independent writes run as concurrent Spark jobs so
+            # idle task slots of one write serve another.
+            details = X.with_fields(docs.filter(F.col("resource_id").isNotNull())).cache()
             projects = X.projects(details).cache()
-            tables["eav"] = self.store.write_table("eav", rnd, X.eav(details))
-            tables["projects"] = self.store.write_table("projects", rnd, projects)
-            tables["persons"] = self.store.write_table("persons", rnd, X.persons(details))
-            tables["institutions"] = self.store.write_table("institutions", rnd, X.institutions(details))
-            for name, rel in X.relation_tables(projects).items():
-                tables[name] = self.store.write_table(name, rnd, rel)
+            to_write = {
+                "eav": X.eav(details),
+                "projects": projects,
+                "persons": X.persons(details),
+                "institutions": X.institutions(details),
+                **X.relation_tables(projects),
+            }
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futs = {n: pool.submit(self.store.write_table, n, rnd, df) for n, df in to_write.items()}
+                for n, fut in futs.items():
+                    tables[n] = fut.result()
             projects.unpersist()
+            details.unpersist()
 
         _mark('extract')
         n_fetched = tables["url_seen"]  # write-time metadata count
