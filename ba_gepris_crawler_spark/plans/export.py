@@ -69,6 +69,9 @@ def export_tables(
                 out.write.mode("overwrite")
                 .option("header", True)
                 .option("quoteAll", True)
+                # RFC-4180 quote doubling (Spark defaults to backslash
+                # escaping, which Python csv / the reference writer doesn't)
+                .option("escape", '"')
                 .csv(path)
             )
         else:
