@@ -1531,3 +1531,57 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("url", F.col("path"))
     cfg = PolitenessConfig(disallow=(("h1.example.org", "^/private/"), ("h2.example.org", ".*")))
     return apply_robots(d, cfg).select("doc_id", "host", "path").orderBy("doc_id")
+
+
+@_q(
+    "emb_ivf_probe_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id >= 8 AND vec_id < 13),
+    ac AS (SELECT e.vec_id, e.embedding, ct.cid,
+             {_DOT_DUCK.format(a='e.embedding', b='ct.ce')}
+               / ({_NORM_DUCK.format(a='e.embedding')} * {_NORM_DUCK.format(a='ct.ce')}) AS ccos
+           FROM embeddings e, cent ct),
+    assign AS (SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        FROM ac) WHERE rn = 1),
+    qp AS (SELECT q.qid, q.qe, ct.cid,
+             {_DOT_DUCK.format(a='q.qe', b='ct.ce')}
+               / ({_NORM_DUCK.format(a='q.qe')} * {_NORM_DUCK.format(a='ct.ce')}) AS ccos
+           FROM q, cent ct),
+    probes AS (SELECT qid, qe, cid FROM (
+        SELECT qid, qe, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS rn
+        FROM qp) WHERE rn <= 2),
+    cand AS (SELECT p.qid, a.vec_id,
+               {_DOT_DUCK.format(a='a.embedding', b='p.qe')}
+                 / ({_NORM_DUCK.format(a='a.embedding')} * {_NORM_DUCK.format(a='p.qe')}) AS cosine
+             FROM probes p JOIN assign a USING (cid))
+    SELECT qid, vec_id, round(CAST(cosine AS DOUBLE), 4) AS cosine, rnk FROM (
+      SELECT qid, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+      FROM cand) WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
+)
+def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search through the REAL module path
+    (operators/similarity.py ivf_index + ivf_topk): coarse-quantize the
+    corpus to 8 centroid cells, probe the nprobe=2 nearest cells per query,
+    exact rank inside the probed cells. The scale story: the candidate join
+    shrinks from |corpus|x|queries| to |cell|x|queries|, and at real scale
+    the index is written partitioned BY cell for partition pruning."""
+    from ba_gepris_crawler_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    index = ivf_index(emb, centroids)
+    out = ivf_topk(index, centroids, queries, k=5, nprobe=2)
+    return out.select(
+        "qid", "vec_id", F.round("cosine", 4).alias("cosine"), F.col("rnk").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
