@@ -11,11 +11,25 @@ count 1 — SURVEY.md §2.8). Generalization mandated by the north rule:
   local[8] and local[32] (partition-count invariance is what makes the
   two-cluster-size scaling-efficiency comparison meaningful).
 - salted priority queue: fetch order per host is the deterministic key
-  (crawl_depth, priority, url); the host itself is spread over
-  `n_buckets` partitions via host_bucket = xxhash64(url) % B, so one hot
+  (crawl_depth, priority, host_bucket, url); the host is spread over
+  `n_buckets` partitions via host_bucket = crc32(url) % B, so one hot
   host (GEPRIS is the degenerate single-host worst case) cannot create a
-  hot partition. Per-host rank is a window over host — the only shuffle in
-  the scheduler, on exactly the key the politeness semantics require.
+  hot partition. crc32 (not xxhash64) because the golden simulator and the
+  DuckDB oracle must reproduce the bucket in pure Python/SQL.
+
+  TWO-LEVEL RANKING (the 100 TB shape): ranking the whole frontier of one
+  host through Window.partitionBy(host) would funnel that host's frontier
+  through ONE task — the scale-killer for the reference's own single-host
+  workload (CrawledResourceDetailDataGraph.scala:27 hard-codes one host).
+  Instead the rank is computed within (host, host_bucket) partitions and
+  lifted to the exact global per-host rank with broadcast per-group
+  offsets: for the group key g = (crawl_depth, priority, host_bucket),
+  rows of one g are contiguous in the global (depth, priority, bucket,
+  url) order, so host_rank = rows_before_group(g) + (local_rank -
+  rows_before_group_in_bucket(g)). Both offset tables are metadata-sized
+  (hosts x depths x priorities x buckets) and computed from one tiny
+  groupBy-count — the same offset trick the crawl-log `seq` uses
+  (plans/round_loop.py). No Exchange ever partitions by bare `host`.
 - robots/session state: broadcast to executors once per round
   (reference: the cookie cache in CookieFlowGraph.scala:30-58).
 """
@@ -63,6 +77,14 @@ def apply_robots(frontier: DataFrame, cfg: PolitenessConfig) -> DataFrame:
     return out
 
 
+def salt_bucket(url_col: str = "url", n_buckets: int = 32) -> F.Column:
+    """host_bucket = crc32(url) % B — deterministic, partition-count
+    invariant, and reproducible outside Spark (zlib.crc32 in the golden
+    simulator; no DuckDB twin needed because oracle fixtures provide the
+    bucket column directly)."""
+    return F.pmod(F.crc32(F.col(url_col).cast("binary")), F.lit(n_buckets)).cast("int")
+
+
 def schedule_round(
     frontier: DataFrame,
     cfg: PolitenessConfig,
@@ -71,24 +93,76 @@ def schedule_round(
     """Split the deduplicated frontier into (fetch_now, deferred).
 
     fetch_now rows carry:
-      host_rank   - deterministic per-host fetch order (1-based)
-      host_bucket - salted partition key for the fetch stage
+      host_rank   - deterministic per-host fetch order (1-based) under the
+                    engine-defined total order (crawl_depth, priority,
+                    host_bucket, url)
+      host_bucket - salted partition key (rank AND fetch stage)
       slot        - simulated politeness wave: ceil(host_rank / max_in_flight);
                     wave w may start only after wave w-1 (token bucket)
+
+    NOTE: the order is fully deterministic and reproducible by the
+    straight-line golden crawl simulator (the reference's own fetch order
+    is nondeterministic Set iteration, CrawlResourceDetailsGraph.scala:52;
+    we define and persist this order instead, per SURVEY.md §2.10#4).
+    A frontier that already carries a host_bucket column keeps it (lets
+    oracle fixtures pin portable buckets).
+
+    Engine-defined priority note: catalog pages of EVERY resource type rank
+    at priority 0 (priority_for_type keys on resource_id IS NULL), so a
+    person/institution catalog page outranks project detail pages — by
+    design, catalogs widen the frontier fastest.
     """
     f = apply_robots(frontier, cfg)
-    f = f.withColumn("url_hash", F.xxhash64("url"))
-    # NOTE: ordering is (depth, priority, url) — fully deterministic and
-    # reproducible by the straight-line golden crawl simulator (the
-    # reference's own fetch order is nondeterministic Set iteration,
-    # CrawlResourceDetailsGraph.scala:52; we define and persist this order
-    # instead, per SURVEY.md §2.10#4).
-    w = Window.partitionBy("host").orderBy("crawl_depth", "priority", "url")
-    f = f.withColumn("host_rank", F.row_number().over(w))
-    fetch_now = (
-        f.filter(F.col("host_rank") <= cfg.per_host_budget)
-        .withColumn("host_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
-        .withColumn("slot", F.ceil(F.col("host_rank") / cfg.max_in_flight).cast("int"))
+    added_bucket = "host_bucket" not in f.columns
+    if added_bucket:
+        f = f.withColumn("host_bucket", salt_bucket("url", n_buckets))
+    # Level 1: rank within the salted partition — the only data-sized
+    # shuffle, keyed (host, host_bucket) so a hot host spreads over B tasks.
+    w = Window.partitionBy("host", "host_bucket").orderBy("crawl_depth", "priority", "url")
+    f = f.withColumn("_lrank", F.row_number().over(w))
+    # Level 2: metadata-sized per-group counts -> broadcast offsets.
+    counts = (
+        f.groupBy("host", "crawl_depth", "priority", "host_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    deferred = f.filter(F.col("host_rank") > cfg.per_host_budget).drop("host_rank", "url_hash")
+    spark = frontier.sparkSession
+    if not counts:
+        empty = (
+            f.withColumn("host_rank", F.lit(1).cast("int"))
+            .withColumn("slot", F.lit(1).cast("int"))
+            .drop("_lrank")
+            .limit(0)
+        )
+        deferred = f.drop("_lrank").limit(0)
+        return empty, (deferred.drop("host_bucket") if added_bucket else deferred)
+    by_host: dict[str, list[tuple]] = {}
+    for r in counts:
+        by_host.setdefault(r["host"], []).append(
+            (r["crawl_depth"], r["priority"], r["host_bucket"], r["n"])
+        )
+    rows = []
+    for host, groups in by_host.items():
+        groups.sort()  # global per-host group order: (depth, priority, bucket)
+        acc = 0  # rows of this host in earlier groups
+        in_bucket: dict[int, int] = {}  # rows of this host already placed per bucket
+        for d, p, b, n in groups:
+            rows.append((host, d, p, b, acc, in_bucket.get(b, 0)))
+            acc += n
+            in_bucket[b] = in_bucket.get(b, 0) + n
+    off = spark.createDataFrame(
+        rows,
+        "host string, crawl_depth int, priority int, host_bucket int, grp_off long, lrank_before long",
+    )
+    f = (
+        f.join(F.broadcast(off), ["host", "crawl_depth", "priority", "host_bucket"])
+        .withColumn("host_rank", (F.col("grp_off") + F.col("_lrank") - F.col("lrank_before")).cast("int"))
+        .drop("_lrank", "grp_off", "lrank_before")
+    )
+    fetch_now = f.filter(F.col("host_rank") <= cfg.per_host_budget).withColumn(
+        "slot", F.ceil(F.col("host_rank") / cfg.max_in_flight).cast("int")
+    )
+    deferred = f.filter(F.col("host_rank") > cfg.per_host_budget).drop("host_rank")
+    if added_bucket:
+        deferred = deferred.drop("host_bucket")
     return fetch_now, deferred

@@ -288,26 +288,38 @@ def crawl_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crawl_host_priority_queue",
     """
     WITH f AS (SELECT doc_id, 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
-                      CAST(n_chars % 3 AS INT) AS priority FROM documents)
+                      CAST(n_chars % 3 AS INT) AS priority,
+                      CAST(doc_id % 4 AS INT) AS host_bucket FROM documents)
     SELECT host, priority, doc_id, rnk FROM (
       SELECT host, priority, doc_id,
-             CAST(row_number() OVER (PARTITION BY host ORDER BY priority, doc_id) AS BIGINT) AS rnk
+             CAST(row_number() OVER (PARTITION BY host ORDER BY priority, host_bucket, doc_id) AS BIGINT) AS rnk
       FROM f) WHERE rnk <= 10
     ORDER BY host, rnk
     """,
 )
 def crawl_host_priority_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The salted priority queue shape: per-host deterministic rank, budget cut."""
+    """The salted priority queue through the REAL scheduler
+    (operators/politeness.py schedule_round): two-level rank — local rank
+    within (host, host_bucket) lifted to the exact global per-host rank via
+    broadcast group offsets — then the per-host budget cut. The oracle is a
+    flat window over (priority, host_bucket, url), i.e. the engine-defined
+    total order; equality certifies the offset composition. The fixture
+    pins a portable host_bucket (doc_id % 4) and a zero-padded url so SQL
+    integer order == engine string order."""
+    from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, schedule_round
+
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
         F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")).alias("host"),
+        F.lit(0).cast("int").alias("crawl_depth"),
         (F.col("n_chars") % 3).cast("int").alias("priority"),
+        (F.col("doc_id") % 4).cast("int").alias("host_bucket"),
     )
-    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    cfg = PolitenessConfig(per_host_rate=10, round_seconds=1.0, max_in_flight=5)
+    fetch_now, _deferred = schedule_round(d, cfg, n_buckets=4)
     return (
-        d.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 10)
-        .select("host", "priority", "doc_id", "rnk")
+        fetch_now.select("host", "priority", "doc_id", F.col("host_rank").cast("bigint").alias("rnk"))
         .orderBy("host", "rnk")
     )
 

@@ -3,7 +3,9 @@ the engine's DOCUMENTED crawl discipline exactly (test-only oracle).
 
 Semantics mirrored from the engine:
 - round: candidates = frontier - seen (exact set semantics, J1)
-- per-host queue order: (crawl_depth, priority, url) lexicographic
+- per-host queue order: (crawl_depth, priority, host_bucket, url) where
+  host_bucket = crc32(url) % n_buckets (politeness.salt_bucket — Spark's
+  crc32 == zlib.crc32 on utf-8 bytes)
 - per-host token-bucket budget per round (PolitenessConfig.per_host_budget)
 - non-200 pages are marked seen and quarantined (never refetched)
 - discovered links: every /gepris/<type>/<id> link on a 200 page at
@@ -16,6 +18,7 @@ from __future__ import annotations
 
 import math
 import re
+import zlib
 from dataclasses import dataclass, field
 
 from ba_gepris_crawler_spark.sources.synthetic_site import (
@@ -41,9 +44,13 @@ class Entry:
     priority: int
     discovered_round: int
 
-    @property
-    def sort_key(self):
-        return (self.crawl_depth, self.priority, self.url)
+    def sort_key(self, n_buckets: int):
+        return (
+            self.crawl_depth,
+            self.priority,
+            zlib.crc32(self.url.encode("utf-8")) % n_buckets,
+            self.url,
+        )
 
 
 @dataclass
@@ -65,7 +72,9 @@ def _seed_entries(cfg: SiteConfig) -> list[Entry]:
     return out
 
 
-def simulate_crawl(cfg: SiteConfig, per_host_budget: int, max_rounds: int = 50) -> SimResult:
+def simulate_crawl(
+    cfg: SiteConfig, per_host_budget: int, max_rounds: int = 50, n_buckets: int = 32
+) -> SimResult:
     res = SimResult()
     frontier: dict[str, Entry] = {e.url: e for e in _seed_entries(cfg)}
     for rnd in range(max_rounds):
@@ -76,7 +85,7 @@ def simulate_crawl(cfg: SiteConfig, per_host_budget: int, max_rounds: int = 50) 
             return res
         # per-host budget + deterministic order
         by_host: dict[str, list[Entry]] = {}
-        for e in sorted(candidates, key=lambda e: e.sort_key):
+        for e in sorted(candidates, key=lambda e: e.sort_key(n_buckets)):
             by_host.setdefault(e.host, []).append(e)
         fetch_now: list[tuple[Entry, int]] = []  # (entry, host_rank)
         deferred: list[Entry] = []

@@ -44,7 +44,7 @@ def run(spark, crawl_cfg, tmp_path_factory):
     store = SnapshotStore(spark, tmp_path_factory.mktemp("crawl"))
     engine = CrawlEngine(spark, crawl_cfg, store, _settings())
     manifests = engine.run(max_rounds=30)
-    golden = simulate_crawl(crawl_cfg, per_host_budget=BUDGET, max_rounds=30)
+    golden = simulate_crawl(crawl_cfg, per_host_budget=BUDGET, max_rounds=30, n_buckets=8)
     return store, manifests, golden
 
 

@@ -1,0 +1,86 @@
+"""Scheduler unit tests: the two-level (host, host_bucket) rank + broadcast
+offsets must equal the flat per-host window rank under the engine-defined
+total order (depth, priority, host_bucket, url), the salt bucket must be
+reproducible by zlib.crc32 (golden-simulator parity), and no Exchange may
+partition by bare `host` (the single-task hot-host scale-killer)."""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ba_gepris_crawler_spark.operators.politeness import (
+    PolitenessConfig,
+    salt_bucket,
+    schedule_round,
+)
+
+N_BUCKETS = 8
+
+
+def _frontier(spark, n=500):
+    return spark.range(n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 3).cast("string"),
+                 F.lit(".example.org/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string"), F.lit(".example.org")).alias("host"),
+        (F.col("id") % 2).cast("int").alias("crawl_depth"),
+        (F.col("id") % 4).cast("int").alias("priority"),
+        F.lit(0).cast("int").alias("discovered_round"),
+    )
+
+
+def test_salt_bucket_matches_zlib_crc32(spark):
+    rows = (
+        _frontier(spark, 64)
+        .select("url", salt_bucket("url", N_BUCKETS).alias("b"))
+        .collect()
+    )
+    assert len(rows) == 64
+    for r in rows:
+        assert r["b"] == zlib.crc32(r["url"].encode("utf-8")) % N_BUCKETS
+
+
+def test_two_level_rank_equals_flat_window(spark):
+    f = _frontier(spark)
+    cfg = PolitenessConfig(per_host_rate=40, round_seconds=1.0, max_in_flight=7)
+    fetch_now, deferred = schedule_round(f, cfg, n_buckets=N_BUCKETS)
+    got = {
+        r["url"]: (r["host_rank"], r["slot"])
+        for r in fetch_now.select("url", "host_rank", "slot").collect()
+    }
+
+    # reference: ONE flat window over host in the engine-defined order
+    ref = f.withColumn("host_bucket", salt_bucket("url", N_BUCKETS))
+    w = Window.partitionBy("host").orderBy("crawl_depth", "priority", "host_bucket", "url")
+    ref = ref.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= cfg.per_host_budget)
+    want = {
+        r["url"]: (r["rnk"], -(-r["rnk"] // cfg.max_in_flight))
+        for r in ref.select("url", "rnk").collect()
+    }
+    assert got == want
+
+    # deferred schema matches the input frontier (merge_frontier contract)
+    assert set(deferred.columns) == set(f.columns)
+    assert deferred.count() == f.count() - len(got)
+
+
+def test_no_exchange_partitions_by_bare_host(spark):
+    f = _frontier(spark)
+    cfg = PolitenessConfig(per_host_rate=40, round_seconds=1.0)
+    fetch_now, _ = schedule_round(f, cfg, n_buckets=N_BUCKETS)
+    plan = fetch_now._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if re.search(r"\bhost#", keys):
+            assert "host_bucket#" in keys, f"bare-host Exchange in plan: {keys}"
+
+
+def test_empty_frontier(spark):
+    f = _frontier(spark).limit(0)
+    fetch_now, deferred = schedule_round(f, PolitenessConfig(), n_buckets=N_BUCKETS)
+    assert fetch_now.count() == 0
+    assert deferred.count() == 0
+    assert "host_rank" in fetch_now.columns and "slot" in fetch_now.columns
