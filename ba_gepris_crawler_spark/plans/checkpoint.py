@@ -22,6 +22,20 @@ unchanged.
 DELTA tables (url_seen, documents, eav, ...) append one directory per
 round and are read as a union; STATE tables (frontier) are full rewrites
 read at a single round.
+
+COMPACTION: at thousands of rounds the delta union is an unbounded
+small-file list and the exact-seen anti-join right side has no clustered
+layout. `compact(name, upto)` merges the current base + tail deltas into
+ONE hash-clustered snapshot under compacted/<name>/upto=<k>/ (files
+clustered by xxhash64(key) % n_buckets — bounded file count, co-clustered
+for the seen anti-join), committed by an atomic manifest rename just like
+rounds; `read_union` then reads base + only the tail deltas after it.
+Compaction is pure optimization — the row set is identical, so resume
+determinism is unaffected, and a crash mid-compaction leaves an orphan dir
+that is simply ignored (no manifest). At the 10^10-URL regime the
+periodic full rewrite would itself be tiered (merge only deltas into
+bucket files, Iceberg rewrite_data_files-style); the read contract here
+is the same.
 """
 
 from __future__ import annotations
@@ -88,6 +102,55 @@ class SnapshotStore:
         p = self.root / "config.json"
         return json.loads(p.read_text()) if p.exists() else None
 
+    # -- compaction ----------------------------------------------------
+    def compacted_path(self, name: str, upto: int) -> Path:
+        return self.root / "compacted" / name / f"upto={upto:05d}"
+
+    def _compact_manifest_path(self, name: str, upto: int) -> Path:
+        return self.root / "manifests" / f"compact-{name}-{upto:05d}.json"
+
+    def latest_compaction(self, name: str, upto: int | None = None) -> dict | None:
+        """Newest committed compaction of `name` covering rounds <= upto."""
+        best = None
+        for p in (self.root / "manifests").glob(f"compact-{name}-*.json"):
+            m = re.match(rf"compact-{re.escape(name)}-(\d+)\.json$", p.name)
+            if not m:
+                continue
+            k = int(m.group(1))
+            if (upto is None or k <= upto) and (best is None or k > best):
+                best = k
+        if best is None:
+            return None
+        return json.loads(self._compact_manifest_path(name, best).read_text())
+
+    def compact(self, name: str, upto: int, key_col: str = "url", n_buckets: int = 32) -> dict:
+        """Merge base + tail deltas of rounds <= upto into one hash-clustered
+        snapshot. Returns the compaction manifest. No-op (returns the current
+        manifest) when nothing new exists to compact."""
+        prev = self.latest_compaction(name, upto)
+        if prev is not None and prev["upto"] == upto:
+            return prev
+        df = self.read_union(name, upto)
+        if df is None:
+            return {"table": name, "upto": upto, "rows": 0, "n_buckets": n_buckets, "empty": True}
+        out = df.repartition(n_buckets, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
+        obs = Observation(f"compact-{name}-{upto}")
+        out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
+            str(self.compacted_path(name, upto))
+        )
+        manifest = {
+            "table": name,
+            "upto": upto,
+            "rows": int(obs.get["n"]),
+            "n_buckets": n_buckets,
+            "base": prev["upto"] if prev else None,
+            "committed_at": time.time(),
+        }
+        tmp = self._compact_manifest_path(name, upto).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, self._compact_manifest_path(name, upto))  # atomic
+        return manifest
+
     # -- read ----------------------------------------------------------
     def committed_rounds(self) -> list[int]:
         out = []
@@ -109,13 +172,18 @@ class SnapshotStore:
         return self.spark.read.parquet(str(self.table_path(name, rnd)))
 
     def read_union(self, name: str, upto: int) -> DataFrame | None:
-        """Delta table union over rounds 0..upto (e.g. url_seen, documents).
-        Missing rounds (table not written that round) are skipped."""
+        """Delta table union over rounds 0..upto (e.g. url_seen, documents):
+        the newest compacted base (if any) + only the tail delta dirs after
+        it. Missing rounds (table not written that round) are skipped."""
+        comp = self.latest_compaction(name, upto)
+        base_upto = comp["upto"] if comp else -1
         paths = [
             str(self.table_path(name, r))
             for r in self.committed_rounds()
-            if r <= upto and r in self._rounds_with(name)
+            if base_upto < r <= upto and r in self._rounds_with(name)
         ]
+        if comp is not None:
+            paths.insert(0, str(self.compacted_path(name, base_upto)))
         if not paths:
             return None
         return self.spark.read.parquet(*paths)

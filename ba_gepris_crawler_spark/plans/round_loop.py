@@ -42,6 +42,10 @@ class CrawlSettings:
     bloom_expected_items: int = 1 << 17  # sizes m once; incremental OR after
     use_bloom: bool = True
     extract: bool = True
+    # every K committed rounds, merge url_seen delta dirs into one
+    # hash-clustered snapshot (SnapshotStore.compact) so the seen union and
+    # the exact anti-join right side stop growing with round count. 0 = off.
+    compact_every: int = 8
 
 
 class CrawlEngine:
@@ -250,6 +254,10 @@ class CrawlEngine:
         if timing:
             counters["phase_secs"] = phases
         manifest = self.store.commit(rnd, tables, counters, lineage_rows)
+        if s.compact_every and rnd > 0 and rnd % s.compact_every == 0:
+            # post-commit so a compaction crash never loses a round; the
+            # round's own manifest is already visible
+            self.store.compact("url_seen", rnd, key_col="url", n_buckets=s.n_buckets)
         if bloom is not None:
             self._bloom, self._bloom_round = bloom, rnd
         elif s.use_bloom and rnd == 0:

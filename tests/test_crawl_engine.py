@@ -132,6 +132,28 @@ def test_resume_is_deterministic(spark, crawl_cfg, tmp_path_factory, run):
     assert a == b  # full crawl log: seen set + trace + statuses
 
 
+def test_compaction_preserves_seen_set_and_resume(spark, crawl_cfg, tmp_path_factory, run):
+    """Crawl with compact_every=2: url_seen reads must flow through the
+    compacted base + tail deltas and stay identical to the uncompacted run;
+    resume across a compaction boundary stays deterministic; compacted file
+    count is bounded by n_buckets (no small-file growth)."""
+    store_a, _, _ = run
+    store_c = SnapshotStore(spark, tmp_path_factory.mktemp("crawl_c"))
+    settings = _settings()
+    settings.compact_every = 2
+    engine = CrawlEngine(spark, crawl_cfg, store_c, settings)
+    engine.run(max_rounds=3)  # rounds 0..2 -> compaction at round 2
+    comp = store_c.latest_compaction("url_seen")
+    assert comp is not None and comp["upto"] == 2
+    parts = [p for p in store_c.compacted_path("url_seen", 2).glob("part-*") if p.stat().st_size]
+    assert 0 < len(parts) <= settings.n_buckets
+    # resume across the boundary with a fresh engine
+    CrawlEngine(spark, crawl_cfg, store_c, settings).resume(max_rounds=30)
+    a = {tuple(r) for r in store_a.read_union("url_seen", store_a.latest_round()).collect()}
+    c = {tuple(r) for r in store_c.read_union("url_seen", store_c.latest_round()).collect()}
+    assert a == c
+
+
 def test_published_tables_nonempty(spark, crawl_cfg, tmp_path_factory):
     """Smoke: full run with extraction on; published tables exist and agree
     with the documents that were crawled."""
