@@ -77,15 +77,23 @@ def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", num_perm: int = 16, bands: int = 4
 ) -> DataFrame:
     """(doc_a, doc_b) candidates: docs sharing any band bucket, paired with
-    the bucket's min-id anchor (linear in bucket size)."""
+    the bucket's min-id anchor (linear in bucket size).
+
+    One signature computation -> `bands` rows per doc via a SINGLE explode
+    of a band-struct array. A per-band unionByName would re-run the whole
+    upstream signature pipeline once per band: Spark does not reuse
+    non-persisted identical subplans (ReuseExchange does not fire)."""
     rows_per_band = num_perm // bands
-    parts = None
-    for b in range(bands):
-        cols = [F.col(f"m{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        part = sig.select(
-            F.col(id_col), F.lit(b).alias("band"), F.xxhash64(F.concat_ws("_", *cols)).alias("bkey")
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bkey', xxhash64(concat_ws('_', {cols})))".format(
+            b=b,
+            cols=", ".join(f"cast(m{b * rows_per_band + r} as string)" for r in range(rows_per_band)),
         )
-        parts = part if parts is None else parts.unionByName(part)
+        for b in range(bands)
+    )
+    parts = sig.select(
+        F.col(id_col), F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     w = Window.partitionBy("band", "bkey")
     return (
         parts.withColumn("anchor", F.min(id_col).over(w))
@@ -137,12 +145,14 @@ def simhash_near_dups(sim: DataFrame, id_col: str = "doc_id", max_hamming: int =
     """Near-dup pairs by Hamming distance, bucketed on 4 simhash quarters
     (two near-dups within distance<=3 share at least one exact quarter —
     pigeonhole), so the pairwise test only runs inside small buckets."""
-    parts = None
-    for q in range(4):
-        part = sim.select(
-            id_col, "simhash", F.lit(q).alias("q"), F.expr(f"(simhash >> {q * 16}) & 65535").alias("qkey")
-        )
-        parts = part if parts is None else parts.unionByName(part)
+    # single explode of quarter-structs (not a 4-way union: unpersisted
+    # shared subplans would recompute the simhash pipeline per quarter)
+    q_structs = ", ".join(
+        f"named_struct('q', {q}, 'qkey', shiftright(simhash, {q * 16}) & 65535)" for q in range(4)
+    )
+    parts = sim.select(
+        id_col, "simhash", F.explode(F.expr(f"array({q_structs})")).alias("qq")
+    ).select(id_col, "simhash", F.col("qq.q").alias("q"), F.col("qq.qkey").alias("qkey"))
     w = Window.partitionBy("q", "qkey")
     cand = (
         parts.withColumn("anchor", F.min(id_col).over(w))

@@ -58,6 +58,21 @@ def test_minhash_lsh_finds_near_dups(corpus):
         assert {a, b} <= {10, 11, 12, 20, 21}
 
 
+def test_lsh_banding_runs_signature_pipeline_once(corpus):
+    """The band fan-out must be a single explode, not an N-way union: Spark
+    re-runs unpersisted shared subplans per union branch, so the source
+    would be scanned `bands` times. One source scan in the physical plan
+    proves the signature pipeline runs once."""
+    toks = D.tokens(corpus)
+    sig = D.minhash_signatures(toks, unit_col="tok", num_perm=16)
+    plan = D.lsh_candidate_pairs(sig, num_perm=16, bands=4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+    sim_plan = D.simhash_near_dups(D.simhash(corpus))._jdf.queryExecution().executedPlan().toString()
+    # simhash_near_dups joins candidates back to sim twice (sh_a, sh_b):
+    # 3 scans total (1 candidate + 2 lookup), never 4+2 from a quarter union
+    assert sim_plan.count("Scan ExistingRDD") <= 3
+
+
 def test_simhash_near_dups(corpus):
     sim = D.simhash(corpus, bits=64)
     vals = {r.doc_id: r.simhash for r in sim.collect()}
