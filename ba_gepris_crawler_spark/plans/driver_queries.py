@@ -38,6 +38,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _span(kind: str, text: F.Column | str | None, media_ref: F.Column | str | None, offset: int) -> F.Column:
+    """One (kind, text, media_ref, offset) span struct for module-path
+    fixtures (schema.SPAN_STRUCT)."""
+    def _c(v):
+        if v is None:
+            return F.lit(None).cast("string")
+        return F.lit(v) if isinstance(v, str) else v
+    return F.struct(
+        F.lit(kind).alias("kind"),
+        _c(text).alias("text"),
+        _c(media_ref).alias("media_ref"),
+        F.lit(offset).cast("int").alias("offset"),
+    )
+
+
 # 60-bit portable string hash: identical in Spark and DuckDB.
 def _h60_spark(col: str) -> str:
     return f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
@@ -178,7 +193,17 @@ _TERM_DUCK = """
     """,
 )
 def crawl_funding_term_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2: the five-regex first-match-wins cascade (ExtractorHelpers.scala:25-38)."""
+    """F2 through the REAL extraction module (functions/extraction.py
+    funding_range_cols — ExtractorHelpers.scala:25-38): the fixture builds
+    span sequences with a 'Term' label + content span, runs with_fields,
+    and the module's five-regex first-match-wins cascade produces the
+    years. The oracle replays the cascade in SQL."""
+    from ba_gepris_crawler_spark.functions.extraction import (
+        field_text,
+        funding_range_cols,
+        with_fields,
+    )
+
     d = _t(spark, sf_dir, "documents")
     y1 = (F.lit(1998) + F.col("doc_id") % 20).cast("string")
     y2 = (F.lit(1998) + F.col("doc_id") % 20 + F.col("doc_id") % 7).cast("string")
@@ -190,25 +215,21 @@ def crawl_funding_term_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 6 == 4, F.lit("Currently being funded"))
         .otherwise(F.lit("Funding period unclear"))
     )
-    d = d.select("doc_id", term.alias("term"))
-    t = F.col("term")
-    start = (
-        F.when(t.rlike("from ([0-9]+) to ([0-9]+)"), F.regexp_extract(t, "from ([0-9]+) to ([0-9]+)", 1))
-        .when(t.rlike("since ([0-9]+)"), F.regexp_extract(t, "since ([0-9]+)", 1))
-        .when(t.rlike("Funded in ([0-9]+)"), F.regexp_extract(t, "Funded in ([0-9]+)", 1))
-        .when(t.rlike("until ([0-9]+)"), F.lit(""))
-        .when(t.rlike("Currently being funded"), F.lit("ongoing"))
-        .otherwise(F.lit(""))
+    docs = d.select(
+        "doc_id",
+        F.array(_span("name", "Term", None, 0), _span("text", term, None, 1)).alias("spans"),
     )
-    end = (
-        F.when(t.rlike("from ([0-9]+) to ([0-9]+)"), F.regexp_extract(t, "from ([0-9]+) to ([0-9]+)", 2))
-        .when(t.rlike("since ([0-9]+)"), F.lit(""))
-        .when(t.rlike("Funded in ([0-9]+)"), F.regexp_extract(t, "Funded in ([0-9]+)", 1))
-        .when(t.rlike("until ([0-9]+)"), F.regexp_extract(t, "until ([0-9]+)", 1))
-        .when(t.rlike("Currently being funded"), F.lit("ongoing"))
-        .otherwise(F.lit(""))
+    start, end = funding_range_cols()
+    return (
+        with_fields(docs)
+        .select(
+            "doc_id",
+            field_text("Term").alias("term"),
+            start.alias("start_year"),
+            end.alias("end_year"),
+        )
+        .orderBy("doc_id")
     )
-    return d.select("doc_id", "term", start.alias("start_year"), end.alias("end_year")).orderBy("doc_id")
 
 
 @_q(
@@ -222,18 +243,22 @@ def crawl_funding_term_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def crawl_multivalue_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: split '<br>' then ', ', trim, drop empties, distinct per doc."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(F.col("lang"), F.lit(", "), F.col("source"), F.lit("<br> "), F.col("lang"), F.lit(", zz")).alias("value"),
+    """F1 through the REAL extraction module (functions/extraction.py
+    multivalues): label+content span fixture -> with_fields -> the module's
+    '<br>' then ', ' split with trim/drop-empty/distinct (comma-trap
+    semantics reproduced from the reference)."""
+    from ba_gepris_crawler_spark.functions.extraction import multivalues, with_fields
+
+    value = F.concat(
+        F.col("lang"), F.lit(", "), F.col("source"), F.lit("<br> "), F.col("lang"), F.lit(", zz")
     )
-    items = F.expr(
-        "array_distinct(filter(transform("
-        "  flatten(transform(split(value, '<br>'), s -> split(s, ', '))),"
-        "  v -> trim(v)), v -> v != ''))"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(_span("name", "Subject Area", None, 0), _span("text", value, None, 1)).alias("spans"),
     )
     return (
-        d.select("doc_id", F.explode(items).alias("value_item"))
+        with_fields(docs)
+        .select("doc_id", F.explode(multivalues(["Subject Area"])).alias("value_item"))
         .distinct()
         .orderBy("doc_id", "value_item")
     )
@@ -249,13 +274,23 @@ def crawl_multivalue_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def crawl_email_deobfuscate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: <img...> -> '@' (PersonExtractorGraph.scala:46-51)."""
-    d = _t(spark, sf_dir, "documents")
-    obf = F.concat(
-        F.lit("user"), F.col("doc_id").cast("string"),
-        F.lit('<img src="/img/at.png">'), F.col("source"), F.lit(".example"),
+    """F5 through the REAL extraction module (functions/extraction.py
+    deobfuscated_email — PersonExtractorGraph.scala:46-51): the fixture
+    interleaves text spans with an img span under an 'E-Mail' label; the
+    module renders the field html ('<img src=...>' piece) and replaces
+    every img with '@'."""
+    from ba_gepris_crawler_spark.functions.extraction import deobfuscated_email, with_fields
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            _span("name", "E-Mail", None, 0),
+            _span("text", F.concat(F.lit("user"), F.col("doc_id").cast("string")), None, 1),
+            _span("img", None, "/img/at.png", 2),
+            _span("text", F.concat(F.col("source"), F.lit(".example")), None, 3),
+        ).alias("spans"),
     )
-    return d.select("doc_id", F.regexp_replace(obf, "<img[^<]*>", "@").alias("email")).orderBy("doc_id")
+    return with_fields(docs).select("doc_id", deobfuscated_email().alias("email")).orderBy("doc_id")
 
 
 @_q(
@@ -273,14 +308,28 @@ def crawl_email_deobfuscate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def crawl_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 id extraction: /gepris/projekt/(\\d+), non-matches dropped."""
-    d = _t(spark, sf_dir, "documents")
+    """F3 through the REAL extraction module (functions/extraction.py
+    link_ids): link spans under an anchored label -> /gepris/projekt/(\\d*)
+    ids in document order, non-matching hrefs dropped."""
+    from ba_gepris_crawler_spark.functions.extraction import link_ids, with_fields
+
     href = (
         F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/gepris/projekt/"), F.col("doc_id").cast("string")))
         .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/gepris/person/"), F.col("doc_id").cast("string")))
         .otherwise(F.concat(F.lit("/other/"), F.col("doc_id").cast("string")))
     )
-    d = d.select("doc_id", F.regexp_extract(href, "^/gepris/projekt/([0-9]+)$", 1).alias("project_id"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            _span("name", "Subproject of", None, 0), _span("link", "ref", href, 1)
+        ).alias("spans"),
+    )
+    d = with_fields(docs).select(
+        "doc_id",
+        F.coalesce(
+            F.try_element_at(link_ids("projekt", ["Subproject of"]), F.lit(1)), F.lit("")
+        ).alias("project_id"),
+    )
     return d.filter(F.col("project_id") != "").orderBy("doc_id")
 
 
