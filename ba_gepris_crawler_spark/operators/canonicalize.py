@@ -23,8 +23,13 @@ def canonical_url(url: Column | str) -> Column:
     scheme = F.lower(F.regexp_extract(c, _SCHEME_HOST, 1))
     host = F.lower(F.regexp_extract(c, _SCHEME_HOST, 2))
     rest = F.regexp_extract(c, _SCHEME_HOST, 3)
-    # strip fragment, default ports, trailing lone '?'
-    host = F.regexp_replace(host, ":80$|:443$", "")
+    # strip fragment, scheme-DEFAULT ports only (https://h:80 is a distinct
+    # origin from https://h and must NOT alias), trailing lone '?'
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
     rest = F.regexp_replace(rest, "#.*$", "")
     rest = F.regexp_replace(rest, r"\?$", "")
     rest = F.when(rest == "", F.lit("/")).otherwise(rest)

@@ -113,17 +113,21 @@ def crawl_frontier_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crawl_url_canonicalize",
     """
     SELECT doc_id,
-      CASE CAST(doc_id % 4 AS INT)
-        WHEN 0 THEN 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/path/' || CAST(doc_id AS VARCHAR)
-        WHEN 1 THEN 'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/path/' || CAST(doc_id AS VARCHAR) || '?x=1'
-        WHEN 2 THEN 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/path/' || CAST(doc_id AS VARCHAR)
+      CASE
+        WHEN doc_id % 4 = 0 THEN 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/path/' || CAST(doc_id AS VARCHAR)
+        WHEN doc_id % 4 = 1 THEN 'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/path/' || CAST(doc_id AS VARCHAR) || '?x=1'
+        WHEN doc_id % 8 = 2 THEN 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org:80/path/' || CAST(doc_id AS VARCHAR)
+        WHEN doc_id % 8 = 6 THEN 'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org:443/path/' || CAST(doc_id AS VARCHAR)
         ELSE 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/'
       END AS canonical
     FROM documents ORDER BY doc_id
     """,
 )
 def crawl_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine canonicalizer vs independently-constructed expected URLs."""
+    """Engine canonicalizer vs independently-constructed expected URLs.
+    Adversarial rows: https://h:80 and http://h:443 carry NON-default ports
+    that must survive canonicalization (only the scheme's own default port
+    is stripped)."""
     d = _t(spark, sf_dir, "documents")
     k = (F.col("doc_id") % 5).cast("string")
     i = F.col("doc_id").cast("string")
@@ -132,8 +136,10 @@ def crawl_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.concat(F.lit("HTTPS://Host"), k, F.lit(".Example.ORG:443/path/"), i, F.lit("#frag")))
         .when(F.col("doc_id") % 4 == 1,
               F.concat(F.lit("http://host"), k, F.lit(".example.org:80/path/"), i, F.lit("?x=1")))
-        .when(F.col("doc_id") % 4 == 2,
-              F.concat(F.lit("https://Host"), k, F.lit(".example.org/path/"), i, F.lit("?")))
+        .when(F.col("doc_id") % 8 == 2,
+              F.concat(F.lit("https://Host"), k, F.lit(".example.org:80/path/"), i, F.lit("?")))
+        .when(F.col("doc_id") % 8 == 6,
+              F.concat(F.lit("http://host"), k, F.lit(".example.org:443/path/"), i))
         .otherwise(F.concat(F.lit("https://host"), k, F.lit(".example.org")))
     )
     return d.select("doc_id", canonical_url(messy).alias("canonical")).orderBy("doc_id")
@@ -492,12 +498,20 @@ def dq_schema_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dq_population_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q8 shape: per-class counts vs stored population total."""
+    """Q8 shape: per-class counts vs population total — ONE scan: the total
+    is summed from the (tiny) per-class aggregate and broadcast back,
+    instead of a driver-side count() baked in as a literal (which costs an
+    extra full scan + a collect in the hot path)."""
     o = _t(spark, sf_dir, "orders")
-    total = o.count()
+    per_class = o.groupBy("o_orderstatus").agg(F.count("*").alias("n_orders"))
+    total = per_class.agg(F.sum("n_orders").alias("_total"))
     return (
-        o.groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n_orders"), F.round(F.count("*") / F.lit(total), 6).alias("coverage"))
+        per_class.crossJoin(F.broadcast(total))
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("_total"), 6).alias("coverage"),
+        )
         .orderBy("o_orderstatus")
     )
 
@@ -1220,13 +1234,19 @@ def dq_taxonomy_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("sa"), (F.col("doc_id") % 40).cast("string")).alias("subject_area")
     )
-    official = spark.createDataFrame([(f"sa{i}",) for i in range(20)], "subject_area string")
-    n_total = sa.count()
-    unmatched = sa.join(F.broadcast(official), "subject_area", "left_anti")
-    return unmatched.agg(
-        F.lit(n_total).cast("bigint").alias("n_total"),
-        F.count("*").alias("n_unmatched"),
-        F.round(1.0 - F.count("*") / F.lit(float(n_total)), 6).alias("dq_value"),
+    official = spark.createDataFrame([(f"sa{i}",) for i in range(20)], "subject_area string").withColumn(
+        "_m", F.lit(1)
+    )
+    # ONE scan: broadcast left join + conditional aggregate replaces the
+    # driver-side count() literal (count + anti-join was two scans).
+    unmatched = F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0))
+    return (
+        sa.join(F.broadcast(official), "subject_area", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            unmatched.cast("bigint").alias("n_unmatched"),
+            F.round(1.0 - unmatched / F.count(F.lit(1)), 6).alias("dq_value"),
+        )
     )
 
 
@@ -1244,13 +1264,20 @@ def dq_source_evidence_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-existence per id, dataquality-checks.Rmd:194-223; in Spark the
     evidence is a table, so existence = left_anti)."""
     c = _t(spark, sf_dir, "customer")
-    ev = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    n_ids = c.count()
-    missing = c.join(ev, "c_custkey", "left_anti")
-    return missing.agg(
-        F.lit(n_ids).cast("bigint").alias("n_ids"),
-        F.count("*").alias("n_without_evidence"),
-        F.round(1.0 - F.count("*") / F.lit(float(n_ids)), 6).alias("coverage"),
+    ev = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    # ONE scan of each table: deduped evidence keys left-joined +
+    # conditional aggregate (was: count() literal + anti-join = two
+    # customer scans and a driver collect in the hot path).
+    missing = F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0))
+    return c.join(ev, "c_custkey", "left").agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        missing.cast("bigint").alias("n_without_evidence"),
+        F.round(1.0 - missing / F.count(F.lit(1)), 6).alias("coverage"),
     )
 
 

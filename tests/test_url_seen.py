@@ -45,6 +45,10 @@ def test_canonicalize(spark):
         ("http://Host.de:80/a?x=1", "http://host.de/a?x=1"),
         ("https://h.de", "https://h.de/"),
         ("https://h.de/p?", "https://h.de/p"),
+        # NON-default ports are distinct origins and must survive
+        ("https://h.de:80/x", "https://h.de:80/x"),
+        ("http://h.de:443/x", "http://h.de:443/x"),
+        ("ftp://h.de:80/x", "ftp://h.de:80/x"),
         ("not a url", "not a url"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
