@@ -170,6 +170,111 @@ def simhash_near_dups(sim: DataFrame, id_col: str = "doc_id", max_hamming: int =
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step: every node's strictly-larger neighbors connect to
+    the min of its closed neighborhood."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step: orient edges larger->smaller; each node and its
+    smaller neighbors connect to the neighborhood min."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 30
+) -> DataFrame:
+    """Connected components over an undirected edge list via the
+    alternating large-star / small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm, re-expressed as DataFrame ops). Converges in O(log n)
+    alternation rounds; every step is a groupBy-min + join — no windows,
+    no driver-side data. Returns (node, component_id) for every node that
+    appears in an edge, component_id = min node id of its component.
+
+    This is the missing piece between near-dup PAIR generation
+    (lsh_candidate_pairs / simhash_near_dups) and "keep one doc per
+    duplicate cluster": pairs rarely form cliques, so keeping
+    min-per-pair under-deletes without the transitive closure."""
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col(a_col).alias("node"))
+        .unionByName(edges.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).persist()
+        row = e2.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent set checksum, overflow-free (ANSI)
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        e.unpersist()
+        e = e2
+        if sig == prev_sig:  # star fixpoint: every node points at its root
+            break
+        prev_sig = sig
+    # cut the iteration lineage (and free the loop cache) so consumers of
+    # the returned frame never replay the alternation chain
+    final = e.localCheckpoint(eager=True)
+    e.unpersist()
+    labels = final.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component_id"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component_id", F.col("node")).alias("component_id")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup clustering: shingle-free token MinHash+LSH pairs
+    -> Jaccard verification -> connected components -> (doc_id,
+    cluster_keeper_id). Docs in no cluster keep themselves."""
+    tok = tokens(df, text_col, id_col).persist()
+    sig = minhash_signatures(tok, id_col=id_col, unit_col="tok", num_perm=num_perm)
+    cand = lsh_candidate_pairs(sig, id_col=id_col, num_perm=num_perm, bands=bands)
+    pairs = verified_near_dups(cand, tok, id_col=id_col, unit_col="tok", threshold=threshold)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    out = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component_id", F.col(id_col)).alias("cluster_keeper_id"),
+        )
+    )
+    tok.unpersist()
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

@@ -994,6 +994,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 IN (0, 1, 2, 3)
+      UNION ALL
+      SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 10 = 6),
+    e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    reach(node, r) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node)
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clustering through the REAL module
+    (operators/dedup.py connected_components — alternating large/small
+    star): chains (i..i+4 for i%10=0) and skip pairs (i, i+2 for i%10=6)
+    derived from doc_ids; the oracle computes components via a recursive
+    CTE (transitive closure + min label). This is the step between
+    near-dup pair generation and 'keep one doc per duplicate cluster'."""
+    from ba_gepris_crawler_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    chain = d.filter(F.col("doc_id") % 10 < 4).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    skip = d.filter(F.col("doc_id") % 10 == 6).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 2).alias("doc_b")
+    )
+    comp = connected_components(chain.unionByName(skip), "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component_id").cast("bigint").alias("component_id"),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # emb_* — similarity search over the embedding column
 # --------------------------------------------------------------------------

@@ -58,6 +58,29 @@ def test_minhash_lsh_finds_near_dups(corpus):
         assert {a, b} <= {10, 11, 12, 20, 21}
 
 
+def test_connected_components_chain_and_star(spark):
+    """A 4-chain, a triangle, and a singleton pair: every node must get the
+    component min, including nodes only reachable transitively (the case
+    min-per-pair keeps wrong)."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.component_id for r in D.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_planted_group(corpus):
+    """The planted 3-doc exact-dup group (10, 11, 12) must collapse into
+    ONE cluster kept by doc 10; the near-dup pair (20, 21) clusters too;
+    unrelated docs keep themselves."""
+    out = {r.doc_id: r.cluster_keeper_id for r in D.dedup_clusters(corpus, threshold=0.7).collect()}
+    assert len(out) == 60
+    assert out[10] == out[11] == out[12] == 10
+    assert out[20] == out[21] == 20
+    assert out[0] == 0 and out[55] == 55
+
+
 def test_lsh_banding_runs_signature_pipeline_once(corpus):
     """The band fan-out must be a single explode, not an N-way union: Spark
     re-runs unpersisted shared subplans per union branch, so the source
