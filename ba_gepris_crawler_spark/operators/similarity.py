@@ -84,6 +84,45 @@ def ivf_topk(
     )
 
 
+def portable_hyperplane_sketch(
+    df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane sign sketch with +-1 weights from a PORTABLE md5
+    parity hash (w[p][i] = +1 iff md5('p_i') is even) — bit-identical
+    replayable in DuckDB, so the sketch is oracle-checkable end to end.
+    random_hyperplane_sketch (xxhash64 weights, real-valued hyperplanes)
+    stays the scale path; bucketing semantics are the same."""
+    bit_exprs = []
+    for p in range(n_planes):
+        w = (
+            f"CASE WHEN cast(conv(substring(md5(concat('{p}_', cast(i as string))), 1, 15), 16, 10) as bigint) % 2 = 0 "
+            "THEN cast(1.0 as double) ELSE cast(-1.0 as double) END"
+        )
+        dot = (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
+            f" (x, i) -> cast(x as double) * ({w})),"
+            " cast(0 as double), (acc, v) -> acc + v)"
+        )
+        bit_exprs.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {1 << p}")
+    return df.select(id_col, F.expr(" + ".join(bit_exprs)).cast("long").alias("lsh_sketch"))
+
+
+def sketch_bucket_pairs(sketch: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(vec_a, vec_b, sketch) candidate pairs: vectors sharing a sketch
+    bucket, paired with the bucket's min-id anchor — linear in bucket
+    size, same shape as the LSH/SimHash text paths."""
+    w = Window.partitionBy("lsh_sketch")
+    return (
+        sketch.withColumn("anchor", F.min(id_col).over(w))
+        .filter(F.col(id_col) > F.col("anchor"))
+        .select(
+            F.col("anchor").alias("vec_a"),
+            F.col(id_col).alias("vec_b"),
+            F.col("lsh_sketch").alias("sketch"),
+        )
+    )
+
+
 def random_hyperplane_sketch(
     df: DataFrame, n_planes: int = 16, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42
 ) -> DataFrame:

@@ -1119,6 +1119,40 @@ def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_BITS_DUCK = " + ".join(
+    "(CASE WHEN list_aggregate(list_transform(range(1, len(embedding) + 1), i -> embedding[i] * "
+    f"(CASE WHEN ('0x' || substr(md5('{p}_' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 "
+    f"THEN 1.0 ELSE -1.0 END)), 'sum') >= 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(8)
+)
+
+
+@_q(
+    "emb_lsh_bucket_pairs",
+    f"""
+    WITH sk AS (SELECT vec_id, CAST({_LSH_BITS_DUCK} AS BIGINT) AS lsh_sketch FROM embeddings),
+    a AS (SELECT vec_id, lsh_sketch, min(vec_id) OVER (PARTITION BY lsh_sketch) AS anchor FROM sk)
+    SELECT CAST(anchor AS BIGINT) AS vec_a, CAST(vec_id AS BIGINT) AS vec_b,
+           CAST(lsh_sketch AS BIGINT) AS sketch
+    FROM a WHERE vec_id > anchor ORDER BY vec_a, vec_b
+    """,
+)
+def emb_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs through the REAL module
+    (operators/similarity.py portable_hyperplane_sketch +
+    sketch_bucket_pairs): 8 sign bits from md5-parity +-1 hyperplanes,
+    bucket-anchor pairing (linear in bucket size). The oracle replays the
+    identical double-precision fold and hash in DuckDB."""
+    from ba_gepris_crawler_spark.operators.similarity import (
+        portable_hyperplane_sketch,
+        sketch_bucket_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sk = portable_hyperplane_sketch(emb, n_planes=8)
+    return sketch_bucket_pairs(sk).orderBy("vec_a", "vec_b")
+
+
 @_q(
     "emb_neardup_pairs",
     f"""
