@@ -43,10 +43,16 @@ def fetch_pages(
     site_cfg: SiteConfig,
     per_host_rate: float,
     n_buckets: int = 32,
-    session_token: str = "JSESSIONID-00000",
+    session_token: str | None = None,
+    epoch: int = 0,
 ) -> DataFrame:
     """scheduled: output of politeness.schedule_round(...).fetch_now.
-    Returns the same rows + (status, spans, virtual_cost_sec)."""
+    Returns the same rows + (status, spans, virtual_cost_sec).
+
+    Cookie flow: the (possibly stale) session token is broadcast; a 401
+    response triggers an ON-WORKER re-fetch of the session endpoint +
+    one retry (the reference's re-fetch-on-demand,
+    CookieFlowGraph.scala:30-58) — no driver round-trip, once per batch."""
     spark = scheduled.sparkSession
     cfg_bc = spark.sparkContext.broadcast(site_cfg)
     token_bc = spark.sparkContext.broadcast(session_token)  # session/cookie analog
@@ -56,13 +62,19 @@ def fetch_pages(
     out_schema = T.StructType(list(in_schema.fields) + FETCH_RESULT_FIELDS)
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ba_gepris_crawler_spark.operators.cookies import parse_set_cookie
+        from ba_gepris_crawler_spark.sources.synthetic_site import fetch_session_header
+
         cfg = cfg_bc.value
-        _ = token_bc.value  # a real fetcher would send this cookie
+        token = token_bc.value  # sent with every request
         for pdf in batches:
             statuses = []
             spans = []
             for url in pdf["url"]:
-                st, sp = render_page(cfg, url)  # the simulated HTTP round-trip
+                st, sp = render_page(cfg, url, token, epoch)  # simulated HTTP round-trip
+                if st == 401:  # stale session: refresh cookie on the worker, retry once
+                    _n, token, _a = parse_set_cookie(fetch_session_header(cfg, epoch))
+                    st, sp = render_page(cfg, url, token, epoch)
                 statuses.append(st)
                 spans.append([{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in sp])
             # virtual politeness cost: each slot-wave of a host costs 1/rate

@@ -1695,6 +1695,41 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "crawl_cookie_parse",
+    """
+    WITH h AS (SELECT doc_id,
+      'JSESSIONID=tok' || CAST(doc_id AS VARCHAR) || '; Path=/gepris; HttpOnly' ||
+      CASE WHEN doc_id % 2 = 0 THEN '; Secure' ELSE '' END AS header
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(header, '^\\s*([^=;\\s]+)=', 1) AS cookie_name,
+           regexp_extract(header, '^\\s*[^=;\\s]+=([^;]*)', 1) AS cookie_value,
+           regexp_extract(header, '(?i);\\s*Path=([^;]*)', 1) AS cookie_path,
+           regexp_matches(header, '(?i);\\s*HttpOnly(;|$)') AS http_only,
+           regexp_matches(header, '(?i);\\s*Secure(;|$)') AS secure
+    FROM h ORDER BY doc_id
+    """,
+)
+def crawl_cookie_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/S9 through the REAL module (operators/cookies.py
+    cookie_field_cols): native-expression Set-Cookie parse — name, value,
+    Path, HttpOnly/Secure flags (reference parses the landing page's
+    Set-Cookie header, CookieFlowGraph.scala:39-44)."""
+    from ba_gepris_crawler_spark.operators.cookies import cookie_field_cols
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("JSESSIONID=tok"), F.col("doc_id").cast("string"),
+            F.lit("; Path=/gepris; HttpOnly"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("; Secure")).otherwise(F.lit("")),
+        ).alias("header"),
+    )
+    cols = cookie_field_cols("header")
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()]).orderBy("doc_id")
+
+
+@_q(
     "emb_ivf_probe_topk",
     f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ba_gepris_crawler_spark.functions import extraction as X
 from ba_gepris_crawler_spark.operators import frontier as FR
+from ba_gepris_crawler_spark.operators.cookies import CookieJar
 from ba_gepris_crawler_spark.operators import url_seen as US
 from ba_gepris_crawler_spark.operators.fetch import fetch_pages, to_documents
 from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, schedule_round
@@ -56,6 +57,9 @@ class CrawlEngine:
         self.s = settings or CrawlSettings()
         self._bloom = None  # incremental bloom state (rebuilt on resume)
         self._bloom_round: int = -10
+        # session cookie cache (one Set-Cookie fetch+parse per epoch;
+        # reference: CookieFlowGraph.scala:30-58)
+        self._jar = CookieJar()
 
     # ---------------- state loading ----------------
     def _prev_state(self, rnd: int) -> tuple[DataFrame, DataFrame]:
@@ -116,7 +120,13 @@ class CrawlEngine:
 
         _mark('candidates_count')
         fetch_now, deferred = schedule_round(candidates, s.politeness, s.n_buckets)
-        fetched = fetch_pages(fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets)
+        # session cookie: refreshed once per epoch, broadcast into the fetch
+        epoch = rnd // self.site.session_rounds if self.site.session_rounds else 0
+        token = self._jar.get(self.site, epoch) if self.site.session_rounds else None
+        fetched = fetch_pages(
+            fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets,
+            session_token=token, epoch=epoch,
+        )
 
         # WRITE-ONCE layout: the fetch stage streams straight into the round's
         # documents table (all rows incl. quarantined errors + politeness
@@ -251,6 +261,9 @@ class CrawlEngine:
             "virtual_cost_sec": max((r["virtual_cost_sec"] for r in lineage_rows), default=0.0),
             "done": False,
         }
+        if self.site.session_rounds:
+            counters["session_epoch"] = epoch
+            counters["cookie_fetches"] = self._jar.fetches
         if timing:
             counters["phase_secs"] = phases
         manifest = self.store.commit(rnd, tables, counters, lineage_rows)

@@ -26,6 +26,7 @@ institution->institution.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import random
 import re
@@ -141,6 +142,11 @@ class SiteConfig:
     # page heft multiplier (longer descriptions, more relation links) —
     # bench tiers use >1 so page payloads approximate real GEPRIS pages
     page_weight: int = 1
+    # session-cookie rotation: when > 0, detail/catalog pages demand the
+    # JSESSIONID of the current epoch (= round // session_rounds) and
+    # answer 401 otherwise — the synthetic analog of the reference's
+    # cookie-gated session (CookieFlowGraph.scala:30-58). 0 = no cookie.
+    session_rounds: int = 0
 
     @property
     def id_base(self) -> dict[str, int]:
@@ -402,11 +408,33 @@ def _catalog_spans(cfg: SiteConfig, rtype: str, host: str, index: int) -> list[t
     return s.spans
 
 
-def render_page(cfg: SiteConfig, url: str) -> tuple[int, list[tuple[str, str, str, int]]]:
-    """The pure 'HTTP server'. Returns (status, spans)."""
+def session_token(cfg: SiteConfig, epoch: int = 0) -> str:
+    """The epoch's valid JSESSIONID value (deterministic; rotates when the
+    epoch = round // session_rounds advances)."""
+    return "JSID" + hashlib.md5(f"{cfg.seed}:session:{epoch}".encode()).hexdigest()[:16].upper()
+
+
+def fetch_session_header(cfg: SiteConfig, epoch: int = 0) -> str:
+    """The session endpoint: returns a Set-Cookie-shaped response header
+    (the reference fetches the landing page and reads Set-Cookie,
+    CookieFlowGraph.scala:39-44)."""
+    return f"JSESSIONID={session_token(cfg, epoch)}; Path=/gepris; HttpOnly; Secure"
+
+
+def render_page(
+    cfg: SiteConfig,
+    url: str,
+    token: str | None = None,
+    epoch: int = 0,
+) -> tuple[int, list[tuple[str, str, str, int]]]:
+    """The pure 'HTTP server'. Returns (status, spans). With
+    session_rounds > 0 a request whose cookie token is not the epoch's
+    JSESSIONID is rejected with 401 (cookie-gated session)."""
     p = parse_url(url)
     if p.kind == "unknown" or p.host not in cfg.hosts:
         return 404, []
+    if cfg.session_rounds > 0 and token != session_token(cfg, epoch):
+        return 401, []
     if p.kind == "catalog":
         if p.resource_type is None:
             return 404, []

@@ -27,6 +27,7 @@ from ba_gepris_crawler_spark.sources.synthetic_site import (
     SiteConfig,
     render_page,
     seed_urls,
+    session_token,
 )
 
 _PRIORITY = {"catalog": 0, "project": 1, "person": 2, "institution": 3}
@@ -95,8 +96,10 @@ def simulate_crawl(
         # trace order: (depth, priority, host, host_rank)
         fetch_now.sort(key=lambda t: (t[0].crawl_depth, t[0].priority, t[0].host, t[1]))
         discovered: list[Entry] = []
+        epoch = rnd // cfg.session_rounds if cfg.session_rounds else 0
+        token = session_token(cfg, epoch) if cfg.session_rounds else None
         for seq, (e, _rank) in enumerate(fetch_now, start=1):
-            status, spans = render_page(cfg, e.url)
+            status, spans = render_page(cfg, e.url, token, epoch)
             res.seen[e.url] = rnd
             res.trace.append((rnd, seq, e.url))
             if status != 200:
