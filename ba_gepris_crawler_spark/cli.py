@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("export")
     e.add_argument("root")
     e.add_argument("--out", default=None, help="output dir (default <root>/final)")
-    e.add_argument("--format", dest="fmt", choices=["parquet", "csv"], default="parquet")
+    e.add_argument("--format", dest="fmt", choices=["parquet", "csv", "sqlite"], default="parquet")
     args = p.parse_args(argv)
 
     spark = get_spark(app_name=f"gepris-{args.cmd}")

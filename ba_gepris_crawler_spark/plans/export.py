@@ -47,8 +47,77 @@ def _flat_columns(df: DataFrame) -> list[str]:
 
 
 def dedup_for_export(name: str, df: DataFrame) -> DataFrame:
+    """Deterministic winner per unique key: the lexicographic min over the
+    remaining columns (dropDuplicates keeps an ARBITRARY row per key, so a
+    re-crawled page could flip the export between runs; the reference's
+    SQLite unique index keeps the first INSERT, which is crawl-order
+    stable — this is the distributed equivalent of 'stable winner')."""
     key = UNIQUE_KEYS.get(name)
-    return df.dropDuplicates(key) if key else df
+    if not key:
+        return df
+    others = sorted(c for c in df.columns if c not in key)
+    if not others:
+        return df.dropDuplicates(key)
+    win = df.groupBy(*key).agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_w"))
+    return win.select(*key, *[F.col(f"_w.{c}").alias(c) for c in others]).select(*df.columns)
+
+
+_SQLITE_AFFINITY = {
+    "tinyint": "INTEGER", "smallint": "INTEGER", "int": "INTEGER",
+    "bigint": "INTEGER", "boolean": "INTEGER",
+    "float": "REAL", "double": "REAL",
+}
+
+
+def export_sqlite(tables: dict[str, DataFrame], db_path: str, batch_size: int = 5000) -> dict[str, int]:
+    """The reference's one true final artifact (SqliteDBCreator.scala:29-200
+    / SqliteAccess.scala:11-156): one SQLite file, one table per published
+    table with a UNIQUE index on the reference's constraint keys, rows
+    batch-inserted with INSERT OR IGNORE. Nested Seq-columns are dropped
+    (toCsvRow contract; they live in the exploded relation tables). Rows
+    stream through toLocalIterator in batches — driver memory stays
+    O(batch), and the FINAL exports are small by construction (typed rows,
+    no spans). Rows are pre-deduped with the deterministic export winner,
+    so OR IGNORE is a belt-and-braces constraint, not the dedup mechanism."""
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    counts: dict[str, int] = {}
+    try:
+        for name, df in tables.items():
+            out = dedup_for_export(name, df)
+            flat = _flat_columns(out)
+            out = out.select(*flat)
+            ddl_cols = ", ".join(
+                f'"{f.name}" {_SQLITE_AFFINITY.get(f.dataType.simpleString(), "TEXT")}'
+                for f in out.schema.fields
+            )
+            con.execute(f'DROP TABLE IF EXISTS "{name}"')
+            con.execute(f'CREATE TABLE "{name}" ({ddl_cols})')
+            key = UNIQUE_KEYS.get(name)
+            if key:
+                key_cols = ", ".join(f'"{k}"' for k in key)
+                con.execute(
+                    f'CREATE UNIQUE INDEX "ux_{name}" ON "{name}" ({key_cols})'
+                )
+            placeholders = ", ".join("?" for _ in flat)
+            ins = f'INSERT OR IGNORE INTO "{name}" VALUES ({placeholders})'
+            batch: list[tuple] = []
+            n = 0
+            for row in out.toLocalIterator():
+                batch.append(tuple(None if v is None else v if isinstance(v, (int, float, str, bytes)) else str(v) for v in row))
+                if len(batch) >= batch_size:
+                    con.executemany(ins, batch)
+                    n += len(batch)
+                    batch = []
+            if batch:
+                con.executemany(ins, batch)
+                n += len(batch)
+            con.commit()
+            counts[name] = con.execute(f'SELECT count(*) FROM "{name}"').fetchone()[0]
+    finally:
+        con.close()
+    return counts
 
 
 def export_tables(
@@ -56,7 +125,13 @@ def export_tables(
 ) -> dict[str, int]:
     """Write every published table under <out_dir>/<name>; returns row
     counts. CSV mode drops nested columns (reference toCsvRow contract) and
-    quotes every value (QUOTE_NONNUMERIC analog)."""
+    quotes every value (QUOTE_NONNUMERIC analog). sqlite mode writes ONE
+    <out_dir>/gepris.sqlite file via export_sqlite."""
+    if fmt == "sqlite":
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        return export_sqlite(tables, f"{out_dir}/gepris.sqlite")
     counts: dict[str, int] = {}
     for name, df in tables.items():
         out = dedup_for_export(name, df)

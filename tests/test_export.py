@@ -45,6 +45,47 @@ def test_csv_export_flat_and_quoted(spark, tmp_path):
     assert '"He said ""hi"""' in body
 
 
+def test_dedup_winner_is_deterministic(spark):
+    """The kept row per unique key must not depend on partitioning or input
+    order (dropDuplicates keeps an arbitrary row; the export uses a
+    lexicographic-min winner instead)."""
+    rows = [("p1", "B title", ["Y"]), ("p1", "A title", ["X"]), ("p2", "C", [])]
+    schema = "project_id string, title string, subject_areas array<string>"
+    a = dedup_for_export("projects", spark.createDataFrame(rows, schema).repartition(7))
+    b = dedup_for_export("projects", spark.createDataFrame(list(reversed(rows)), schema).repartition(2))
+    got_a = {(r.project_id, r.title) for r in a.collect()}
+    got_b = {(r.project_id, r.title) for r in b.collect()}
+    assert got_a == got_b == {("p1", "A title"), ("p2", "C")}
+
+
+def test_sqlite_export(spark, tmp_path):
+    """SqliteDBCreator analog: one db file, unique indexes on the
+    constraint keys, dedup applied, duplicate re-inserts ignored."""
+    import sqlite3
+
+    from ba_gepris_crawler_spark.plans.export import export_sqlite
+
+    rel = spark.createDataFrame(
+        [("p1", "h1", "APPLICANT"), ("p1", "h1", "APPLICANT"), ("p1", "h2", "LEADER")],
+        "project_id string, person_id string, relation_type string",
+    )
+    counts = export_sqlite(
+        {"projects": _projects(spark), "project_person_relations": rel},
+        str(tmp_path / "gepris.sqlite"),
+    )
+    assert counts == {"projects": 2, "project_person_relations": 2}
+    con = sqlite3.connect(tmp_path / "gepris.sqlite")
+    assert con.execute("SELECT count(*) FROM projects").fetchone()[0] == 2
+    idx = con.execute("PRAGMA index_list('projects')").fetchall()
+    assert any(row[2] == 1 for row in idx)  # a UNIQUE index exists
+    cols = [r[1] for r in con.execute("PRAGMA table_info('projects')").fetchall()]
+    assert cols == ["project_id", "title"]  # nested Seq-column dropped
+    # the unique index actually enforces: OR IGNORE drops a re-insert
+    con.execute("INSERT OR IGNORE INTO projects VALUES ('p1', 'again')")
+    assert con.execute("SELECT count(*) FROM projects").fetchone()[0] == 2
+    con.close()
+
+
 def test_tables_without_key_pass_through(spark):
     df = spark.range(5).select(F.col("id").alias("x"))
     assert dedup_for_export("no_such_table", df).count() == 5
