@@ -63,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--buckets", type=int, default=32)
         c.add_argument("--seed", type=int, default=42)
         c.add_argument("--max-rounds", type=int, default=30)
+        if name == "resume-crawl":
+            c.add_argument(
+                "--from-round", dest="from_round", type=int, default=None,
+                help="deliberately rewind: drop rounds > k, re-run from k+1 "
+                     "(App.scala:39-43 stage override analog)",
+            )
     d = sub.add_parser("dq")
     d.add_argument("root")
     e = sub.add_parser("export")
@@ -104,6 +110,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "new-crawl":
             manifests = engine.run(max_rounds=args.max_rounds)
         else:
+            if getattr(args, "from_round", None) is not None:
+                dropped = store.truncate_after(args.from_round)
+                print(json.dumps({"rewound_to": args.from_round, "dropped_rounds": dropped}))
             manifests = engine.resume(max_rounds=args.max_rounds)
         for m in manifests:
             print(json.dumps(m["counters"]))

@@ -95,6 +95,16 @@ def build_bloom(
     if nbytes <= 64 * 1024 * 1024:
         # Arrow-vectorized shard build: one bitmap row per partition,
         # collected and OR'd on the driver (shards are small at this m).
+        # Driver-memory guard: the collect brings nbytes * n_partitions
+        # onto the driver — a many-file url_seen union could exceed the
+        # heap, so coalesce the hashed rows first when the shard volume
+        # would pass ~2 GiB (the treeReduce path below stays the giant-
+        # filter escape hatch).
+        max_collect = 2 << 30
+        n_parts = hashed.rdd.getNumPartitions()
+        if nbytes * max(n_parts, 1) > max_collect:
+            hashed = hashed.coalesce(max(1, max_collect // nbytes))
+
         def shard_pd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             bits = np.zeros(nbytes, dtype=np.uint8)
             for pdf in batches:

@@ -102,6 +102,23 @@ class SnapshotStore:
         p = self.root / "config.json"
         return json.loads(p.read_text()) if p.exists() else None
 
+    # -- deliberate rewind (App.scala:39-43 stage/round override analog) --
+    def truncate_after(self, rnd: int) -> list[int]:
+        """Un-commit every round AFTER `rnd` (and any compaction built on
+        them) by deleting their manifests; the orphaned data dirs are
+        overwritten by the deterministic re-run. Returns the dropped
+        rounds. This is the `--from-round k` deliberate-rewind: strictly
+        safer than the reference's directory heuristics because visibility
+        is manifest-only."""
+        dropped = [r for r in self.committed_rounds() if r > rnd]
+        for r in dropped:
+            self.manifest_path(r).unlink()
+        for p in (self.root / "manifests").glob("compact-*.json"):
+            m = re.match(r"compact-.+-(\d+)\.json$", p.name)
+            if m and int(m.group(1)) > rnd:
+                p.unlink()
+        return dropped
+
     # -- compaction ----------------------------------------------------
     def compacted_path(self, name: str, upto: int) -> Path:
         return self.root / "compacted" / name / f"upto={upto:05d}"

@@ -170,6 +170,40 @@ def q8_population_coverage(documents: DataFrame) -> DataFrame:
     )
 
 
+_NOT_FOUND_MARKER = "requested page was not found"
+
+
+def liveness_class(status, body) -> F.Column:
+    """URL liveness classification (dataquality-checks.Rmd:484-570): the
+    reference probes URLs and flags the false-200 case — GEPRIS answers
+    200 with a 'requested page was not found' body for dead resources —
+    separately from genuine 4xx/5xx."""
+    status = F.col(status) if isinstance(status, str) else status
+    body = F.col(body) if isinstance(body, str) else body
+    return (
+        F.when((status == 200) & F.lower(F.coalesce(body, F.lit(""))).contains(_NOT_FOUND_MARKER), "false_200")
+        .when(status == 200, "live")
+        .when((status >= 400) & (status < 500), "client_error")
+        .when(status >= 500, "server_error")
+        .otherwise("other")
+    )
+
+
+def q9_url_liveness(url_seen: DataFrame, documents: DataFrame) -> DataFrame:
+    """Per-class liveness counts over the crawl log, with the false-200
+    body check against the fetched page text (first text span)."""
+    body = documents.select(
+        "url",
+        F.expr("coalesce(get(filter(spans, s -> s.kind = 'text'), 0).text, '')").alias("_body"),
+    )
+    return (
+        url_seen.join(body, "url", "left")
+        .groupBy(liveness_class("status", "_body").alias("liveness"))
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("liveness")
+    )
+
+
 def run_all(spark: SparkSession, tables: dict[str, DataFrame], official: DataFrame, sample_ids: list[str] | None = None) -> dict[str, DataFrame]:
     sample_ids = sample_ids or [r.project_id for r in tables["projects"].select("project_id").orderBy("project_id").limit(5).collect()]
     return {
@@ -192,4 +226,9 @@ def run_all(spark: SparkSession, tables: dict[str, DataFrame], official: DataFra
             tables["project_person_relations"], tables["project_institution_relations"],
         ),
         "q8_population_coverage": q8_population_coverage(tables["documents"]),
+        **(
+            {"q9_url_liveness": q9_url_liveness(tables["url_seen"], tables["documents"])}
+            if "url_seen" in tables
+            else {}
+        ),
     }

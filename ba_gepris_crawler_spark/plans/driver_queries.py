@@ -951,7 +951,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tok feeds the signature, both sides of the verify join, and the size
     # table — persist the post-shuffle distinct once instead of 4 rescans
     # (without it the whole tokenize+distinct pipeline re-runs per consumer:
-    # 24 parquet scans, 0 reused exchanges).
+    # 24 parquet scans, 0 reused exchanges). The cache outlives this call
+    # (the result is lazy); callers running many queries in one session
+    # should spark.catalog.clearCache() after materializing (bench.py does).
     tok = d.select("doc_id", F.explode("toks").alias("tok")).distinct().persist()
     h = tok.select("doc_id", F.expr(f"{_h60_spark('tok')} % {_MINHASH_P}").alias("hv"))
     sig = h.groupBy("doc_id").agg(*_minhash_cols_spark())
@@ -1692,6 +1694,51 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("url", F.col("path"))
     cfg = PolitenessConfig(disallow=(("h1.example.org", "^/private/"), ("h2.example.org", ".*")))
     return apply_robots(d, cfg).select("doc_id", "host", "path").orderBy("doc_id")
+
+
+@_q(
+    "dq_url_liveness",
+    """
+    WITH f AS (SELECT doc_id,
+      CASE WHEN doc_id % 13 = 0 THEN 404 WHEN doc_id % 13 = 1 THEN 503 ELSE 200 END AS status,
+      CASE WHEN doc_id % 9 = 0 THEN 'Error: The requested page was not found on this server'
+           ELSE text END AS body
+      FROM documents)
+    SELECT CASE
+        WHEN status = 200 AND contains(lower(body), 'requested page was not found') THEN 'false_200'
+        WHEN status = 200 THEN 'live'
+        WHEN status >= 400 AND status < 500 THEN 'client_error'
+        WHEN status >= 500 THEN 'server_error'
+        ELSE 'other' END AS liveness,
+      CAST(count(*) AS BIGINT) AS n_urls
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq_url_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL liveness probe through the REAL module (plans/dq.py
+    liveness_class — dataquality-checks.Rmd:484-570): classifies fetch
+    outcomes incl. the reference's false-200 caveat, where a dead GEPRIS
+    resource answers 200 with a 'requested page was not found' body."""
+    from ba_gepris_crawler_spark.plans.dq import liveness_class
+
+    f = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, 404)
+        .when(F.col("doc_id") % 13 == 1, 503)
+        .otherwise(200)
+        .alias("status"),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.lit("Error: The requested page was not found on this server"),
+        )
+        .otherwise(F.col("text"))
+        .alias("body"),
+    )
+    return (
+        f.groupBy(liveness_class("status", "body").alias("liveness"))
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("liveness")
+    )
 
 
 @_q(

@@ -109,8 +109,17 @@ class CrawlEngine:
         # The frontier written at round k-1 was already anti-joined against
         # the full seen set, and new_urls is exact (bloom only pre-gates), so
         # |candidates| == the frontier_next count carried in the manifest —
-        # no count job needed except at round 0 / legacy manifests.
-        n_candidates = None if rnd == 0 else self.store.manifest(rnd - 1)["counters"].get("frontier_next")
+        # no count job needed except at round 0 / hand-seeded stores. The
+        # shortcut is gated on the frontier_exact manifest flag: only
+        # engine-written frontiers carry it (a hand-seeded frontier, e.g.
+        # the bench steady harness with 30% pre-seen URLs, does not, and
+        # gets an honest count).
+        prev_counters = None if rnd == 0 else self.store.manifest(rnd - 1)["counters"]
+        n_candidates = (
+            prev_counters.get("frontier_next")
+            if prev_counters is not None and prev_counters.get("frontier_exact")
+            else None
+        )
         if n_candidates is None:
             n_candidates = candidates.count()
         if n_candidates == 0:
@@ -256,6 +265,7 @@ class CrawlEngine:
             "errors": n_errors,
             "discovered_raw": n_discovered_raw,
             "frontier_next": tables["frontier"],
+            "frontier_exact": True,  # engine-written: already seen-anti-joined
             "seen_total": n_seen + tables["url_seen"],  # carried forward, no count job
             "bloom": {"m": bloom.m, "k": bloom.k, "version": bloom.version} if bloom else None,
             "virtual_cost_sec": max((r["virtual_cost_sec"] for r in lineage_rows), default=0.0),

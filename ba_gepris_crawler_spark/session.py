@@ -9,10 +9,25 @@ come from spark-submit.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 
 _DEF_SHUFFLE = "32"
+
+
+def _default_local_dir() -> str:
+    """Prefer tmpfs scratch, but only when it has real headroom: /dev/shm
+    is capped (typically 50% of RAM) and a large shuffle there fails with
+    ENOSPC instead of spilling to disk. Below 8 GiB free, fall back to
+    /tmp. Override with SPARK_GRAFT_LOCAL_DIR."""
+    if os.path.isdir("/dev/shm"):
+        try:
+            if shutil.disk_usage("/dev/shm").free >= 8 << 30:
+                return "/dev/shm/spark-local"
+        except OSError:
+            pass
+    return "/tmp"
 
 
 def get_spark(
@@ -38,10 +53,7 @@ def get_spark(
         # NVMe-backed local dirs. Override with SPARK_GRAFT_LOCAL_DIR.
         .config(
             "spark.local.dir",
-            os.environ.get(
-                "SPARK_GRAFT_LOCAL_DIR",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", _default_local_dir()),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")

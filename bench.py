@@ -238,6 +238,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
+        # queries that persist intermediates (dedup_minhash_lsh's token
+        # table) would otherwise leak executor storage across the suite
+        spark.catalog.clearCache()
 
     total = round(sum(queries.values()), 3)
     print(

@@ -154,6 +154,23 @@ def test_compaction_preserves_seen_set_and_resume(spark, crawl_cfg, tmp_path_fac
     assert a == c
 
 
+def test_from_round_rewind_is_deterministic(spark, crawl_cfg, tmp_path_factory, run):
+    """Deliberate rewind (--from-round analog): truncate a finished crawl
+    back to round 1, resume, and land on the identical crawl log."""
+    store_a, _, _ = run
+    store_r = SnapshotStore(spark, tmp_path_factory.mktemp("crawl_r"))
+    settings = _settings()
+    settings.compact_every = 2  # compactions after round 1 must be dropped too
+    CrawlEngine(spark, crawl_cfg, store_r, settings).run(max_rounds=30)
+    dropped = store_r.truncate_after(1)
+    assert dropped and store_r.latest_round() == 1
+    assert store_r.latest_compaction("url_seen") is None
+    CrawlEngine(spark, crawl_cfg, store_r, settings).resume(max_rounds=30)
+    a = {tuple(r) for r in store_a.read_union("url_seen", store_a.latest_round()).collect()}
+    b = {tuple(r) for r in store_r.read_union("url_seen", store_r.latest_round()).collect()}
+    assert a == b
+
+
 def test_published_tables_nonempty(spark, crawl_cfg, tmp_path_factory):
     """Smoke: full run with extraction on; published tables exist and agree
     with the documents that were crawled."""
