@@ -217,13 +217,18 @@ class CrawlEngine:
         # observed during the frontier write, not a separate job.
         disc_obs = Observation(f"disc-{rnd}")
         disc = FR.discovered_urls(docs, self.site, rnd + 1).observe(disc_obs, F.count(F.lit(1)).alias("n"))
+        # left_anti is duplicate-tolerant on the right side, so the seen
+        # union needs NO dropDuplicates — that was a second full shuffle of
+        # the entire seen set every round (unbounded at 10^10 URLs).
         seen_after = seen.select("url").unionByName(seen_delta.select("url"))
-        next_frontier = (
-            FR.merge_frontier(deferred, disc)
-            .join(seen_after.dropDuplicates(["url"]), "url", "left_anti")
-        )
+        next_frontier = FR.merge_frontier(deferred, disc).join(seen_after, "url", "left_anti")
 
         _mark('discover_counts')
+        # NB: these two writes are independent, but running them as
+        # concurrent jobs measured NEUTRAL-to-WORSE on the steady bench
+        # (8-core 4-executor harness: stage interleaving under the shared
+        # memory bus) — kept sequential; a real cluster with idle slots
+        # could parallelize them via a thread pool like the extract writes.
         tables["url_seen"] = self.store.write_table("url_seen", rnd, seen_delta)
         tables["frontier"] = self.store.write_table("frontier", rnd, next_frontier)
 
