@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
             )
     d = sub.add_parser("dq")
     d.add_argument("root")
+    k = sub.add_parser("compact", help="merge delta dirs of the given tables into hash-clustered snapshots")
+    k.add_argument("root")
+    k.add_argument("--tables", nargs="+", default=["url_seen", "documents"])
+    k.add_argument("--buckets", type=int, default=32)
     e = sub.add_parser("export")
     e.add_argument("root")
     e.add_argument("--out", default=None, help="output dir (default <root>/final)")
@@ -116,6 +120,22 @@ def main(argv: list[str] | None = None) -> int:
             manifests = engine.resume(max_rounds=args.max_rounds)
         for m in manifests:
             print(json.dumps(m["counters"]))
+        return 0
+
+    if args.cmd == "compact":
+        # offline compaction (the round loop auto-compacts url_seen only;
+        # span-heavy documents rewrites are an operator decision)
+        keys = {"url_seen": "url", "documents": "doc_id"}
+        upto = store.latest_round()
+        out = {}
+        if upto is not None:
+            for t in args.tables:
+                df = store.read_union(t, upto)
+                if df is None:
+                    continue
+                m = store.compact(t, upto, key_col=keys.get(t, df.columns[0]), n_buckets=args.buckets)
+                out[t] = {"upto": m["upto"], "rows": m["rows"]}
+        print(json.dumps({"compacted": out}))
         return 0
 
     if args.cmd == "export":
