@@ -84,6 +84,42 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(index: DataFrame, path: str) -> None:
+    """Persist the IVF index partitioned BY centroid cell — the layout that
+    makes probe queries cheap at scale: a probe touching nprobe cells reads
+    only those cells' files (Hive-style partition pruning on cid)."""
+    index.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+
+def ivf_topk_from_store(
+    spark, path: str, centroids: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    c_id_col: str = "cid", c_vec_col: str = "ce",
+    q_id_col: str = "qid", q_vec_col: str = "qe",
+) -> DataFrame:
+    """Probe search against a written cell-partitioned index. The probed
+    cell set (nprobe x |queries| ids — metadata-sized) is collected and
+    pushed into the scan as a literal IN filter, so only the probed cells'
+    files are read (PartitionFilters in the plan); the per-query cell join
+    then narrows candidates to each query's own cells."""
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        q_id_col, q_vec_col, c_id_col, _cosine(q_vec_col, c_vec_col).alias("ccos")
+    )
+    wq = Window.partitionBy(q_id_col).orderBy(F.col("ccos").desc(), c_id_col)
+    probes = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe).select(
+        q_id_col, q_vec_col, c_id_col
+    )
+    cells = sorted({r[c_id_col] for r in probes.select(c_id_col).distinct().collect()})
+    index = spark.read.parquet(path).filter(F.col(c_id_col).isin(cells))  # partition-pruned
+    cand = index.join(probes, c_id_col)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), id_col)
+    return (
+        cand.select(q_id_col, id_col, _cosine(vec_col, q_vec_col).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def portable_hyperplane_sketch(
     df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

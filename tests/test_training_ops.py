@@ -179,6 +179,35 @@ def test_ivf_recall_of_planted_neighbor(vectors):
     assert 35 in top  # near-copy recalled through the probed cells
 
 
+def test_ivf_written_index_prunes_partitions(vectors, tmp_path, spark):
+    """The persisted index is partitioned BY cell; a probe search must read
+    ONLY the probed cells' files (partition pruning) and return exactly the
+    in-memory ivf_topk result."""
+    df, _ = vectors
+    cents = df.filter("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    index = S.ivf_index(df, cents)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(index, path)
+    q = df.filter("vec_id = 3").select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+
+    got = S.ivf_topk_from_store(spark, path, cents, q, k=3, nprobe=2)
+    want = S.ivf_topk(index, cents, q, k=3, nprobe=2)
+    assert sorted(map(tuple, got.select("qid", "vec_id", "rnk").collect())) == \
+           sorted(map(tuple, want.select("qid", "vec_id", "rnk").collect()))
+
+    # pruning: the stored-index scan must carry a literal IN partition
+    # filter on cid (inputFiles() reports the unpruned FileIndex, so the
+    # executed plan is the source of truth)
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 2  # nprobe cells only
+
+
 def test_lsh_sketch_similar_vectors_share_bits(vectors):
     df, _ = vectors
     sk = {r.vec_id: r.lsh_sketch for r in S.random_hyperplane_sketch(df, n_planes=16).collect()}
