@@ -67,6 +67,49 @@ def priority_for_type() -> F.Column:
     )
 
 
+def parse_robots(host: str, robots_txt: str, user_agent: str = "*") -> tuple[tuple[str, str], ...]:
+    """Minimal robots.txt parse -> (host, path_regex) disallow rules for
+    `apply_robots`. Standard group semantics: consecutive User-agent lines
+    open a group, Disallow lines apply to the open group; rules are taken
+    from groups matching `user_agent` or '*'. Empty Disallow = allow-all
+    (skipped). '*' wildcards in paths become '.*'; the prefix is anchored.
+    Like the reference's one-time cookie fetch, the robots fetch+parse is
+    a driver-side, once-per-host operation whose result is compiled into
+    the plan (the broadcast-robots-cache analog)."""
+    import re as _re
+
+    rules: list[tuple[str, str]] = []
+    group_agents: list[str] = []
+    in_group_body = False
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if in_group_body:
+                group_agents = []
+                in_group_body = False
+            group_agents.append(value.lower())
+        elif key == "disallow":
+            in_group_body = True
+            if not value:
+                continue
+            if "*" in {a for a in group_agents} or user_agent.lower() in group_agents:
+                # apply_robots matches the full URL; accept bare-path
+                # inputs too (an optional scheme://host prefix)
+                pattern = (
+                    "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)?"
+                    + _re.escape(value).replace("\\*", ".*")
+                )
+                rules.append((host, pattern))
+        else:
+            in_group_body = True  # crawl-delay etc.: group body continues
+    return tuple(rules)
+
+
 def apply_robots(frontier: DataFrame, cfg: PolitenessConfig) -> DataFrame:
     """Drop disallowed URLs. The disallow list is tiny (a per-host dimension)
     and is compiled into the plan as literals — the Catalyst equivalent of

@@ -1777,6 +1777,56 @@ def crawl_cookie_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "crawl_robots_txt_parse",
+    """
+    WITH f AS (SELECT doc_id,
+      'h' || CAST(doc_id % 4 AS VARCHAR) || '.example.org' AS host,
+      'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.example.org' ||
+      CASE WHEN doc_id % 5 = 0 THEN '/private/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 1 THEN '/tmp/f' || CAST(doc_id AS VARCHAR) || '.bak'
+           ELSE '/public/' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents)
+    SELECT doc_id, host, url FROM f
+    WHERE NOT (host = 'h1.example.org' AND (url LIKE '%/private/%' OR url LIKE '%.bak'))
+      AND NOT (host = 'h2.example.org')
+    ORDER BY doc_id
+    """,
+)
+def crawl_robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt text -> parsed disallow rules -> plan filter, end to end
+    through the REAL module (politeness.parse_robots + apply_robots): h1
+    serves a robots.txt disallowing /private/ and /tmp/*.bak for the
+    wildcard agent (plus an inapplicable googlebot group), h2 disallows
+    everything. The robots fetch+parse is driver-side once per host (the
+    broadcast robots-cache analog); the oracle replays the net filter."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        PolitenessConfig,
+        apply_robots,
+        parse_robots,
+    )
+
+    h1_txt = (
+        "User-agent: googlebot\nDisallow: /only-google/\n\n"
+        "User-agent: *\nDisallow: /private/\nDisallow: /tmp/*.bak\n"
+    )
+    h2_txt = "User-agent: *\nDisallow: /\n"
+    cfg = PolitenessConfig(
+        disallow=parse_robots("h1.example.org", h1_txt) + parse_robots("h2.example.org", h2_txt)
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 4).cast("string"), F.lit(".example.org"),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/tmp/f"), F.col("doc_id").cast("string"), F.lit(".bak")))
+            .otherwise(F.concat(F.lit("/public/"), F.col("doc_id").cast("string"))),
+        ).alias("url"),
+    )
+    return apply_robots(d, cfg).select("doc_id", "host", "url").orderBy("doc_id")
+
+
+@_q(
     "emb_ivf_probe_topk",
     f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),

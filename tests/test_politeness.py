@@ -78,6 +78,39 @@ def test_no_exchange_partitions_by_bare_host(spark):
             assert "host_bucket#" in keys, f"bare-host Exchange in plan: {keys}"
 
 
+def test_parse_robots_groups_wildcards_and_apply(spark):
+    from ba_gepris_crawler_spark.operators.politeness import apply_robots, parse_robots
+
+    txt = """
+    # comment
+    User-agent: googlebot
+    Disallow: /only-google/
+
+    User-agent: *
+    User-agent: gepris-crawler
+    Disallow: /private/
+    Disallow: /tmp/*.bak
+    Disallow:
+
+    User-agent: otherbot
+    Disallow: /other/
+    """
+    rules = parse_robots("h1.example.org", txt)
+    assert len(rules) == 2  # wildcard group only; empty Disallow skipped
+    cfg = PolitenessConfig(disallow=rules)
+    urls = [
+        ("https://h1.example.org/private/x", "h1.example.org", False),
+        ("https://h1.example.org/public/x", "h1.example.org", True),
+        ("https://h1.example.org/tmp/a.bak", "h1.example.org", False),
+        ("https://h1.example.org/tmp/a.txt", "h1.example.org", True),
+        ("https://h2.example.org/private/x", "h2.example.org", True),  # other host
+    ]
+    df = spark.createDataFrame([(u, h) for u, h, _ in urls], "url string, host string")
+    kept = {r.url for r in apply_robots(df, cfg).collect()}
+    for u, _h, want in urls:
+        assert (u in kept) == want, u
+
+
 def test_empty_frontier(spark):
     f = _frontier(spark).limit(0)
     fetch_now, deferred = schedule_round(f, PolitenessConfig(), n_buckets=N_BUCKETS)
