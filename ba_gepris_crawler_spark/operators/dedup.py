@@ -64,8 +64,14 @@ def minhash_signatures(
     unit_df: DataFrame, id_col: str = "doc_id", unit_col: str = "shingle", num_perm: int = 16
 ) -> DataFrame:
     """One row per doc with m0..m{k-1} minhash columns. Input: exploded
-    (id, shingle|token) rows. Single shuffle on id (the groupBy)."""
-    h = unit_df.withColumn("hv", F.pmod(F.xxhash64(F.col(unit_col)), F.lit(_P)))
+    (id, shingle|token) rows. Single shuffle on id (the groupBy). If the
+    input already carries an `hv` column (a precomputed unit hash in
+    [0, P)), it is used as-is — this lets the DuckDB-oracled driver twin
+    inject its portable md5 hash while xxhash64 stays the scale default."""
+    if "hv" in unit_df.columns:
+        h = unit_df
+    else:
+        h = unit_df.withColumn("hv", F.pmod(F.xxhash64(F.col(unit_col)), F.lit(_P)))
     aggs = [
         F.min(F.expr(f"({2 * j + 1} * hv + {7 * j + 3}) % {_P}")).alias(f"m{j}")
         for j in range(num_perm)

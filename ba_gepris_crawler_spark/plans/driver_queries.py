@@ -942,56 +942,33 @@ def _minhash_cols_spark() -> list:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (8 perms) + LSH banding (4 bands x 2 rows): candidates are
-    (bucket-anchor, member) pairs — LINEAR in bucket size, never the full
-    clique (a duplicate cluster of k docs yields k-1 pairs, not k^2/2) —
-    then verified by true token Jaccard >= 0.7. This anchor pairing is what
-    keeps the candidate join bounded at 100 TB."""
+    """MinHash (8 perms) + LSH banding (4 bands x 2 rows) through the REAL
+    module (operators/dedup.py minhash_signatures + lsh_candidate_pairs +
+    verified_near_dups): candidates are (bucket-anchor, member) pairs —
+    LINEAR in bucket size, never the full clique — then verified by true
+    token Jaccard >= 0.7; the anchor pairing keeps the candidate join
+    bounded at 100 TB. The portable md5 token hash is injected as a
+    precomputed `hv` so DuckDB replays the identical signatures; band-key
+    hash differences (md5 vs xxhash64) don't matter — only the grouping
+    does.
+
+    tok is persisted (it feeds the signature, both verify-join sides, and
+    the size table; Spark re-runs unpersisted shared subplans). The cache
+    outlives this call — bench.py clears it after materializing."""
+    from ba_gepris_crawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verified_near_dups,
+    )
+
     d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
-    # tok feeds the signature, both sides of the verify join, and the size
-    # table — persist the post-shuffle distinct once instead of 4 rescans
-    # (without it the whole tokenize+distinct pipeline re-runs per consumer:
-    # 24 parquet scans, 0 reused exchanges). The cache outlives this call
-    # (the result is lazy); callers running many queries in one session
-    # should spark.catalog.clearCache() after materializing (bench.py does).
     tok = d.select("doc_id", F.explode("toks").alias("tok")).distinct().persist()
-    h = tok.select("doc_id", F.expr(f"{_h60_spark('tok')} % {_MINHASH_P}").alias("hv"))
-    sig = h.groupBy("doc_id").agg(*_minhash_cols_spark())
-    # one signature computation -> 4 band rows per doc via a single explode
-    # (a per-band union would recompute the signature pipeline 4x)
-    band_structs = ", ".join(
-        f"named_struct('band', {b}, 'bkey', md5(concat_ws('_', cast(m{2*b} as string), cast(m{2*b+1} as string))))"
-        for b in range(4)
-    )
-    bands = sig.select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-    )
-    wb = Window.partitionBy("band", "bkey")
-    cand = (
-        bands.withColumn("anchor", F.min("doc_id").over(wb))
-        .filter(F.col("doc_id") > F.col("anchor"))
-        .select(F.col("anchor").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        .distinct()
-    )
-    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
-    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
-    common = (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .filter(F.col("tok_a") == F.col("tok_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    j = (
-        cand.join(common, ["doc_a", "doc_b"])
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-    )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    h = tok.withColumn("hv", F.expr(f"{_h60_spark('tok')} % {_MINHASH_P}"))
+    sig = minhash_signatures(h, id_col="doc_id", unit_col="tok", num_perm=8)
+    cand = lsh_candidate_pairs(sig, id_col="doc_id", num_perm=8, bands=4)
+    pairs = verified_near_dups(cand, tok, id_col="doc_id", unit_col="tok", threshold=0.7)
     return (
-        j.filter(jac >= 0.7)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
