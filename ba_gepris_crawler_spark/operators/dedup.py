@@ -132,10 +132,18 @@ def verified_near_dups(
     return j.filter(jac >= threshold).select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64,
+    hashed_tokens: DataFrame | None = None,
+) -> DataFrame:
     """SimHash: per-bit majority vote over token hashes. Two shuffles (bit
-    agg keyed by (id, bit) then id); the bit explosion is a narrow op."""
-    tok = tokens(df, text_col, id_col).withColumn("hv", F.xxhash64("tok"))
+    agg keyed by (id, bit) then id); the bit explosion is a narrow op.
+    Pass `hashed_tokens` (id, hv) to inject a precomputed/portable token
+    hash (the oracled driver twin does); xxhash64 is the scale default."""
+    if hashed_tokens is not None:
+        tok = hashed_tokens
+    else:
+        tok = tokens(df, text_col, id_col).withColumn("hv", F.xxhash64("tok"))
     b = tok.select(id_col, "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
     votes = b.groupBy(id_col, "bit").agg(
         F.when(F.sum(F.when(F.expr("(hv >> bit) & 1 = 1"), 1).otherwise(-1)) >= 0, 1).otherwise(0).alias("v")

@@ -886,18 +886,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (16-bit here; 64-bit is the same plan with b in 0..63):
-    per-bit majority vote over token hashes."""
+    """SimHash through the REAL module (operators/dedup.py simhash —
+    16-bit here with a portable md5 token hash injected; 64-bit xxhash64
+    is the module's scale default): per-bit majority vote over token
+    hashes."""
+    from ba_gepris_crawler_spark.operators.dedup import simhash
+
     d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
     h = tok.select("doc_id", F.expr(_h60_spark("tok")).alias("hv"))
-    bits = h.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"), "hv")
-    bits = bits.groupBy("doc_id", "bit").agg(
-        F.when(F.sum(F.when(F.expr("(hv >> bit) & 1 = 1"), 1).otherwise(-1)) >= 0, 1).otherwise(0).alias("v")
-    )
     return (
-        bits.groupBy("doc_id")
-        .agg(F.sum(F.expr("v * (1 << bit)")).cast("bigint").alias("simhash16"))
+        simhash(d, bits=16, hashed_tokens=h)
+        .select("doc_id", F.col("simhash").alias("simhash16"))
         .orderBy("doc_id")
     )
 
