@@ -159,6 +159,24 @@ def sketch_bucket_pairs(sketch: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def verify_pairs_cosine(
+    pairs: DataFrame, vectors: DataFrame, threshold: float = 0.8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine over CANDIDATE pairs only (the verify stage after
+    sketch bucketing): two id-joins + a JVM fold, never an all-pairs
+    cross join. (vec_a, vec_b, cosine) above the threshold."""
+    va = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_ea"))
+    vb = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_eb"))
+    return (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", _cosine("_ea", "_eb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def random_hyperplane_sketch(
     df: DataFrame, n_planes: int = 16, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42
 ) -> DataFrame:

@@ -1133,6 +1133,42 @@ def emb_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "emb_lsh_near_dups",
+    f"""
+    WITH sk AS (SELECT vec_id, CAST({_LSH_BITS_DUCK} AS BIGINT) AS lsh_sketch FROM embeddings),
+    a AS (SELECT vec_id, lsh_sketch, min(vec_id) OVER (PARTITION BY lsh_sketch) AS anchor FROM sk),
+    cand AS (SELECT anchor AS vec_a, vec_id AS vec_b FROM a WHERE vec_id > anchor)
+    SELECT CAST(c.vec_a AS BIGINT) AS vec_a, CAST(c.vec_b AS BIGINT) AS vec_b,
+           round(CAST({_DOT_DUCK.format(a='ea.embedding', b='eb.embedding')}
+             / ({_NORM_DUCK.format(a='ea.embedding')} * {_NORM_DUCK.format(a='eb.embedding')}) AS DOUBLE), 4) AS cosine
+    FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE {_DOT_DUCK.format(a='ea.embedding', b='eb.embedding')}
+          / ({_NORM_DUCK.format(a='ea.embedding')} * {_NORM_DUCK.format(a='eb.embedding')}) >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+)
+def emb_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup SCALE path through the REAL module: hyperplane
+    sketch -> bucket-anchor candidates -> exact cosine verify over
+    candidates only (operators/similarity.py verify_pairs_cosine). The
+    brute-force emb_neardup_pairs is the bounded-slice baseline; this is
+    the shape that survives 100 TB (no all-pairs join anywhere)."""
+    from ba_gepris_crawler_spark.operators.similarity import (
+        portable_hyperplane_sketch,
+        sketch_bucket_pairs,
+        verify_pairs_cosine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sk = portable_hyperplane_sketch(emb, n_planes=8)
+    cand = sketch_bucket_pairs(sk).select("vec_a", "vec_b")
+    out = verify_pairs_cosine(cand, emb, threshold=0.3)
+    return out.select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine")).orderBy("vec_a", "vec_b")
+
+
+@_q(
     "emb_neardup_pairs",
     f"""
     WITH n AS (SELECT vec_id, embedding, {_NORM_DUCK.format(a='embedding')} AS nrm FROM embeddings WHERE vec_id < 200)
