@@ -1,0 +1,142 @@
+"""Crawl-as-stream: the frontier as an unbounded Structured Streaming
+source, with discovery feeding back into it.
+
+The batch engine (plans/round_loop.py) models the reference's stage loop as
+discrete rounds; this module is the forward path the north rule's streaming
+mandate points at: the frontier directory is a file-source STREAM, each
+micro-batch runs the same operators (exact seen anti-join -> politeness
+schedule -> Arrow fetch -> documents/url_seen append), and discovered URLs
+are written BACK into the frontier directory, so the stream feeds itself
+until the reachable site is exhausted.
+
+- Micro-batch outputs are written to per-batch-id subdirectories with
+  overwrite, so a replayed batch id is idempotent (the parquet analog of a
+  transactional sink; on Iceberg/Delta these appends would be atomic
+  commits).
+- Politeness: the per-host budget applies PER MICRO-BATCH (a token-bucket
+  refill per trigger); deferred URLs are re-queued into the frontier
+  directory and retried next batch.
+- The micro-batch partitioning of work is nondeterministic (file batching),
+  so the streaming crawl guarantees SET equality of the final seen set /
+  documents with the batch engine, not trace equality — asserted in
+  tests/test_streaming_crawl.py.
+
+Reference mapping: the reference's Akka stages are a demand-driven bounded
+stream (SURVEY.md §2.8); this is the same dataflow with real unbounded
+semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ba_gepris_crawler_spark.operators import frontier as FR
+from ba_gepris_crawler_spark.operators.fetch import fetch_pages, to_documents
+from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, schedule_round
+from ba_gepris_crawler_spark.schema import FRONTIER_SCHEMA
+from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+
+@dataclass
+class StreamingCrawl:
+    spark: SparkSession
+    site: SiteConfig
+    root: str | os.PathLike
+    politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
+    n_buckets: int = 16
+
+    def __post_init__(self) -> None:
+        self.root = Path(self.root)
+        for d in ("frontier", "url_seen", "documents", "_checkpoint"):
+            (self.root / d).mkdir(parents=True, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+    @property
+    def frontier_dir(self) -> str:
+        return str(self.root / "frontier")
+
+    def _out(self, table: str, batch_id: int) -> str:
+        # plain names (no key=value) so the streaming file source with
+        # recursiveFileLookup reads them without partition inference
+        return str(self.root / table / f"b{batch_id:05d}")
+
+    # -- seeding -------------------------------------------------------
+    def seed(self) -> None:
+        FR.seed_frontier(self.spark, self.site).coalesce(1).write.mode("overwrite").parquet(
+            str(self.root / "frontier" / "seed")
+        )
+
+    # -- the micro-batch body -----------------------------------------
+    def _read_seen(self) -> DataFrame | None:
+        base = self.root / "url_seen"
+        dirs = [str(p) for p in base.glob("b*")]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["url"])
+        seen = self._read_seen()
+        candidates = batch if seen is None else batch.join(
+            seen.select("url").dropDuplicates(["url"]), "url", "left_anti"
+        )
+        if candidates.isEmpty():
+            return  # write nothing: lets drain() detect quiescence
+        fetch_now, deferred = schedule_round(candidates, self.politeness, self.n_buckets)
+        fetched = fetch_pages(
+            fetch_now, self.site, self.politeness.per_host_rate, self.n_buckets
+        )
+        docs = to_documents(fetched, batch_id, keep_errors=True)
+        docs.write.mode("overwrite").parquet(self._out("documents", batch_id))
+        stored = self.spark.read.parquet(self._out("documents", batch_id))
+        log = stored.select(
+            F.xxhash64("url").alias("url_hash"),
+            "url",
+            F.lit(batch_id).cast("int").alias("round"),
+            F.col("host_rank").cast("long").alias("seq"),
+            "status",
+            "host",
+        )
+        log.write.mode("overwrite").parquet(self._out("url_seen", batch_id))
+        # self-feeding: deferred + newly discovered URLs re-enter the stream
+        # (skip empty feeds so the frontier dir quiesces when the crawl is done)
+        disc = FR.discovered_urls(stored.filter(F.col("status") == 200), self.site, batch_id + 1)
+        feed = FR.merge_frontier(deferred, disc)
+        if not feed.isEmpty():
+            feed.write.mode("overwrite").parquet(self._out("frontier", batch_id))
+
+    # -- driving -------------------------------------------------------
+    def drain(self, max_waves: int = 50) -> int:
+        """Run availableNow triggers until the stream stops producing new
+        frontier files (each wave snapshots the files available at start,
+        so self-fed discoveries need the next wave). Returns wave count."""
+        waves = 0
+        for _ in range(max_waves):
+            before = {p.name for p in (self.root / "frontier").rglob("*.parquet")}
+            q = (
+                self.spark.readStream.schema(FRONTIER_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(self.frontier_dir)
+                .writeStream.foreachBatch(self._process_batch)
+                .option("checkpointLocation", str(self.root / "_checkpoint"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            waves += 1
+            after = {p.name for p in (self.root / "frontier").rglob("*.parquet")}
+            if after == before:
+                break
+        return waves
+
+    def seen(self) -> DataFrame | None:
+        return self._read_seen()
+
+    def documents(self) -> DataFrame | None:
+        dirs = [str(p) for p in (self.root / "documents").glob("b*")]
+        return self.spark.read.parquet(*dirs) if dirs else None
