@@ -1593,6 +1593,50 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "text_lm_score",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+    bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+           FROM toks WHERE len(ts) >= 2),
+    model AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+    tot AS (SELECT sum(c) AS n FROM model),
+    scored AS (
+      SELECT b.doc_id, ln(m.c * 1.0 / (SELECT n FROM tot)) AS lp
+      FROM bg b JOIN model m USING (bigram))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(avg(lp) AS DOUBLE), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram LM scoring — the train-stats-then-apply shape a
+    training-data quality filter uses (perplexity-style): pass 1 counts
+    corpus bigrams (map-side partial agg), pass 2 joins the model back to
+    each doc's bigrams and averages log p(bigram). The model join is
+    shuffle-on-bigram; at 100 TB the model table would be truncated to the
+    top-K vocabulary and broadcast."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
+    bg = d.filter(F.size("ts") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")
+        ).alias("bigram"),
+    )
+    model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").alias("n"))
+    scored = (
+        bg.join(model, "bigram")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.round(F.avg("lp"), 6).alias("avg_logprob"))
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "mm_extract_features",
     """
     SELECT doc_id,
