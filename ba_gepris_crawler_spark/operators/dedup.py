@@ -61,15 +61,16 @@ _P = 2147483647
 
 
 def minhash_signatures(
-    unit_df: DataFrame, id_col: str = "doc_id", unit_col: str = "shingle", num_perm: int = 16
+    unit_df: DataFrame, id_col: str = "doc_id", unit_col: str = "shingle", num_perm: int = 16,
+    hashed_units: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc with m0..m{k-1} minhash columns. Input: exploded
-    (id, shingle|token) rows. Single shuffle on id (the groupBy). If the
-    input already carries an `hv` column (a precomputed unit hash in
-    [0, P)), it is used as-is — this lets the DuckDB-oracled driver twin
-    inject its portable md5 hash while xxhash64 stays the scale default."""
-    if "hv" in unit_df.columns:
-        h = unit_df
+    (id, shingle|token) rows. Single shuffle on id (the groupBy). Pass
+    `hashed_units` (id, hv with hv in [0, P)) to inject a precomputed /
+    portable unit hash (the DuckDB-oracled driver twin does, mirroring
+    simhash's hashed_tokens); xxhash64 stays the scale default."""
+    if hashed_units is not None:
+        h = hashed_units
     else:
         h = unit_df.withColumn("hv", F.pmod(F.xxhash64(F.col(unit_col)), F.lit(_P)))
     aggs = [

@@ -159,16 +159,20 @@ def schedule_round(
     added_bucket = "host_bucket" not in f.columns
     if added_bucket:
         f = f.withColumn("host_bucket", salt_bucket("url", n_buckets))
-    # Level 1: rank within the salted partition — the only data-sized
-    # shuffle, keyed (host, host_bucket) so a hot host spreads over B tasks.
-    w = Window.partitionBy("host", "host_bucket").orderBy("crawl_depth", "priority", "url")
-    f = f.withColumn("_lrank", F.row_number().over(w))
-    # Level 2: metadata-sized per-group counts -> broadcast offsets.
+    # Level 2 FIRST: metadata-sized per-group counts -> broadcast offsets.
+    # Computed from the PRE-window frame so this eager collect is a plain
+    # partial-aggregated count job — it must not execute the rank shuffle
+    # (the window runs once per downstream consumer; round_loop's cached
+    # candidates bound that recompute to the window itself).
     counts = (
         f.groupBy("host", "crawl_depth", "priority", "host_bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
+    # Level 1: rank within the salted partition — the only data-sized
+    # shuffle, keyed (host, host_bucket) so a hot host spreads over B tasks.
+    w = Window.partitionBy("host", "host_bucket").orderBy("crawl_depth", "priority", "url")
+    f = f.withColumn("_lrank", F.row_number().over(w))
     spark = frontier.sparkSession
     if not counts:
         empty = (

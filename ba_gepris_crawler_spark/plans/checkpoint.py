@@ -145,8 +145,13 @@ class SnapshotStore:
         snapshot. Returns the compaction manifest. No-op (returns the current
         manifest) when nothing new exists to compact."""
         prev = self.latest_compaction(name, upto)
-        if prev is not None and prev["upto"] == upto:
-            return prev
+        if (
+            prev is not None
+            and prev["upto"] == upto
+            and prev.get("n_buckets") == n_buckets
+            and prev.get("key_col", key_col) == key_col
+        ):
+            return prev  # identical compaction already committed
         df = self.read_union(name, upto)
         if df is None:
             return {"table": name, "upto": upto, "rows": 0, "n_buckets": n_buckets, "empty": True}
@@ -160,6 +165,7 @@ class SnapshotStore:
             "upto": upto,
             "rows": int(obs.get["n"]),
             "n_buckets": n_buckets,
+            "key_col": key_col,
             "base": prev["upto"] if prev else None,
             "committed_at": time.time(),
         }

@@ -964,7 +964,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOKS_SPARK))
     tok = d.select("doc_id", F.explode("toks").alias("tok")).distinct().persist()
     h = tok.withColumn("hv", F.expr(f"{_h60_spark('tok')} % {_MINHASH_P}"))
-    sig = minhash_signatures(h, id_col="doc_id", unit_col="tok", num_perm=8)
+    sig = minhash_signatures(tok, id_col="doc_id", unit_col="tok", num_perm=8, hashed_units=h)
     cand = lsh_candidate_pairs(sig, id_col="doc_id", num_perm=8, bands=4)
     pairs = verified_near_dups(cand, tok, id_col="doc_id", unit_col="tok", threshold=0.7)
     return (
@@ -1616,12 +1616,15 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-on-bigram; at 100 TB the model table would be truncated to the
     top-K vocabulary and broadcast."""
     d = _t(spark, sf_dir, "documents").select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
+    # bg feeds the model, the total, and the scoring join — persist it so
+    # the tokenize+explode runs once, not three times (cache cleared by the
+    # caller after materializing, as with dedup_minhash_lsh's token table)
     bg = d.filter(F.size("ts") >= 2).select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")
         ).alias("bigram"),
-    )
+    ).persist()
     model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     total = model.agg(F.sum("c").alias("n"))
     scored = (

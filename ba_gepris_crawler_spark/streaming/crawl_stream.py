@@ -10,9 +10,12 @@ are written BACK into the frontier directory, so the stream feeds itself
 until the reachable site is exhausted.
 
 - Micro-batch outputs are written to per-batch-id subdirectories with
-  overwrite, so a replayed batch id is idempotent (the parquet analog of a
-  transactional sink; on Iceberg/Delta these appends would be atomic
-  commits).
+  overwrite and become visible only once the batch's commit marker exists
+  (written after ALL outputs): readers skip uncommitted dirs, and a
+  replayed batch either short-circuits (marker present) or deterministically
+  recomputes and overwrites every output — so a crash at ANY point inside a
+  batch loses nothing (the parquet analog of a transactional sink; on
+  Iceberg/Delta these would be atomic multi-table commits).
 - Politeness: the per-host budget applies PER MICRO-BATCH (a token-bucket
   refill per trigger); deferred URLs are re-queued into the frontier
   directory and retried next batch.
@@ -52,8 +55,14 @@ class StreamingCrawl:
 
     def __post_init__(self) -> None:
         self.root = Path(self.root)
-        for d in ("frontier", "url_seen", "documents", "_checkpoint"):
+        for d in ("frontier", "url_seen", "documents", "_checkpoint", "_commits"):
             (self.root / d).mkdir(parents=True, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> Path:
+        return self.root / "_commits" / f"b{batch_id:05d}"
+
+    def _committed(self, name: str) -> bool:
+        return (self.root / "_commits" / name).exists()
 
     # -- paths ---------------------------------------------------------
     @property
@@ -74,12 +83,17 @@ class StreamingCrawl:
     # -- the micro-batch body -----------------------------------------
     def _read_seen(self) -> DataFrame | None:
         base = self.root / "url_seen"
-        dirs = [str(p) for p in base.glob("b*")]
+        # only COMMITTED batches are visible: a replayed half-written batch
+        # must not poison the anti-join (it would empty `candidates` and
+        # silently drop that batch's deferred + discovered URLs)
+        dirs = [str(p) for p in base.glob("b*") if self._committed(p.name)]
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs)
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self._marker(batch_id).exists():
+            return  # committed replay: every output of this batch is final
         batch = batch.dropDuplicates(["url"])
         seen = self._read_seen()
         candidates = batch if seen is None else batch.join(
@@ -109,6 +123,7 @@ class StreamingCrawl:
         feed = FR.merge_frontier(deferred, disc)
         if not feed.isEmpty():
             feed.write.mode("overwrite").parquet(self._out("frontier", batch_id))
+        self._marker(batch_id).touch()  # the batch's atomic commit point
 
     # -- driving -------------------------------------------------------
     def drain(self, max_waves: int = 50) -> int:
@@ -138,5 +153,5 @@ class StreamingCrawl:
         return self._read_seen()
 
     def documents(self) -> DataFrame | None:
-        dirs = [str(p) for p in (self.root / "documents").glob("b*")]
+        dirs = [str(p) for p in (self.root / "documents").glob("b*") if self._committed(p.name)]
         return self.spark.read.parquet(*dirs) if dirs else None
