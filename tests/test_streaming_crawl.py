@@ -14,6 +14,51 @@ from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
 from ba_gepris_crawler_spark.streaming.crawl_stream import StreamingCrawl
 
 
+def test_streaming_batch_replay_is_crash_safe(spark, tmp_path):
+    """A crash inside a micro-batch (outputs written, commit marker not yet)
+    must not lose the batch's discoveries on replay: uncommitted url_seen
+    dirs are invisible to the anti-join, so the replay fully recomputes and
+    commits. A committed batch short-circuits on replay."""
+    import shutil
+
+    cfg = SiteConfig(hosts=("gepris.example.org",), n_projects=8, n_persons=4,
+                     n_institutions=2, hits_per_page=5, seed=9)
+    pol = PolitenessConfig(per_host_rate=50, round_seconds=1.0)
+    sc = StreamingCrawl(spark, cfg, tmp_path / "s", politeness=pol, n_buckets=4)
+    sc.seed()
+    seed_df = spark.read.parquet(str(sc.root / "frontier" / "seed"))
+
+    # manual batch id 100: far from the streaming engine's own 0..n ids,
+    # so the later drain() is not shadowed by this batch's commit marker
+    sc._process_batch(seed_df, 100)
+    assert sc._marker(100).exists()
+    feed_files = sorted(p.name for p in (sc.root / "frontier" / "b00100").glob("*.parquet"))
+    assert feed_files  # the seeds discovered something
+
+    # simulate the crash window: url_seen written, feed + marker lost
+    sc._marker(100).unlink()
+    shutil.rmtree(sc.root / "frontier" / "b00100")
+    assert sc.seen() is None  # uncommitted batch is invisible
+
+    sc._process_batch(seed_df, 100)  # the replay
+    assert sc._marker(100).exists()
+    assert (sc.root / "frontier" / "b00100").exists()  # discoveries restored
+    assert sc.seen().count() == seed_df.count()
+
+    # committed replay short-circuits: outputs untouched
+    before = sorted(p.name for p in (sc.root / "url_seen" / "b00100").glob("*.parquet"))
+    sc._process_batch(seed_df, 100)
+    after = sorted(p.name for p in (sc.root / "url_seen" / "b00100").glob("*.parquet"))
+    assert before == after
+
+    # and the stream still drains to the full site afterwards
+    waves = sc.drain(max_waves=20)
+    assert waves >= 1
+    n_urls = sc.seen().count()
+    assert n_urls > seed_df.count()
+    assert n_urls == sc.seen().select("url").distinct().count()
+
+
 def test_streaming_crawl_matches_batch_seen_set(spark, tmp_path):
     cfg = SiteConfig(
         hosts=("gepris.example.org", "alt1.example.org"),
