@@ -102,6 +102,36 @@ class SnapshotStore:
         p = self.root / "config.json"
         return json.loads(p.read_text()) if p.exists() else None
 
+    # -- bloom persistence (resume without a full seen-set rescan) -------
+    def save_bloom(self, rnd: int, bits: bytes, m: int, k: int, version: int) -> None:
+        """Persist the merged URL-seen bloom bitmap as of round `rnd`
+        (tmp + atomic rename; one `latest` slot, not per-round history).
+        In the sharded 10^10 regime the executor-resident shards would be
+        persisted per shard; the read contract is the same."""
+        d = self.root / "bloom"
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / "latest.bits.tmp"
+        tmp.write_bytes(bits)
+        os.replace(tmp, d / "latest.bits")
+        meta = {"round": rnd, "m": m, "k": k, "version": version}
+        tmp = d / "latest.json.tmp"
+        tmp.write_text(json.dumps(meta))
+        os.replace(tmp, d / "latest.json")
+
+    def load_bloom(self, rnd: int) -> tuple[bytes, dict] | None:
+        """The persisted bitmap, iff it is exactly the state AS OF round
+        `rnd` (a stale or future snapshot — e.g. after --from-round rewind
+        — returns None and the caller rebuilds; the bloom is an admission
+        gate only, so correctness never depends on it)."""
+        meta_p = self.root / "bloom" / "latest.json"
+        bits_p = self.root / "bloom" / "latest.bits"
+        if not (meta_p.exists() and bits_p.exists()):
+            return None
+        meta = json.loads(meta_p.read_text())
+        if meta.get("round") != rnd:
+            return None
+        return bits_p.read_bytes(), meta
+
     # -- deliberate rewind (App.scala:39-43 stage/round override analog) --
     def truncate_after(self, rnd: int) -> list[int]:
         """Un-commit every round AFTER `rnd` (and any compaction built on

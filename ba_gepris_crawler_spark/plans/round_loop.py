@@ -94,6 +94,20 @@ class CrawlEngine:
 
         bloom = None
         if s.use_bloom and n_seen > 0:
+            if self._bloom is None:
+                # resume path: load the persisted bitmap as of round rnd-1
+                # instead of rebuilding from the full seen union (at 10^10
+                # URLs the rebuild is a full-scan job per resume)
+                loaded = self.store.load_bloom(rnd - 1)
+                if loaded is not None:
+                    import numpy as np
+
+                    bits, meta = loaded
+                    self._bloom = US.BloomFilterModel(
+                        bits=np.frombuffer(bits, dtype=np.uint8).copy(),
+                        m=meta["m"], k=meta["k"], n_items=n_seen, version=meta["version"],
+                    )
+                    self._bloom_round = rnd - 1
             if self._bloom is not None and self._bloom_round == rnd - 1:
                 # incremental: OR in only last round's delta
                 delta = self.store.read_state("url_seen", rnd - 1)
@@ -294,6 +308,12 @@ class CrawlEngine:
                 seen_delta, expected_items=s.bloom_expected_items, fpp=s.bloom_fpp, version=0
             )
             self._bloom_round = 0
+        if self._bloom is not None and self._bloom_round == rnd:
+            # persist the bitmap so a RESUMED engine skips the full seen-set
+            # rebuild (load_bloom + one delta OR instead of a full scan)
+            self.store.save_bloom(
+                rnd, self._bloom.bits.tobytes(), self._bloom.m, self._bloom.k, self._bloom.version
+            )
         for df in (candidates, seen):
             df.unpersist()
         return manifest

@@ -154,6 +154,37 @@ def test_compaction_preserves_seen_set_and_resume(spark, crawl_cfg, tmp_path_fac
     assert a == c
 
 
+def test_resume_loads_persisted_bloom(spark, crawl_cfg, tmp_path_factory, run, monkeypatch):
+    """A resumed engine must reuse the persisted bloom bitmap (one delta OR)
+    instead of rebuilding from the full seen union — and stay golden-equal."""
+    import ba_gepris_crawler_spark.operators.url_seen as US_mod
+
+    store_a, _, _ = run
+    store_b = SnapshotStore(spark, tmp_path_factory.mktemp("crawl_bloom"))
+    CrawlEngine(spark, crawl_cfg, store_b, _settings()).run(max_rounds=2)
+    assert store_b.load_bloom(1) is not None  # bitmap persisted at round 1
+
+    # spy: a FULL rebuild calls build_bloom without m/k; the incremental
+    # delta shard (inside update_bloom) passes m= and k=
+    full_rebuilds = []
+    orig = US_mod.build_bloom
+
+    def spy(*args, **kwargs):
+        if kwargs.get("m") is None:
+            full_rebuilds.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(US_mod, "build_bloom", spy)
+    engine2 = CrawlEngine(spark, crawl_cfg, store_b, _settings())
+    engine2.run_round(2)
+    assert not full_rebuilds  # loaded + delta-OR, never a full seen rescan
+    assert engine2._bloom is not None and engine2._bloom_round == 2
+    engine2.resume(max_rounds=30)
+    a = {tuple(r) for r in store_a.read_union("url_seen", store_a.latest_round()).collect()}
+    b = {tuple(r) for r in store_b.read_union("url_seen", store_b.latest_round()).collect()}
+    assert a == b
+
+
 def test_from_round_rewind_is_deterministic(spark, crawl_cfg, tmp_path_factory, run):
     """Deliberate rewind (--from-round analog): truncate a finished crawl
     back to round 1, resume, and land on the identical crawl log."""
