@@ -1529,6 +1529,38 @@ def crawl_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_stats_summary",
+    """
+    SELECT l_returnflag,
+      round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS median_qty,
+      round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90_qty,
+      round(CAST(stddev_samp(l_extendedprice) AS DOUBLE), 2) AS sd_price,
+      round(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 4) AS qty_price_corr
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def tpch_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: exact interpolated percentiles
+    (percentile == DuckDB quantile_cont; computed on the integer-valued
+    quantity column — float-price interpolation differs in the last cent
+    between engines), sample stddev, Pearson
+    correlation — all single-pass grouped aggregates with map-side partial
+    state (percentile state is the value multiset; at 100 TB you'd switch
+    to approx_percentile's fixed-size sketch and loosen the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
     "tpch_rollup_revenue",
     """
     SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
