@@ -1599,6 +1599,28 @@ def tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tpch_pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+      CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide cross-tab): order counts per priority pivoted by status.
+    Pivot values are pinned explicitly so the plan is a single grouped
+    conditional aggregate — no values-discovery pre-scan."""
+    o = _t(spark, sf_dir, "orders")
+    p = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"n_{c.lower()}") for c in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
+
+
+@_q(
     "text_bigram_topk",
     """
     WITH toks AS (SELECT string_split(lower(text), ' ') AS ts FROM documents
