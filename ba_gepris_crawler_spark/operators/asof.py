@@ -1,0 +1,64 @@
+"""AS-OF join — a custom operator Spark's DataFrame API lacks.
+
+Semantics: each left row is matched to the LATEST right row with
+right_ts <= left_ts within the same key (DuckDB `ASOF LEFT JOIN`
+semantics; unmatched left rows keep nulls).
+
+Scalable encoding: union the two sides tagged, sort within each key
+partition by (ts, side) with the right side FIRST on equal timestamps, and
+carry the right payload forward with last(..., ignorenulls) over an
+unbounded-preceding row frame. One shuffle on the key — never a range
+cross join, never per-row Python; a hot key spreads no worse than the
+window itself (salt the key upstream if a single key dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Returns every left row + `<col><suffix>` columns holding the
+    payload of the latest right row at-or-before the left timestamp.
+    Ties on (key, ts) resolve right-before-left, so an equal-timestamp
+    right row IS visible to the left row."""
+    left_extras = [c for c in left.columns if c not in (key, left_ts)]
+    l2 = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left_extras],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    r2 = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extras],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = l2.unionByName(r2)
+    for c in right_cols:
+        filled = filled.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("_is_left") == 1).select(
+        F.col(key),
+        F.col("_ts").alias(left_ts),
+        *[F.col(c) for c in left_extras],
+        *[F.col(f"{c}{suffix}") for c in right_cols],
+    )

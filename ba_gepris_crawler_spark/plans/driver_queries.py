@@ -1266,6 +1266,42 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events WHERE event_type = 'purchase')
+    SELECT CAST(l.event_id AS BIGINT) AS event_id, CAST(l.user_id AS BIGINT) AS user_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS click_epoch,
+           CAST(r.purchase_id AS BIGINT) AS purchase_id,
+           round(CAST(r.value AS DOUBLE), 3) AS purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY event_id
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join through the REAL custom operator (operators/asof.py):
+    each click matched to the user's latest at-or-before purchase. Spark
+    has no native as-of join; the operator encodes it as union + ordered
+    window with last(ignorenulls) — one key shuffle, no range cross join.
+    The oracle is DuckDB's native ASOF LEFT JOIN."""
+    from ba_gepris_crawler_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    out = asof_join(clicks, purchases, key="user_id", right_cols=("purchase_id", "value"))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("click_epoch"),
+        F.col("purchase_id_asof").cast("bigint").alias("purchase_id"),
+        F.round("value_asof", 3).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
 # --------------------------------------------------------------------------
 # mm_* — multimodal metadata plumbing (binary columns + typed metadata)
 # --------------------------------------------------------------------------

@@ -208,6 +208,31 @@ def test_ivf_written_index_prunes_partitions(vectors, tmp_path, spark):
     assert len(m.group(1).split(",")) <= 2  # nprobe cells only
 
 
+def test_asof_join_semantics_with_ties(spark):
+    """As-of join: latest right row at-or-before each left ts; an
+    EQUAL-timestamp right row is visible; no prior right row -> nulls."""
+    from ba_gepris_crawler_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "l5"), (1, 10, "l10"), (1, 2, "l2"), (2, 7, "l7")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30.0), (1, 5, 50.0), (1, 9, 90.0), (2, 8, 80.0)],
+        "user_id long, ts long, value double",
+    )
+    out = {
+        (r.user_id, r.ts): r.value_asof
+        for r in asof_join(left, right, key="user_id", right_cols=("value",)).collect()
+    }
+    assert out == {
+        (1, 2): None,      # nothing at-or-before
+        (1, 5): 50.0,      # the equal-ts right row wins over ts=3
+        (1, 10): 90.0,     # latest at-or-before
+        (2, 7): None,      # user 2's only right row is later
+    }
+
+
 def test_lsh_sketch_similar_vectors_share_bits(vectors):
     df, _ = vectors
     sk = {r.vec_id: r.lsh_sketch for r in S.random_hyperplane_sketch(df, n_planes=16).collect()}
