@@ -1,4 +1,5 @@
-"""AS-OF join — a custom operator Spark's DataFrame API lacks.
+"""AS-OF join and bucketed RANGE join — custom temporal operators Spark's
+DataFrame API lacks.
 
 Semantics: each left row is matched to the LATEST right row with
 right_ts <= left_ts within the same key (DuckDB `ASOF LEFT JOIN`
@@ -61,4 +62,37 @@ def asof_join(
         F.col("_ts").alias(left_ts),
         *[F.col(c) for c in left_extras],
         *[F.col(f"{c}{suffix}") for c in right_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    start_col: str = "t0",
+    end_col: str = "t1",
+    bin_width: int = 3600,
+) -> DataFrame:
+    """Interval-containment join: every (point, interval) pair with
+    start <= ts <= end within the same key. The naive plan is a
+    conditional cross join (|points| x |intervals| per key); here each
+    interval explodes to one row per covered time BIN of `bin_width`, the
+    join is an equi-join on (key, bin), and the exact BETWEEN filter runs
+    only on bin-collocated pairs — work scales with interval length /
+    bin_width, and a point's single bin guarantees each true pair appears
+    exactly once (no post-dedup). Timestamps are epoch-second longs."""
+    ivl = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width), F.floor(F.col(end_col) / bin_width)
+            )
+        ),
+    )
+    pts = points.withColumn("_bin", F.floor(F.col(ts_col) / bin_width))
+    return (
+        pts.join(ivl, [key, "_bin"])
+        .filter(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+        .drop("_bin")
     )

@@ -1302,6 +1302,44 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@_q(
+    "events_range_join",
+    """
+    WITH s AS (SELECT event_id AS signup_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t0
+               FROM events WHERE event_type = 'signup'),
+    c AS (SELECT event_id AS click_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tc
+          FROM events WHERE event_type = 'click')
+    SELECT CAST(s.signup_id AS BIGINT) AS signup_id, CAST(c.click_id AS BIGINT) AS click_id,
+           CAST(c.tc - s.t0 AS BIGINT) AS secs_after_signup
+    FROM s JOIN c ON s.user_id = c.user_id AND c.tc BETWEEN s.t0 AND s.t0 + 7200
+    ORDER BY signup_id, click_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join through the REAL custom operator
+    (operators/asof.py range_join): clicks within 2 h of each signup by
+    the same user. The operator bins intervals so the join is an
+    equi-join on (key, bin) + exact BETWEEN — never a conditional cross
+    join. The oracle is DuckDB's native range join (IEJoin)."""
+    from ba_gepris_crawler_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("t0"),
+    ).withColumn("t1", F.col("t0") + 7200)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("tc"),
+    )
+    out = range_join(clicks, signups, key="user_id", ts_col="tc", start_col="t0", end_col="t1")
+    return out.select(
+        "signup_id", "click_id", (F.col("tc") - F.col("t0")).cast("bigint").alias("secs_after_signup")
+    ).orderBy("signup_id", "click_id")
+
+
 # --------------------------------------------------------------------------
 # mm_* — multimodal metadata plumbing (binary columns + typed metadata)
 # --------------------------------------------------------------------------

@@ -233,6 +233,30 @@ def test_asof_join_semantics_with_ties(spark):
     }
 
 
+def test_range_join_bin_boundaries(spark):
+    """Bucketed range join: matches across bin boundaries, inclusive ends,
+    no duplicate pairs for intervals spanning many bins."""
+    from ba_gepris_crawler_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(1, 100, 0), (1, 101, 3600), (1, 102, 3601), (1, 103, 10800), (2, 200, 50)],
+        "user_id long, click_id long, tc long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 10, 0, 3600), (1, 11, 3500, 9999), (2, 20, 60, 70)],
+        "user_id long, signup_id long, t0 long, t1 long",
+    )
+    out = {
+        (r.signup_id, r.click_id)
+        for r in range_join(points, intervals, key="user_id", ts_col="tc",
+                            start_col="t0", end_col="t1", bin_width=1000).collect()
+    }
+    assert out == {
+        (10, 100), (10, 101),          # inclusive end t1=3600
+        (11, 101), (11, 102),          # interval spanning 7 bins, each pair once
+    }  # (2,...) empty: point 50 before interval [60,70]
+
+
 def test_lsh_sketch_similar_vectors_share_bits(vectors):
     df, _ = vectors
     sk = {r.vec_id: r.lsh_sketch for r in S.random_hyperplane_sketch(df, n_planes=16).collect()}
