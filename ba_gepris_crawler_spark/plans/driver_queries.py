@@ -1267,6 +1267,32 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_rolling_avg",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+           round(CAST(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+             AS rolling_avg_5,
+           round(CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+             AS running_sum
+    FROM events ORDER BY event_id
+    """,
+)
+def events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded window frames: per-user 5-event rolling average + running
+    sum (ROWS frames, deterministic tiebreak on event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w.rowsBetween(-4, 0)), 4).alias("rolling_avg_5"),
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias("running_sum"),
+    ).orderBy("event_id")
+
+
+@_q(
     "events_asof_join",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
