@@ -1514,6 +1514,30 @@ def dq_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dq_hash_sample",
+    f"""
+    WITH s AS (SELECT * FROM orders WHERE {_h60_duck("CAST(o_orderkey AS VARCHAR)")} % 100 < 5)
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_sampled,
+           round(CAST(avg(o_totalprice) AS DOUBLE), 2) AS avg_price
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (the reproducible alternative to
+    RNG-based TABLESAMPLE for DQ audits): keep rows whose key hash lands
+    in a fixed 5% band — the same rows on every engine and every run, so
+    audit samples are re-examinable. Aggregated per class."""
+    o = _t(spark, sf_dir, "orders")
+    keep = F.expr(f"{_h60_spark('cast(o_orderkey as string)')} % 100") < 5
+    return (
+        o.filter(keep)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_q(
     "rel_dictionary_encode",
     """
     WITH dict AS (SELECT p_brand, row_number() OVER (ORDER BY p_brand) AS brand_id
