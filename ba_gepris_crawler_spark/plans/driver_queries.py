@@ -1745,6 +1745,78 @@ def tpch_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_q(
+    "tpch_cube_counts",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def tpch_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of the two dimensions) —
+    one pass, partial aggregation map-side."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@_q(
+    "rel_intersect_except",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'both' AS bucket, CAST(count(*) AS BIGINT) AS n FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT 'open_only', CAST(count(*) AS BIGINT) FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    ORDER BY bucket
+    """,
+)
+def rel_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT distinct) over customer key sets."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k")).distinct()
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k")).distinct()
+    both = a.intersect(b).agg(F.count(F.lit(1)).alias("n")).select(F.lit("both").alias("bucket"), "n")
+    only = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(F.lit("open_only").alias("bucket"), "n")
+    return both.unionByName(only).orderBy("bucket")
+
+
+@_q(
+    "events_first_last_nav",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(min_by(event_id, ts) AS BIGINT) AS first_event_id,
+           CAST(max_by(event_id, ts) AS BIGINT) AS last_event_id
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_first_last_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation aggregates: first/last event per user by time order
+    (min_by/max_by — the single-pass alternative to first_value/
+    last_value windows; (user_id, ts) is unique so no tiebreak needed)."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.col("ts")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_id", key).cast("bigint").alias("first_event_id"),
+            F.max_by("event_id", key).cast("bigint").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
     "text_bigram_topk",
     """
     WITH toks AS (SELECT string_split(lower(text), ' ') AS ts FROM documents
