@@ -53,7 +53,7 @@ def _settings(args: argparse.Namespace) -> CrawlSettings:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ba-gepris-crawler-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("new-crawl", "resume-crawl"):
+    for name in ("new-crawl", "resume-crawl", "stream-crawl"):
         c = sub.add_parser(name)
         c.add_argument("root", help="snapshot-store root folder")
         c.add_argument("--hosts", type=int, default=4)
@@ -82,6 +82,24 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     spark = get_spark(app_name=f"gepris-{args.cmd}")
+
+    if args.cmd == "stream-crawl":
+        # crawl-as-stream: the self-feeding Structured Streaming frontier
+        # (resumable: re-running drains whatever is left; committed
+        # micro-batches replay as no-ops)
+        from ba_gepris_crawler_spark.streaming.crawl_stream import StreamingCrawl
+
+        site, settings = _site(args), _settings(args)
+        sc = StreamingCrawl(
+            spark, site, args.root, politeness=settings.politeness, n_buckets=settings.n_buckets
+        )
+        if not any((sc.root / "frontier").rglob("*.parquet")):
+            sc.seed()
+        waves = sc.drain(max_waves=args.max_rounds)
+        seen = sc.seen()
+        print(json.dumps({"waves": waves, "seen_total": 0 if seen is None else seen.count()}))
+        return 0
+
     store = SnapshotStore(spark, args.root)
 
     if args.cmd in ("new-crawl", "resume-crawl"):
