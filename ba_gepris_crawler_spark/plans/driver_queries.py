@@ -1745,6 +1745,61 @@ def tpch_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_q(
+    "tpch_monthly_orders",
+    """
+    SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+           CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def tpch_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family: calendar truncation (year/month extraction)
+    over a pushed-down date filter."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("y", "m")
+    )
+
+
+@_q(
+    "rel_string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           CAST(strlen(c_name) AS BIGINT) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           replace(c_name, '#', '-') AS name_dashed,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+           lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS key_padded
+    FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
+    """,
+)
+def rel_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family: case, length, substring, replace, position,
+    padding — all JVM-side expressions inside one codegen stage."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("c_name", "#", "-").alias("name_dashed"),
+        F.instr(F.col("c_name"), "#").cast("bigint").alias("hash_pos"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("key_padded"),
+    ).orderBy("c_custkey")
+
+
+@_q(
     "tpch_cube_counts",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
