@@ -159,50 +159,42 @@ def schedule_round(
     added_bucket = "host_bucket" not in f.columns
     if added_bucket:
         f = f.withColumn("host_bucket", salt_bucket("url", n_buckets))
-    # Level 2 FIRST: metadata-sized per-group counts -> broadcast offsets.
-    # Computed from the PRE-window frame so this eager collect is a plain
-    # partial-aggregated count job — it must not execute the rank shuffle
-    # (the window runs once per downstream consumer; round_loop's cached
-    # candidates bound that recompute to the window itself).
-    counts = (
-        f.groupBy("host", "crawl_depth", "priority", "host_bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    # Level 2: metadata-sized per-group counts -> window-cumsum offsets,
+    # entirely distributed (no driver collect — at 10^6-10^7 hosts the old
+    # collect materialized O(hosts x depths x priorities x B) rows on the
+    # driver, the exact pattern the reference's driver-side toSet has,
+    # CrawlResourceDetailsGraph.scala:47-53). The counts frame holds at
+    # most depths x priorities x B rows PER HOST — a constant — so the
+    # per-host cumsum window below moves a bounded number of metadata rows
+    # per task no matter how large one host's frontier is; the data-sized
+    # frontier itself is never partitioned by bare host.
+    counts = f.groupBy("host", "crawl_depth", "priority", "host_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_host = (
+        Window.partitionBy("host")
+        .orderBy("crawl_depth", "priority", "host_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_in_bucket = (
+        Window.partitionBy("host", "host_bucket")
+        .orderBy("crawl_depth", "priority")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = counts.select(
+        "host",
+        "crawl_depth",
+        "priority",
+        "host_bucket",
+        F.coalesce(F.sum("n").over(w_host), F.lit(0)).alias("grp_off"),
+        F.coalesce(F.sum("n").over(w_in_bucket), F.lit(0)).alias("lrank_before"),
     )
     # Level 1: rank within the salted partition — the only data-sized
     # shuffle, keyed (host, host_bucket) so a hot host spreads over B tasks.
     w = Window.partitionBy("host", "host_bucket").orderBy("crawl_depth", "priority", "url")
-    f = f.withColumn("_lrank", F.row_number().over(w))
-    spark = frontier.sparkSession
-    if not counts:
-        empty = (
-            f.withColumn("host_rank", F.lit(1).cast("int"))
-            .withColumn("slot", F.lit(1).cast("int"))
-            .drop("_lrank")
-            .limit(0)
-        )
-        deferred = f.drop("_lrank").limit(0)
-        return empty, (deferred.drop("host_bucket") if added_bucket else deferred)
-    by_host: dict[str, list[tuple]] = {}
-    for r in counts:
-        by_host.setdefault(r["host"], []).append(
-            (r["crawl_depth"], r["priority"], r["host_bucket"], r["n"])
-        )
-    rows = []
-    for host, groups in by_host.items():
-        groups.sort()  # global per-host group order: (depth, priority, bucket)
-        acc = 0  # rows of this host in earlier groups
-        in_bucket: dict[int, int] = {}  # rows of this host already placed per bucket
-        for d, p, b, n in groups:
-            rows.append((host, d, p, b, acc, in_bucket.get(b, 0)))
-            acc += n
-            in_bucket[b] = in_bucket.get(b, 0) + n
-    off = spark.createDataFrame(
-        rows,
-        "host string, crawl_depth int, priority int, host_bucket int, grp_off long, lrank_before long",
-    )
     f = (
-        f.join(F.broadcast(off), ["host", "crawl_depth", "priority", "host_bucket"])
+        f.withColumn("_lrank", F.row_number().over(w))
+        .join(F.broadcast(off), ["host", "crawl_depth", "priority", "host_bucket"])
         .withColumn("host_rank", (F.col("grp_off") + F.col("_lrank") - F.col("lrank_before")).cast("int"))
         .drop("_lrank", "grp_off", "lrank_before")
     )
