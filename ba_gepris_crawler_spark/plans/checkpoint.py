@@ -150,8 +150,16 @@ class SnapshotStore:
         return dropped
 
     # -- compaction ----------------------------------------------------
-    def compacted_path(self, name: str, upto: int) -> Path:
-        return self.root / "compacted" / name / f"upto={upto:05d}"
+    def compacted_path(self, name: str, upto: int, key_col: str = "url", n_buckets: int = 32) -> Path:
+        """Parameter-qualified snapshot dir: a re-compaction at the same
+        `upto` with different clustering (e.g. `cli compact --buckets 16`
+        after the round loop auto-compacted with 32) writes to a DIFFERENT
+        directory than the one read_union is lazily reading — Spark aborts
+        an overwrite of a path that is also a read source (ADVICE r2).
+        Superseded dirs become unreferenced orphans (visibility is
+        manifest-only) and are never deleted eagerly: --from-round rewind
+        may make an older compaction manifest current again."""
+        return self.root / "compacted" / name / f"upto={upto:05d}-b{n_buckets}-{key_col}"
 
     def _compact_manifest_path(self, name: str, upto: int) -> Path:
         return self.root / "manifests" / f"compact-{name}-{upto:05d}.json"
@@ -187,15 +195,15 @@ class SnapshotStore:
             return {"table": name, "upto": upto, "rows": 0, "n_buckets": n_buckets, "empty": True}
         out = df.repartition(n_buckets, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
         obs = Observation(f"compact-{name}-{upto}")
-        out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
-            str(self.compacted_path(name, upto))
-        )
+        path = self.compacted_path(name, upto, key_col, n_buckets)
+        out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(str(path))
         manifest = {
             "table": name,
             "upto": upto,
             "rows": int(obs.get["n"]),
             "n_buckets": n_buckets,
             "key_col": key_col,
+            "path": str(path),
             "base": prev["upto"] if prev else None,
             "committed_at": time.time(),
         }
@@ -236,7 +244,8 @@ class SnapshotStore:
             if base_upto < r <= upto and r in self._rounds_with(name)
         ]
         if comp is not None:
-            paths.insert(0, str(self.compacted_path(name, base_upto)))
+            paths.insert(0, comp.get("path") or str(self.compacted_path(
+                name, base_upto, comp.get("key_col", "url"), comp.get("n_buckets", 32))))
         if not paths:
             return None
         return self.spark.read.parquet(*paths)

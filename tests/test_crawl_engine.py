@@ -145,8 +145,19 @@ def test_compaction_preserves_seen_set_and_resume(spark, crawl_cfg, tmp_path_fac
     engine.run(max_rounds=3)  # rounds 0..2 -> compaction at round 2
     comp = store_c.latest_compaction("url_seen")
     assert comp is not None and comp["upto"] == 2
-    parts = [p for p in store_c.compacted_path("url_seen", 2).glob("part-*") if p.stat().st_size]
+    from pathlib import Path as _P
+
+    parts = [p for p in _P(comp["path"]).glob("part-*") if p.stat().st_size]
     assert 0 < len(parts) <= settings.n_buckets
+    # ADVICE r2 (medium): re-compaction at the same upto with DIFFERENT
+    # clustering must rewrite (new qualified dir), not crash on
+    # overwrite-while-reading — and reads must follow the new snapshot.
+    before = {tuple(r) for r in store_c.read_union("url_seen", 2).collect()}
+    comp2 = store_c.compact("url_seen", 2, key_col="url", n_buckets=4)
+    assert comp2["path"] != comp["path"] and comp2["n_buckets"] == 4
+    parts2 = [p for p in _P(comp2["path"]).glob("part-*") if p.stat().st_size]
+    assert 0 < len(parts2) <= 4
+    assert {tuple(r) for r in store_c.read_union("url_seen", 2).collect()} == before
     # resume across the boundary with a fresh engine
     CrawlEngine(spark, crawl_cfg, store_c, settings).resume(max_rounds=30)
     a = {tuple(r) for r in store_a.read_union("url_seen", store_a.latest_round()).collect()}
