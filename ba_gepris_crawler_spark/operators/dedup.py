@@ -225,7 +225,15 @@ def connected_components(
     algorithm, re-expressed as DataFrame ops). Converges in O(log n)
     alternation rounds; every step is a groupBy-min + join — no windows,
     no driver-side data. Returns (node, component_id) for every node that
-    appears in an edge, component_id = min node id of its component.
+    appears in a non-degenerate edge (self-loops are dropped at entry),
+    component_id = min node id of its component.
+
+    The returned frame is derived ONLY from the eagerly-checkpointed
+    fixpoint star (members on the u side, roots on the v side) — never
+    from the raw `edges` argument — so materializing it later replays a
+    local-checkpoint scan, not the caller's upstream pipeline (the r2
+    blemish: dedup_clusters re-ran the whole minhash->band->verify chain
+    once to enumerate nodes after its token cache was gone).
 
     This is the missing piece between near-dup PAIR generation
     (lsh_candidate_pairs / simhash_near_dups) and "keep one doc per
@@ -236,11 +244,6 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()
-    )
-    nodes = (
-        edges.select(F.col(a_col).alias("node"))
-        .unionByName(edges.select(F.col(b_col).alias("node")))
-        .distinct()
     )
     prev_sig = None
     for _ in range(max_iter):
@@ -260,9 +263,18 @@ def connected_components(
     # the returned frame never replay the alternation chain
     final = e.localCheckpoint(eager=True)
     e.unpersist()
-    labels = final.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component_id"))
-    return nodes.join(labels, "node", "left").select(
-        "node", F.coalesce("component_id", F.col("node")).alias("component_id")
+    # at the star fixpoint every non-root appears exactly once as u with
+    # v = its root, and every root appears (only) on the v side; the
+    # defensive groupBy-min keeps the label correct even on a max_iter
+    # bailout where the edge set is not yet a clean star
+    members = final.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component_id"))
+    roots = final.select(F.col("v").alias("node")).distinct().withColumn(
+        "component_id", F.col("node")
+    )
+    return (
+        members.unionByName(roots)
+        .groupBy("node")
+        .agg(F.min("component_id").alias("component_id"))
     )
 
 

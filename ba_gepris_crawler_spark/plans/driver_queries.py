@@ -953,8 +953,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     does.
 
     tok is persisted (it feeds the signature, both verify-join sides, and
-    the size table; Spark re-runs unpersisted shared subplans). The cache
-    outlives this call — bench.py clears it after materializing."""
+    the size table; Spark re-runs unpersisted shared subplans). The bounded
+    pair output is eagerly checkpointed so the cache can be dropped INSIDE
+    this call — no lingering executor storage for the caller to clear."""
     from ba_gepris_crawler_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -967,10 +968,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(tok, id_col="doc_id", unit_col="tok", num_perm=8, hashed_units=h)
     cand = lsh_candidate_pairs(sig, id_col="doc_id", num_perm=8, bands=4)
     pairs = verified_near_dups(cand, tok, id_col="doc_id", unit_col="tok", threshold=0.7)
-    return (
+    out = (
         pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
+    tok.unpersist()
+    return out
 
 
 @_q(
@@ -1922,8 +1926,8 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K vocabulary and broadcast."""
     d = _t(spark, sf_dir, "documents").select("doc_id", F.split(F.lower("text"), " ").alias("ts"))
     # bg feeds the model, the total, and the scoring join — persist it so
-    # the tokenize+explode runs once, not three times (cache cleared by the
-    # caller after materializing, as with dedup_minhash_lsh's token table)
+    # the tokenize+explode runs once, not three times; the per-doc output
+    # is eagerly checkpointed below so the cache is dropped in this call
     bg = d.filter(F.size("ts") >= 2).select(
         "doc_id",
         F.explode(
@@ -1937,11 +1941,14 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp"))
     )
-    return (
+    out = (
         scored.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"), F.round(F.avg("lp"), 6).alias("avg_logprob"))
         .orderBy("doc_id")
+        .localCheckpoint(eager=True)
     )
+    bg.unpersist()
+    return out
 
 
 @_q(

@@ -81,6 +81,17 @@ def test_dedup_clusters_planted_group(corpus):
     assert out[0] == 0 and out[55] == 55
 
 
+def test_dedup_clusters_output_plan_is_checkpoint_only(corpus):
+    """The frame dedup_clusters returns must be derived from the eagerly
+    checkpointed component fixpoint — materializing it later must NOT
+    replay the minhash->band->verify chain (r2 blemish: the nodes side
+    re-ran the full LSH pipeline once after the token cache was gone)."""
+    out = D.dedup_clusters(corpus, threshold=0.7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("explode", "xxhash64", "split("):
+        assert marker not in plan, f"LSH chain leaked into output plan via {marker}"
+
+
 def test_lsh_banding_runs_signature_pipeline_once(corpus):
     """The band fan-out must be a single explode, not an N-way union: Spark
     re-runs unpersisted shared subplans per union branch, so the source
