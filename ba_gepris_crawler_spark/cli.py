@@ -93,7 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         sc = StreamingCrawl(
             spark, site, args.root, politeness=settings.politeness, n_buckets=settings.n_buckets
         )
-        if not any((sc.root / "frontier").rglob("*.parquet")):
+        if sc.needs_seed():
             sc.seed()
         waves = sc.drain(max_waves=args.max_rounds)
         seen = sc.seen()
@@ -124,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
                 site = SiteConfig(**{k: v for k, v in sc.items() if k in SiteConfig.__dataclass_fields__})
                 pol = dict(cfg["politeness"])
                 pol["disallow"] = tuple(tuple(x) for x in pol.get("disallow", ()))
+                pol["host_rates"] = tuple(tuple(x) for x in pol.get("host_rates", ()))
                 settings = CrawlSettings(
                     n_buckets=cfg.get("n_buckets", settings.n_buckets),
                     politeness=PolitenessConfig(**pol),

@@ -31,7 +31,11 @@ def asof_join(
     """Returns every left row + `<col><suffix>` columns holding the
     payload of the latest right row at-or-before the left timestamp.
     Ties on (key, ts) resolve right-before-left, so an equal-timestamp
-    right row IS visible to the left row."""
+    right row IS visible to the left row. When MULTIPLE right rows share
+    (key, ts), the payload columns themselves are the final window
+    tiebreaker (greatest payload wins), so which row's value is carried
+    is stable across runs — the window order would otherwise be
+    nondeterministic under Spark's unstable sort (ADVICE r2)."""
     left_extras = [c for c in left.columns if c not in (key, left_ts)]
     l2 = left.select(
         F.col(key),
@@ -47,16 +51,26 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extras],
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
     )
+    # one window spec, payload columns as trailing tiebreakers; left rows
+    # (payloads all null, nulls-first) still sort AFTER right rows on an
+    # equal timestamp because _is_left dominates. All fills go through ONE
+    # select over the original columns so they share a single Window
+    # operator and a single, consistent sort.
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_is_left")
+        .orderBy("_ts", "_is_left", *[F.col(f"{c}{suffix}") for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = l2.unionByName(r2)
-    for c in right_cols:
-        filled = filled.withColumn(
-            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-        )
+    filled = l2.unionByName(r2).select(
+        F.col(key),
+        "_ts",
+        "_is_left",
+        *[F.col(c) for c in left_extras],
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
     return filled.filter(F.col("_is_left") == 1).select(
         F.col(key),
         F.col("_ts").alias(left_ts),

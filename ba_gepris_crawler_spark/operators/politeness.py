@@ -44,15 +44,37 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class PolitenessConfig:
-    per_host_rate: float = 10.0  # pages/sec a host will tolerate
+    per_host_rate: float = 10.0  # pages/sec a host will tolerate (default)
     round_seconds: float = 60.0  # wall-clock modeled per crawl round
     max_in_flight: int = 10  # reference detail-page cap (mapAsync(10))
     # robots.txt analog: paths a host forbids (regex), broadcast to executors
     disallow: tuple[tuple[str, str], ...] = ()  # (host, path_regex)
+    # per-host rate OVERRIDES (host, pages/sec) — fed by robots.txt
+    # Crawl-delay (rate = 1/delay); hosts not listed use per_host_rate
+    host_rates: tuple[tuple[str, float], ...] = ()
 
     @property
     def per_host_budget(self) -> int:
         return max(1, int(self.per_host_rate * self.round_seconds))
+
+    def rate_for(self, host: str) -> float:
+        for h, r in self.host_rates:
+            if h == host:
+                return r
+        return self.per_host_rate
+
+    def budget_for(self, host: str) -> int:
+        """Token-bucket page budget for ONE round of `host`."""
+        return max(1, int(self.rate_for(host) * self.round_seconds))
+
+    def budget_col(self, host_col: str = "host") -> F.Column:
+        """The per-host budget as a literal when-cascade over the (tiny)
+        host_rates dimension — the Catalyst equivalent of broadcasting the
+        robots crawl-delay cache; no join, no shuffle."""
+        c: F.Column = F.lit(self.per_host_budget)
+        for h, _r in self.host_rates:
+            c = F.when(F.col(host_col) == h, F.lit(self.budget_for(h))).otherwise(c)
+        return c
 
 
 def priority_for_type() -> F.Column:
@@ -108,6 +130,67 @@ def parse_robots(host: str, robots_txt: str, user_agent: str = "*") -> tuple[tup
         else:
             in_group_body = True  # crawl-delay etc.: group body continues
     return tuple(rules)
+
+
+def parse_crawl_delay(robots_txt: str, user_agent: str = "*") -> float | None:
+    """Crawl-delay (seconds between requests) from robots.txt, honoring the
+    same group semantics as parse_robots: the directive counts only inside
+    a group matching `user_agent` or '*'. A specific-agent group's value
+    wins over a wildcard group's; malformed / non-positive values are
+    ignored. Returns None when no applicable directive exists."""
+    wildcard: float | None = None
+    specific: float | None = None
+    group_agents: list[str] = []
+    in_group_body = False
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if in_group_body:
+                group_agents = []
+                in_group_body = False
+            group_agents.append(value.lower())
+        else:
+            in_group_body = True
+            if key != "crawl-delay":
+                continue
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            if delay <= 0:
+                continue
+            if user_agent.lower() != "*" and user_agent.lower() in group_agents:
+                specific = delay
+            elif "*" in group_agents or user_agent.lower() in group_agents:
+                wildcard = delay
+    return specific if specific is not None else wildcard
+
+
+def politeness_from_robots(
+    cfg: PolitenessConfig,
+    robots_by_host: dict[str, str],
+    user_agent: str = "*",
+) -> PolitenessConfig:
+    """Fold fetched robots.txt bodies into the politeness config: Disallow
+    rules extend cfg.disallow, Crawl-delay becomes a per-host rate override
+    (rate = 1/delay pages/sec). Driver-side, once per host — the
+    broadcast-robots-cache shape (the per-host dimension is tiny; the
+    resulting config is compiled into the plan as literals)."""
+    from dataclasses import replace
+
+    disallow = list(cfg.disallow)
+    rates = list(cfg.host_rates)
+    for host, txt in sorted(robots_by_host.items()):
+        disallow.extend(parse_robots(host, txt, user_agent))
+        delay = parse_crawl_delay(txt, user_agent)
+        if delay is not None:
+            rates.append((host, 1.0 / delay))
+    return replace(cfg, disallow=tuple(disallow), host_rates=tuple(rates))
 
 
 def apply_robots(frontier: DataFrame, cfg: PolitenessConfig) -> DataFrame:
@@ -198,10 +281,14 @@ def schedule_round(
         .withColumn("host_rank", (F.col("grp_off") + F.col("_lrank") - F.col("lrank_before")).cast("int"))
         .drop("_lrank", "grp_off", "lrank_before")
     )
-    fetch_now = f.filter(F.col("host_rank") <= cfg.per_host_budget).withColumn(
+    # Per-host token-bucket cut: the budget is a literal when-cascade over
+    # the (tiny) robots Crawl-delay overrides — no join, no shuffle, and
+    # still independent of partition counts.
+    budget = cfg.budget_col("host")
+    fetch_now = f.filter(F.col("host_rank") <= budget).withColumn(
         "slot", F.ceil(F.col("host_rank") / cfg.max_in_flight).cast("int")
     )
-    deferred = f.filter(F.col("host_rank") > cfg.per_host_budget).drop("host_rank")
+    deferred = f.filter(F.col("host_rank") > budget).drop("host_rank")
     if added_bucket:
         deferred = deferred.drop("host_bucket")
     return fetch_now, deferred

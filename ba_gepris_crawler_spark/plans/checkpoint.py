@@ -181,7 +181,11 @@ class SnapshotStore:
     def compact(self, name: str, upto: int, key_col: str = "url", n_buckets: int = 32) -> dict:
         """Merge base + tail deltas of rounds <= upto into one hash-clustered
         snapshot. Returns the compaction manifest. No-op (returns the current
-        manifest) when nothing new exists to compact."""
+        manifest) when nothing new exists to compact.
+
+        This is the FULL rewrite (every row rewritten each time) — right for
+        url_seen, whose value is the clustered-by-key layout feeding the
+        exact-seen anti-join. For payload-heavy tables use compact_tiered."""
         prev = self.latest_compaction(name, upto)
         if (
             prev is not None
@@ -204,6 +208,54 @@ class SnapshotStore:
             "n_buckets": n_buckets,
             "key_col": key_col,
             "path": str(path),
+            "base": prev["upto"] if prev else None,
+            "committed_at": time.time(),
+        }
+        tmp = self._compact_manifest_path(name, upto).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, self._compact_manifest_path(name, upto))  # atomic
+        return manifest
+
+    def tier_path(self, name: str, lo: int, upto: int, n_buckets: int) -> Path:
+        return self.root / "compacted" / name / f"tier-{lo:05d}-{upto:05d}-b{n_buckets}"
+
+    def compact_tiered(self, name: str, upto: int, key_col: str = "doc_id", n_buckets: int = 32) -> dict:
+        """Span-aware compaction for payload-heavy delta tables (documents,
+        eav): merge ONLY the closed rounds since the previous compaction into
+        one new immutable TIER, leaving earlier tiers untouched — so each
+        heavy row (e.g. a page's span payload) is rewritten exactly ONCE in
+        the table's lifetime, amortized O(delta) per compaction instead of
+        the full-rewrite's O(total). read_union reads tiers + tail deltas;
+        the file count is bounded by n_buckets per tier, tiers grow as
+        rounds/K (Iceberg rewrite_data_files with a min-input-files filter
+        is the same policy). The row set is identical, so resume
+        determinism and --from-round rewind (which falls back to the
+        previous compaction manifest and its own tier list) are unaffected."""
+        prev = self.latest_compaction(name, upto)
+        lo = (prev["upto"] if prev else -1) + 1
+        delta_paths = [
+            str(self.table_path(name, r))
+            for r in self.committed_rounds()
+            if lo <= r <= upto and r in self._rounds_with(name)
+        ]
+        if not delta_paths:
+            return prev or {"table": name, "upto": upto, "rows": 0, "empty": True}
+        df = self.spark.read.parquet(*delta_paths)
+        out = df.repartition(n_buckets, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
+        obs = Observation(f"tier-{name}-{lo}-{upto}")
+        path = self.tier_path(name, lo, upto, n_buckets)
+        out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(str(path))
+        new_rows = int(obs.get["n"])
+        tiers = (list(prev["paths"]) if prev and prev.get("paths") else
+                 ([prev["path"]] if prev and prev.get("path") else [])) + [str(path)]
+        manifest = {
+            "table": name,
+            "upto": upto,
+            "rows": (prev.get("rows", 0) if prev else 0) + new_rows,
+            "n_buckets": n_buckets,
+            "key_col": key_col,
+            "mode": "tiered",
+            "paths": tiers,
             "base": prev["upto"] if prev else None,
             "committed_at": time.time(),
         }
@@ -244,8 +296,11 @@ class SnapshotStore:
             if base_upto < r <= upto and r in self._rounds_with(name)
         ]
         if comp is not None:
-            paths.insert(0, comp.get("path") or str(self.compacted_path(
-                name, base_upto, comp.get("key_col", "url"), comp.get("n_buckets", 32))))
+            if comp.get("paths"):  # tiered: every immutable tier
+                paths = list(comp["paths"]) + paths
+            else:
+                paths.insert(0, comp.get("path") or str(self.compacted_path(
+                    name, base_upto, comp.get("key_col", "url"), comp.get("n_buckets", 32))))
         if not paths:
             return None
         return self.spark.read.parquet(*paths)

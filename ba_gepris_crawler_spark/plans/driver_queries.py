@@ -2199,6 +2199,67 @@ def crawl_robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "crawl_crawl_delay_budget",
+    """
+    WITH f AS (SELECT doc_id, 'h' || CAST(doc_id % 3 AS VARCHAR) AS host,
+                      CAST(doc_id % 4 AS INT) AS host_bucket FROM documents),
+    r AS (SELECT host, doc_id,
+                 row_number() OVER (PARTITION BY host
+                     ORDER BY host_bucket, lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS rnk
+          FROM f),
+    b AS (SELECT host, CASE host WHEN 'h0' THEN 2 WHEN 'h1' THEN 4 ELSE 20 END AS budget, rnk
+          FROM r)
+    SELECT host, CAST(max(budget) AS BIGINT) AS budget,
+           CAST(sum(CASE WHEN rnk <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_fetch_now,
+           CAST(sum(CASE WHEN rnk > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred
+    FROM b GROUP BY host ORDER BY host
+    """,
+)
+def crawl_crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt Crawl-delay -> per-host token-bucket budgets, end to end
+    through the REAL modules (politeness.parse_crawl_delay ->
+    politeness_from_robots -> schedule_round): h0 serves Crawl-delay 0.5
+    (rate 2/s -> budget 2; an inapplicable googlebot group says 9), h1
+    serves 0.25 (budget 4), h2 serves no robots and keeps the default rate
+    20 (budget 20). The budget is applied as a literal when-cascade — the
+    broadcast robots-cache analog, no join. The oracle replays the per-host
+    rank + CASE budget cut."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        PolitenessConfig,
+        politeness_from_robots,
+        schedule_round,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string")).alias("host"),
+        F.lit(0).cast("int").alias("crawl_depth"),
+        F.lit(0).cast("int").alias("priority"),
+        (F.col("doc_id") % 4).cast("int").alias("host_bucket"),
+    )
+    base = PolitenessConfig(per_host_rate=20, round_seconds=1.0, max_in_flight=5)
+    robots = {
+        "h0": "User-agent: googlebot\nCrawl-delay: 9\n\n"
+              "User-agent: *\nDisallow:\nCrawl-delay: 0.5\n",
+        "h1": "User-agent: *\nCrawl-delay: 0.25\n",
+    }
+    cfg = politeness_from_robots(base, robots)
+    fetch_now, deferred = schedule_round(d, cfg, n_buckets=4)
+    fn = fetch_now.groupBy("host").agg(F.count(F.lit(1)).alias("n_fetch_now"))
+    dn = deferred.groupBy("host").agg(F.count(F.lit(1)).alias("n_deferred"))
+    return (
+        fn.join(dn, "host", "full")
+        .select(
+            "host",
+            cfg.budget_col("host").cast("bigint").alias("budget"),
+            F.coalesce("n_fetch_now", F.lit(0)).alias("n_fetch_now"),
+            F.coalesce("n_deferred", F.lit(0)).alias("n_deferred"),
+        )
+        .orderBy("host")
+    )
+
+
+@_q(
     "emb_ivf_probe_topk",
     f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),

@@ -320,8 +320,14 @@ class CrawlEngine:
         manifest = self.store.commit(rnd, tables, counters, lineage_rows)
         if s.compact_every and rnd > 0 and rnd % s.compact_every == 0:
             # post-commit so a compaction crash never loses a round; the
-            # round's own manifest is already visible
+            # round's own manifest is already visible. url_seen gets the
+            # full hash-clustered rewrite (the anti-join layout); the
+            # span-heavy documents table gets TIERED compaction — only the
+            # rounds closed since the last tier are rewritten, so each span
+            # payload is rewritten exactly once (flat per-round cost at any
+            # round count; see BENCH/BASELINE.md round-count bench).
             self.store.compact("url_seen", rnd, key_col="url", n_buckets=s.n_buckets)
+            self.store.compact_tiered("documents", rnd, key_col="doc_id", n_buckets=s.n_buckets)
         if bloom is not None:
             self._bloom, self._bloom_round = bloom, rnd
         elif s.use_bloom and rnd == 0:

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ba_gepris_crawler_spark.operators import frontier as FR
+from ba_gepris_crawler_spark.operators.cookies import CookieJar
 from ba_gepris_crawler_spark.operators.fetch import fetch_pages, to_documents
 from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, schedule_round
 from ba_gepris_crawler_spark.schema import FRONTIER_SCHEMA
@@ -52,6 +53,11 @@ class StreamingCrawl:
     root: str | os.PathLike
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     n_buckets: int = 16
+    # session cookie cache (one Set-Cookie fetch per epoch), mirroring the
+    # batch engine: the epoch analog is batch_id // session_rounds, so a
+    # session-gated site rotates in the stream too instead of every
+    # partition of every micro-batch paying the worker-side 401 refresh
+    _jar: CookieJar = field(default_factory=CookieJar)
 
     def __post_init__(self) -> None:
         self.root = Path(self.root)
@@ -80,6 +86,14 @@ class StreamingCrawl:
             str(self.root / "frontier" / "seed")
         )
 
+    def needs_seed(self) -> bool:
+        """True until a seed write COMMITTED. Gate on the _SUCCESS marker,
+        not on any *.parquet glob: a crashed seed write leaves _temporary
+        part files that would otherwise skip seeding and drain an empty
+        stream (ADVICE r2). Re-seeding after such a crash is safe — the
+        seed is deterministic and mode('overwrite') replaces the debris."""
+        return not (self.root / "frontier" / "seed" / "_SUCCESS").exists()
+
     # -- the micro-batch body -----------------------------------------
     def _read_seen(self) -> DataFrame | None:
         base = self.root / "url_seen"
@@ -102,8 +116,11 @@ class StreamingCrawl:
         if candidates.isEmpty():
             return  # write nothing: lets drain() detect quiescence
         fetch_now, deferred = schedule_round(candidates, self.politeness, self.n_buckets)
+        epoch = batch_id // self.site.session_rounds if self.site.session_rounds else 0
+        token = self._jar.get(self.site, epoch) if self.site.session_rounds else None
         fetched = fetch_pages(
-            fetch_now, self.site, self.politeness.per_host_rate, self.n_buckets
+            fetch_now, self.site, self.politeness.per_host_rate, self.n_buckets,
+            session_token=token, epoch=epoch,
         )
         docs = to_documents(fetched, batch_id, keep_errors=True)
         docs.write.mode("overwrite").parquet(self._out("documents", batch_id))

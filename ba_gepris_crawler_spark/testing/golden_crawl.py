@@ -74,8 +74,15 @@ def _seed_entries(cfg: SiteConfig) -> list[Entry]:
 
 
 def simulate_crawl(
-    cfg: SiteConfig, per_host_budget: int, max_rounds: int = 50, n_buckets: int = 32
+    cfg: SiteConfig,
+    per_host_budget: int,
+    max_rounds: int = 50,
+    n_buckets: int = 32,
+    host_budgets: dict[str, int] | None = None,
 ) -> SimResult:
+    """host_budgets: per-host round-budget overrides (the robots Crawl-delay
+    analog, PolitenessConfig.host_rates); hosts not listed use
+    per_host_budget."""
     res = SimResult()
     frontier: dict[str, Entry] = {e.url: e for e in _seed_entries(cfg)}
     for rnd in range(max_rounds):
@@ -91,8 +98,9 @@ def simulate_crawl(
         fetch_now: list[tuple[Entry, int]] = []  # (entry, host_rank)
         deferred: list[Entry] = []
         for host, entries in by_host.items():
-            fetch_now += [(e, i + 1) for i, e in enumerate(entries[:per_host_budget])]
-            deferred += entries[per_host_budget:]
+            budget = (host_budgets or {}).get(host, per_host_budget)
+            fetch_now += [(e, i + 1) for i, e in enumerate(entries[:budget])]
+            deferred += entries[budget:]
         # trace order: (depth, priority, host, host_rank)
         fetch_now.sort(key=lambda t: (t[0].crawl_depth, t[0].priority, t[0].host, t[1]))
         discovered: list[Entry] = []

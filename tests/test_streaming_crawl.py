@@ -59,6 +59,64 @@ def test_streaming_batch_replay_is_crash_safe(spark, tmp_path):
     assert n_urls == sc.seen().select("url").distinct().count()
 
 
+def test_seed_gate_ignores_uncommitted_seed_debris(spark, tmp_path):
+    """A crashed seed write (parquet debris, no _SUCCESS marker) must NOT
+    satisfy the seed gate — ADVICE r2: the old any-*.parquet glob matched
+    leftover part files and drained an empty stream reporting seen_total 0."""
+    cfg = SiteConfig(hosts=("gepris.example.org",), n_projects=4, n_persons=2,
+                     n_institutions=1, hits_per_page=5, seed=1)
+    sc = StreamingCrawl(spark, cfg, tmp_path / "s", n_buckets=2)
+    assert sc.needs_seed()
+
+    # simulate the crash window: a part file landed, the commit marker didn't
+    debris = sc.root / "frontier" / "seed"
+    debris.mkdir(parents=True, exist_ok=True)
+    (debris / "part-00000-crashed.snappy.parquet").write_bytes(b"\x00")
+    assert sc.needs_seed()  # glob would say False here — the bug
+
+    sc.seed()  # overwrite replaces the debris and commits
+    assert not sc.needs_seed()
+    assert spark.read.parquet(str(debris)).count() > 0
+
+
+def test_streaming_session_gated_site_matches_batch(spark, tmp_path):
+    """Session-gated site (session_rounds > 0): the stream threads a driver
+    CookieJar token + a batch-id-derived epoch into fetch_pages (ADVICE r2 —
+    previously every partition of every micro-batch paid the worker-side 401
+    refresh and the epoch was pinned to 0). The jar must be hit once per
+    epoch, and the final seen set / documents must equal the batch engine's."""
+    cfg = SiteConfig(
+        hosts=("gepris.example.org",),
+        n_projects=10, n_persons=5, n_institutions=2,
+        hits_per_page=6, seed=7, session_rounds=2,
+    )
+    pol = PolitenessConfig(per_host_rate=40, round_seconds=1.0)
+
+    sc = StreamingCrawl(spark, cfg, tmp_path / "stream", politeness=pol, n_buckets=4)
+    sc.seed()
+    waves = sc.drain(max_waves=20)
+    assert waves > 1
+
+    # the driver jar was actually consulted, exactly once per distinct epoch
+    assert sc._jar.fetches >= 1
+    assert sc._jar.fetches == len(sc._jar._cache)
+
+    store = SnapshotStore(spark, tmp_path / "batch")
+    CrawlEngine(
+        spark, cfg, store,
+        CrawlSettings(n_buckets=4, politeness=pol, extract=False),
+    ).run(max_rounds=30)
+
+    batch_seen = {
+        (r.url, r.status)
+        for r in store.read_union("url_seen", store.latest_round()).collect()
+    }
+    stream_seen = {(r.url, r.status) for r in sc.seen().collect()}
+    assert stream_seen == batch_seen
+    # no stale-session 401s leaked into the final state on either side
+    assert all(st != 401 for _, st in stream_seen)
+
+
 def test_streaming_crawl_matches_batch_seen_set(spark, tmp_path):
     cfg = SiteConfig(
         hosts=("gepris.example.org", "alt1.example.org"),

@@ -244,6 +244,23 @@ def test_asof_join_semantics_with_ties(spark):
     }
 
 
+def test_asof_join_duplicate_right_ts_is_deterministic(spark):
+    """Multiple right rows on the SAME (key, ts): the payload tiebreaker
+    must make the carried value stable across runs and partitionings
+    (greatest payload wins) — ADVICE r2 nondeterminism fix."""
+    from ba_gepris_crawler_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, "l")], "user_id long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 5, 10.0), (1, 5, 30.0), (1, 5, 20.0), (1, 4, 99.0)],
+        "user_id long, ts long, value double",
+    )
+    for reps in range(3):
+        r = right.repartition(reps + 1)
+        got = asof_join(left, r, key="user_id", right_cols=("value",)).collect()
+        assert [x.value_asof for x in got] == [30.0], got
+
+
 def test_range_join_bin_boundaries(spark):
     """Bucketed range join: matches across bin boundaries, inclusive ends,
     no duplicate pairs for intervals spanning many bins."""
