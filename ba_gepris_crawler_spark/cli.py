@@ -47,6 +47,7 @@ def _settings(args: argparse.Namespace) -> CrawlSettings:
         politeness=PolitenessConfig(
             per_host_rate=args.rate, round_seconds=1.0, max_in_flight=args.in_flight
         ),
+        fetch_format=getattr(args, "fetch_format", "html"),
     )
 
 
@@ -63,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--buckets", type=int, default=32)
         c.add_argument("--seed", type=int, default=42)
         c.add_argument("--max-rounds", type=int, default=30)
+        c.add_argument(
+            "--fetch-format", dest="fetch_format", choices=["html", "json"], default="html",
+            help="html = pre-parsed spans; json = S7 JSON-API bodies parsed in-plan",
+        )
         if name == "resume-crawl":
             c.add_argument(
                 "--from-round", dest="from_round", type=int, default=None,
@@ -110,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
                     "site": {**asdict(site), "hosts": list(site.hosts)},
                     "politeness": asdict(settings.politeness),
                     "n_buckets": settings.n_buckets,
+                    "fetch_format": settings.fetch_format,
                 }
             )
         else:
@@ -128,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
                 settings = CrawlSettings(
                     n_buckets=cfg.get("n_buckets", settings.n_buckets),
                     politeness=PolitenessConfig(**pol),
+                    fetch_format=cfg.get("fetch_format", settings.fetch_format),
                 )
         engine = CrawlEngine(spark, site, store, settings)
         if args.cmd == "new-crawl":

@@ -38,6 +38,13 @@ FETCH_RESULT_FIELDS = [
 ]
 
 
+JSON_FETCH_RESULT_FIELDS = [
+    T.StructField("status", T.IntegerType(), False),
+    T.StructField("body", T.StringType(), True),
+    T.StructField("virtual_cost_sec", T.DoubleType(), False),
+]
+
+
 def fetch_pages(
     scheduled: DataFrame,
     site_cfg: SiteConfig,
@@ -45,6 +52,7 @@ def fetch_pages(
     n_buckets: int = 32,
     session_token: str | None = None,
     epoch: int = 0,
+    fmt: str = "html",
 ) -> DataFrame:
     """scheduled: output of politeness.schedule_round(...).fetch_now.
     Returns the same rows + (status, spans, virtual_cost_sec).
@@ -52,37 +60,67 @@ def fetch_pages(
     Cookie flow: the (possibly stale) session token is broadcast; a 401
     response triggers an ON-WORKER re-fetch of the session endpoint +
     one retry (the reference's re-fetch-on-demand,
-    CookieFlowGraph.scala:30-58) — no driver round-trip, once per batch."""
+    CookieFlowGraph.scala:30-58) — no driver round-trip, once per batch.
+
+    fmt="json" hits the JSON-API endpoint instead (the reference's dormant
+    S7 source, CrawledResourceDetailDataFromJsonAPIGraph.scala:15-46): the
+    worker returns the RAW body string and the span parse happens in the
+    PLAN via from_json (parse_json_spans) — JVM-side, no Python."""
     spark = scheduled.sparkSession
     cfg_bc = spark.sparkContext.broadcast(site_cfg)
     token_bc = spark.sparkContext.broadcast(session_token)  # session/cookie analog
     rate = float(per_host_rate)
+    as_json = fmt == "json"
 
     in_schema = scheduled.schema
-    out_schema = T.StructType(list(in_schema.fields) + FETCH_RESULT_FIELDS)
+    out_schema = T.StructType(
+        list(in_schema.fields) + (JSON_FETCH_RESULT_FIELDS if as_json else FETCH_RESULT_FIELDS)
+    )
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ba_gepris_crawler_spark.operators.cookies import parse_set_cookie
-        from ba_gepris_crawler_spark.sources.synthetic_site import fetch_session_header
+        from ba_gepris_crawler_spark.sources.synthetic_site import (
+            fetch_session_header,
+            render_page_json,
+        )
 
         cfg = cfg_bc.value
         token = token_bc.value  # sent with every request
+        get = render_page_json if as_json else render_page
         for pdf in batches:
             statuses = []
-            spans = []
+            payloads = []
             for url in pdf["url"]:
-                st, sp = render_page(cfg, url, token, epoch)  # simulated HTTP round-trip
+                st, pl = get(cfg, url, token, epoch)  # simulated HTTP round-trip
                 if st == 401:  # stale session: refresh cookie on the worker, retry once
                     _n, token, _a = parse_set_cookie(fetch_session_header(cfg, epoch))
-                    st, sp = render_page(cfg, url, token, epoch)
+                    st, pl = get(cfg, url, token, epoch)
                 statuses.append(st)
-                spans.append([{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in sp])
+                if as_json:
+                    payloads.append(pl)  # raw body string, parsed in the plan
+                else:
+                    payloads.append(
+                        [{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in pl]
+                    )
             # virtual politeness cost: each slot-wave of a host costs 1/rate
             cost = (pdf.groupby("host")["slot"].transform("max") / rate).astype("float64")
-            yield pdf.assign(status=pd.Series(statuses, index=pdf.index, dtype="int32"), spans=spans, virtual_cost_sec=cost)
+            out = {("body" if as_json else "spans"): payloads}
+            res = pdf.assign(status=pd.Series(statuses, index=pdf.index, dtype="int32"), virtual_cost_sec=cost, **out)
+            yield res[[f.name for f in out_schema.fields]]  # schema column order
 
     # Salted-bucket repartition: spreads any single host over the cluster.
     return scheduled.repartition(n_buckets, "host_bucket").mapInPandas(do_fetch, schema=out_schema)
+
+
+def parse_json_spans(fetched: DataFrame) -> DataFrame:
+    """JSON-API body -> spans, entirely in the plan (from_json — Catalyst,
+    no Python): yields the exact schema an fmt='html' fetch_pages returns,
+    so to_documents and everything downstream is format-agnostic and a
+    JSON-mode crawl is byte-equal to an HTML-mode one."""
+    body_schema = T.StructType([T.StructField("spans", SPANS_TYPE, True)])
+    return fetched.withColumn(
+        "spans", F.from_json(F.col("body"), body_schema).getField("spans")
+    ).drop("body")
 
 
 def to_documents(fetched: DataFrame, round_no: int, keep_errors: bool = False) -> DataFrame:

@@ -28,7 +28,7 @@ from ba_gepris_crawler_spark.functions import extraction as X
 from ba_gepris_crawler_spark.operators import frontier as FR
 from ba_gepris_crawler_spark.operators.cookies import CookieJar
 from ba_gepris_crawler_spark.operators import url_seen as US
-from ba_gepris_crawler_spark.operators.fetch import fetch_pages, to_documents
+from ba_gepris_crawler_spark.operators.fetch import fetch_pages, parse_json_spans, to_documents
 from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, schedule_round
 from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
 from ba_gepris_crawler_spark.schema import URL_SEEN_SCHEMA
@@ -47,6 +47,9 @@ class CrawlSettings:
     # hash-clustered snapshot (SnapshotStore.compact) so the seen union and
     # the exact anti-join right side stop growing with round count. 0 = off.
     compact_every: int = 8
+    # "html" (pre-parsed spans off the fetch worker) or "json" (S7: raw
+    # JSON-API bodies parsed in the plan via from_json — byte-equal output)
+    fetch_format: str = "html"
 
 
 class CrawlEngine:
@@ -148,8 +151,10 @@ class CrawlEngine:
         token = self._jar.get(self.site, epoch) if self.site.session_rounds else None
         fetched = fetch_pages(
             fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets,
-            session_token=token, epoch=epoch,
+            session_token=token, epoch=epoch, fmt=s.fetch_format,
         )
+        if s.fetch_format == "json":
+            fetched = parse_json_spans(fetched)
 
         # WRITE-ONCE layout: the fetch stage streams straight into the round's
         # documents table (all rows incl. quarantined errors + politeness

@@ -450,5 +450,32 @@ def render_page(
     return 200, spans
 
 
+def render_page_json(
+    cfg: SiteConfig,
+    url: str,
+    token: str | None = None,
+    epoch: int = 0,
+) -> tuple[int, str]:
+    """The JSON-API endpoint variant of the same server (the reference's
+    dormant JSON source, CrawledResourceDetailDataFromJsonAPIGraph.scala:
+    15-46): same routing / session / error semantics as render_page, but
+    the body is a raw JSON string the ENGINE parses (from_json in the
+    plan), not pre-parsed spans. Span content is identical to the HTML
+    renderer's, so a JSON-mode crawl is byte-equal to an HTML-mode one."""
+    import json as _json
+
+    status, spans = render_page(cfg, url, token, epoch)
+    body = _json.dumps(
+        {
+            "spans": [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in spans
+            ]
+        },
+        separators=(",", ":"),
+    )
+    return status, body
+
+
 def expected_page_count(cfg: SiteConfig, rtype: str, host: str) -> int:
     return math.ceil(len(_host_resources(cfg, rtype, host)) / cfg.hits_per_page)

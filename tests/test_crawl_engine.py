@@ -296,3 +296,27 @@ def test_crawl_delay_per_host_budgets_match_golden(spark, tmp_path_factory):
     )
     got = sorted((r.round, r.seq, r.url) for r in log.select("round", "seq", "url").collect())
     assert got == sorted(golden.trace)
+
+
+def test_json_api_crawl_equals_html_crawl(spark, crawl_cfg, tmp_path_factory, run):
+    """S7 engine path: a full crawl in fetch_format='json' (raw JSON-API
+    bodies parsed in-plan via from_json) must produce the IDENTICAL crawl
+    log and documents table (spans included) as the html-mode run — the
+    fetch format is a transport detail, not a semantics change."""
+    store_a, _, _ = run
+    store_j = SnapshotStore(spark, tmp_path_factory.mktemp("crawl_json"))
+    settings = _settings()
+    settings.fetch_format = "json"
+    manifests = CrawlEngine(spark, crawl_cfg, store_j, settings).run(max_rounds=30)
+    assert manifests[-1]["counters"]["done"]
+
+    a = {tuple(r) for r in store_a.read_union("url_seen", store_a.latest_round()).collect()}
+    j = {tuple(r) for r in store_j.read_union("url_seen", store_j.latest_round()).collect()}
+    assert a == j  # full crawl log: seen set + trace + statuses
+
+    cols = ["doc_id", "url", "round", "status", "spans"]
+    da = {(r.doc_id, r.url, r.round, r.status, str(r.spans))
+          for r in store_a.read_union("documents", store_a.latest_round()).select(*cols).collect()}
+    dj = {(r.doc_id, r.url, r.round, r.status, str(r.spans))
+          for r in store_j.read_union("documents", store_j.latest_round()).select(*cols).collect()}
+    assert da == dj  # span sequences byte-equal across fetch formats
