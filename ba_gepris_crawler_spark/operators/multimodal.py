@@ -114,3 +114,66 @@ def sample_frames(media: DataFrame, every_nth: int = 10, decoder=fake_decode) ->
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_digest": digs})
 
     return media.filter(F.col("media_type") == "video").mapInPandas(run, schema=out_schema)
+
+
+def caption_align(docs: DataFrame) -> DataFrame:
+    """Interleaved-document alignment: for every media span, the nearest
+    PRECEDING text span in document order (the caption candidate a
+    multimodal training pipeline pairs with each image/audio/video clip).
+    Input: (doc_id, spans: array<struct<kind,text,media_ref,offset>>) —
+    the engine's authoritative interleaved shape (BASELINE.json
+    input_hint). Pure Catalyst: posexplode preserves array order, the
+    alignment is one running last-ignorenulls window per document — no
+    Python, no cross-document shuffle beyond the per-doc partition."""
+    from pyspark.sql import Window
+
+    s = docs.select("doc_id", F.explode("spans").alias("sp")).select(
+        "doc_id",
+        F.col("sp.kind").alias("kind"),
+        F.col("sp.text").alias("text"),
+        F.col("sp.media_ref").alias("media_ref"),
+        F.col("sp.offset").alias("span_off"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cap = F.last(F.when(F.col("kind") == "text", F.col("text")), ignorenulls=True).over(w)
+    cap_off = F.last(
+        F.when(F.col("kind") == "text", F.col("span_off")), ignorenulls=True
+    ).over(w)
+    return (
+        s.withColumn("caption", cap)
+        .withColumn("caption_off", cap_off)
+        .filter(F.col("kind") != "text")
+        .select(
+            "doc_id",
+            F.col("span_off").cast("bigint").alias("span_off"),
+            "media_ref",
+            "caption",
+            (F.col("span_off") - F.col("caption_off")).cast("bigint").alias("caption_dist"),
+        )
+    )
+
+
+def interleave_stats(docs: DataFrame) -> DataFrame:
+    """Per-document interleaving profile over the spans column: span
+    counts by modality, media ratio, offset of the first media span —
+    the curation signal (text-only? media-leading? media-dense?) training
+    pipelines filter on. One aggregate over higher-order functions on the
+    array — no explode, no shuffle beyond the final (tiny) aggregation."""
+    spans = F.col("spans")
+    n_spans = F.size(spans)
+    n_media = F.size(F.filter(spans, lambda s: s["kind"] != "text"))
+    first_media = F.array_min(
+        F.transform(F.filter(spans, lambda s: s["kind"] != "text"), lambda s: s["offset"])
+    )
+    return docs.select(
+        "doc_id",
+        n_spans.cast("bigint").alias("n_spans"),
+        n_media.cast("bigint").alias("n_media"),
+        (n_spans - n_media).cast("bigint").alias("n_text"),
+        F.round(n_media / n_spans, 6).alias("media_ratio"),
+        first_media.cast("bigint").alias("first_media_off"),
+    )

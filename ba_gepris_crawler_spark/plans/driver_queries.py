@@ -2311,3 +2311,135 @@ def emb_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "qid", "vec_id", F.round("cosine", 4).alias("cosine"), F.col("rnk").cast("bigint").alias("rnk")
     ).orderBy("qid", "rnk")
+
+
+@_q(
+    "mm_caption_align",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ')[1:40] AS ts FROM documents),
+    s AS (SELECT doc_id, unnest(ts) AS tok,
+                 unnest(range(1, len(ts) + 1)) AS off
+          FROM toks),
+    sp AS (SELECT doc_id, off,
+                  CASE WHEN off % 5 = 0 THEN 'img' ELSE 'text' END AS kind,
+                  CASE WHEN off % 5 = 0 THEN NULL ELSE tok END AS txt,
+                  CASE WHEN off % 5 = 0
+                       THEN 'img://' || CAST(doc_id AS VARCHAR) || '/' || CAST(off AS VARCHAR)
+                  END AS media_ref
+           FROM s),
+    al AS (SELECT doc_id, off, kind, media_ref,
+                  last_value(CASE WHEN kind = 'text' THEN txt END IGNORE NULLS)
+                    OVER w AS caption,
+                  last_value(CASE WHEN kind = 'text' THEN off END IGNORE NULLS)
+                    OVER w AS caption_off
+           FROM sp
+           WINDOW w AS (PARTITION BY doc_id ORDER BY off
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT doc_id, CAST(off AS BIGINT) AS span_off, media_ref, caption,
+           CAST(off - caption_off AS BIGINT) AS caption_dist
+    FROM al WHERE kind <> 'text' ORDER BY doc_id, span_off
+    """,
+)
+def mm_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+media alignment through the REAL module
+    (operators/multimodal.py caption_align): every 5th token of each
+    document becomes a media span; each media span is paired with the
+    nearest preceding text span (its caption candidate) by a per-document
+    running window — the interleaved-document operator of the input_hint
+    shape (doc_id, spans<kind,text,media_ref,offset>)."""
+    from ba_gepris_crawler_spark.operators.multimodal import caption_align
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split("text", " "), 1, 40).alias("ts")
+    )
+    spans = F.transform(
+        "ts",
+        lambda tok, i: F.struct(
+            F.when((i + 1) % 5 == 0, F.lit("img")).otherwise(F.lit("text")).alias("kind"),
+            F.when((i + 1) % 5 != 0, tok).alias("text"),
+            F.when(
+                (i + 1) % 5 == 0,
+                F.concat(F.lit("img://"), F.col("doc_id").cast("string"), F.lit("/"),
+                         (i + 1).cast("string")),
+            ).alias("media_ref"),
+            (i + 1).cast("int").alias("offset"),
+        ),
+    )
+    docs = d.select("doc_id", spans.alias("spans"))
+    return caption_align(docs).orderBy("doc_id", "span_off")
+
+
+@_q(
+    "mm_interleave_stats",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ')[1:40] AS ts FROM documents),
+    s AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS off FROM toks),
+    f AS (SELECT doc_id, count(*) AS n_spans,
+                 sum(CASE WHEN off % 5 = 0 THEN 1 ELSE 0 END) AS n_media,
+                 min(CASE WHEN off % 5 = 0 THEN off END) AS first_media
+          FROM s GROUP BY doc_id)
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_media AS BIGINT) AS n_media,
+           CAST(n_spans - n_media AS BIGINT) AS n_text,
+           round(CAST(n_media AS DOUBLE) / n_spans, 6) AS media_ratio,
+           CAST(first_media AS BIGINT) AS first_media_off
+    FROM f ORDER BY doc_id
+    """,
+)
+def mm_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interleaving profile through the REAL module
+    (operators/multimodal.py interleave_stats): modality counts, media
+    ratio, first-media offset — computed with higher-order array functions
+    (no explode, no per-row Python), the curation-filter shape for
+    interleaved corpora."""
+    from ba_gepris_crawler_spark.operators.multimodal import interleave_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split("text", " "), 1, 40).alias("ts")
+    )
+    spans = F.transform(
+        "ts",
+        lambda tok, i: F.struct(
+            F.when((i + 1) % 5 == 0, F.lit("img")).otherwise(F.lit("text")).alias("kind"),
+            F.when((i + 1) % 5 != 0, tok).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (i + 1).cast("int").alias("offset"),
+        ),
+    )
+    docs = d.select("doc_id", spans.alias("spans"))
+    return interleave_stats(docs).orderBy("doc_id")
+
+
+@_q(
+    "text_inverted_index",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ')[1:40] AS ts FROM documents),
+    s AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+    f AS (SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf,
+                 min(doc_id) AS first_doc
+          FROM s WHERE tok <> '' GROUP BY tok)
+    SELECT tok, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+           CAST(first_doc AS BIGINT) AS first_doc
+    FROM f WHERE df >= 2 ORDER BY tok
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (training-data retrieval shape): token ->
+    document frequency, total term frequency, first posting. Explode +
+    one partial-aggregated groupBy — the map-side combine keeps the
+    shuffle at |distinct tokens|, not |tokens|; at 100 TB the posting
+    lists themselves would be collect_list per token bucketed by
+    xxhash64(tok) (same plan shape)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.slice(F.split(F.lower("text"), " "), 1, 40)).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        d.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("df") >= 2)
+        .orderBy("tok")
+    )

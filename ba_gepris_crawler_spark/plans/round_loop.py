@@ -92,8 +92,10 @@ class CrawlEngine:
 
         frontier_prev, seen = self._prev_state(rnd)
         seen = seen.cache()
-        # seen_total is carried through manifests (no per-round count job)
-        n_seen = 0 if rnd == 0 else self.store.manifest(rnd - 1)["counters"].get("seen_total", 0)
+        # ONE manifest read per round (resume-critical path): counters are
+        # carried forward, so no per-round count jobs and no re-reads
+        prev_counters = None if rnd == 0 else self.store.manifest(rnd - 1)["counters"]
+        n_seen = 0 if prev_counters is None else prev_counters.get("seen_total", 0)
 
         bloom = None
         if s.use_bloom and n_seen > 0:
@@ -131,7 +133,6 @@ class CrawlEngine:
         # engine-written frontiers carry it (a hand-seeded frontier, e.g.
         # the bench steady harness with 30% pre-seen URLs, does not, and
         # gets an honest count).
-        prev_counters = None if rnd == 0 else self.store.manifest(rnd - 1)["counters"]
         n_candidates = (
             prev_counters.get("frontier_next")
             if prev_counters is not None and prev_counters.get("frontier_exact")
@@ -141,8 +142,11 @@ class CrawlEngine:
             n_candidates = candidates.count()
         if n_candidates == 0:
             tables = {"frontier": self.store.write_table("frontier", rnd, candidates)}
-            return self.store.commit(rnd, tables, {"fetched": 0, "errors": 0, "done": True,
-                                                   "seen_total": n_seen, "candidates": 0})
+            manifest = self.store.commit(rnd, tables, {"fetched": 0, "errors": 0, "done": True,
+                                                       "seen_total": n_seen, "candidates": 0})
+            for df in (candidates, seen):  # the early return must not leak caches
+                df.unpersist()
+            return manifest
 
         _mark('candidates_count')
         fetch_now, deferred = schedule_round(candidates, s.politeness, s.n_buckets)

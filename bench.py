@@ -152,6 +152,37 @@ def main() -> None:
             t_frontier = store.write_table("frontier", 0, frontier)
             store.commit(0, {"url_seen": t_seen, "frontier": t_frontier},
                          {"round": 0, "seen_total": t_seen, "frontier_next": t_frontier, "done": False})
+            # SPARK_GRAFT_FETCH_ONLY=1: time ONLY the fetch stage (politeness
+            # schedule -> Arrow fetch UDF -> noop sink), skipping the nested
+            # parquet encode and the join/write stages. On a real cluster the
+            # fetch stage is the one that gets dedicated per-node memory
+            # bandwidth + NIC; its isolated N-vs-4N efficiency is the
+            # sharpest scaling signal this one-machine sandbox can produce
+            # (see BENCH/BASELINE.md).
+            if os.environ.get("SPARK_GRAFT_FETCH_ONLY") == "1":
+                from ba_gepris_crawler_spark.operators.fetch import fetch_pages
+                from ba_gepris_crawler_spark.operators.politeness import schedule_round
+
+                cfgp = PolitenessConfig(
+                    per_host_rate=float(n_pages), round_seconds=1.0, max_in_flight=10
+                )
+                cand = spark.read.parquet(str(store.table_path("frontier", 0)))
+                fetch_now, _def = schedule_round(cand, cfgp, n_buckets=32)
+                fetch_now = fetch_now.localCheckpoint(eager=True)  # pre-materialize the schedule
+                n_sched = fetch_now.count()
+                t0 = time.time()
+                fetch_pages(fetch_now, site, cfgp.per_host_rate, 32).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                fetch_sec = time.time() - t0
+                queries["fetch_only"] = round(fetch_sec, 3)
+                extras["fetch_pages"] = n_sched
+                extras["fetch_pages_per_sec"] = round(n_sched / fetch_sec, 1)
+                print(json.dumps({
+                    "metric": "fetch_only_pages_per_sec", "value": queries["fetch_only"],
+                    "unit": "sec", "queries": queries, "sf": sf, **extras,
+                }))
+                return
             settings = CrawlSettings(
                 n_buckets=32,
                 politeness=PolitenessConfig(per_host_rate=float(n_pages), round_seconds=1.0, max_in_flight=10),

@@ -16,22 +16,30 @@ def con():
     return duck_connection(SF_DIR)
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_query_matches_oracle(spark, con, name):
-    fn, oracle = REGISTRY[name]
-    df = fn(spark, SF_DIR)
-    assert df.count() >= 0
-    # no cache-by-comment contracts: a registry query must not leave
-    # persisted RDDs behind for the harness to clear (local checkpoints
-    # of bounded outputs are fine and excluded — they are the mechanism
-    # that ENDS the cache contract)
-    lingering = []
+def _persistent_rdds(spark) -> dict[int, str]:
+    out = {}
     it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
     while it.hasNext():
         entry = it.next()
         jrdd = entry.getValue()
         if not jrdd.rdd().isCheckpointed():
-            lingering.append((entry.getKey(), jrdd.name()))
+            out[entry.getKey()] = jrdd.name()
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, con, name):
+    fn, oracle = REGISTRY[name]
+    before = set(_persistent_rdds(spark))
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+    # no cache-by-comment contracts: a registry query must not leave
+    # persisted RDDs behind for the harness to clear (local checkpoints
+    # of bounded outputs are fine and excluded — they are the mechanism
+    # that ENDS the cache contract). Diff against the pre-query snapshot
+    # so caches left by OTHER test files don't fail every registry row.
+    after = _persistent_rdds(spark)
+    lingering = [(k, v) for k, v in after.items() if k not in before]
     assert not lingering, f"{name} left cached RDDs: {lingering}"
     if oracle is None:
         pytest.skip("rows-only query (no SQL oracle)")
