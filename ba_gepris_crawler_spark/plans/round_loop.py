@@ -180,12 +180,16 @@ class CrawlEngine:
         # as window cumsums and broadcast-joined, so host cardinality never
         # flows through the driver (VERDICT r2 #2 — the old collect was
         # O(hosts x depths x priorities x B) rows per round).
+        # metadata-sized (hosts x depths x priorities x B rows) — cached so
+        # the lineage collect below ALSO materializes it and the url_seen
+        # write's offset subtree reuses it instead of re-reading + re-
+        # aggregating the documents parquet a second time
         stats = docs_stored.groupBy("crawl_depth", "priority", "host", "host_bucket").agg(
             F.count("*").alias("n"),
             F.min("host_rank").alias("min_rank"),
             F.max("virtual_cost_sec").alias("cost"),
             F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("errs"),
-        )
+        ).cache()
         bucket_rows = (
             stats.groupBy("host_bucket")
             .agg(
@@ -266,7 +270,10 @@ class CrawlEngine:
         # left_anti is duplicate-tolerant on the right side, so the seen
         # union needs NO dropDuplicates — that was a second full shuffle of
         # the entire seen set every round (unbounded at 10^10 URLs).
-        seen_after = seen.select("url").unionByName(seen_delta.select("url"))
+        # this round's fetched urls == docs_stored's url column (crawl_log is
+        # a 1:1 broadcast join over it) — using docs_stored directly keeps
+        # the crawl-log offset subtree OUT of the frontier write's plan
+        seen_after = seen.select("url").unionByName(docs_stored.select("url"))
         next_frontier = FR.merge_frontier(deferred, disc).join(seen_after, "url", "left_anti")
 
         _mark('discover_counts')
@@ -276,6 +283,7 @@ class CrawlEngine:
         # memory bus) — kept sequential; a real cluster with idle slots
         # could parallelize them via a thread pool like the extract writes.
         tables["url_seen"] = self.store.write_table("url_seen", rnd, seen_delta)
+        _mark('write_seen')
         tables["frontier"] = self.store.write_table("frontier", rnd, next_frontier)
 
         # the frontier write above executed the discovery sub-plan; the
@@ -351,7 +359,7 @@ class CrawlEngine:
             self.store.save_bloom(
                 rnd, self._bloom.bits.tobytes(), self._bloom.m, self._bloom.k, self._bloom.version
             )
-        for df in (candidates, seen):
+        for df in (candidates, seen, stats):
             df.unpersist()
         return manifest
 
