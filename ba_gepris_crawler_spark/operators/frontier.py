@@ -184,3 +184,55 @@ def merge_frontier(*parts: DataFrame) -> DataFrame:
         F.min_by(F.struct("host", "resource_type", "resource_id", "crawl_depth", "priority", "discovered_round"),
                  F.struct("crawl_depth", "priority", "discovered_round")).alias("m")
     ).select("url", "m.host", "m.resource_type", "m.resource_id", "m.crawl_depth", "m.priority", "m.discovered_round")
+
+
+def trap_heuristics(
+    df: DataFrame,
+    url_col: str = "url",
+    max_len: int = 512,
+    max_depth: int = 12,
+    max_params: int = 8,
+    max_seg_repeat: int = 3,
+) -> DataFrame:
+    """Crawler-trap scoring over a URL column — frontier hygiene an open-web
+    10^10-URL crawl needs but the single-site reference never did (new
+    design, documented): infinite calendars, session-id loops, and
+    mirror-of-mirror paths manifest as over-long URLs, over-deep paths,
+    parameter explosions, and repeated path segments. All heuristics are
+    Catalyst higher-order functions over the split path — no UDF, no
+    shuffle — so the filter fuses straight into the frontier scan.
+
+    Adds: url_len, path_depth, n_params, seg_repeat (max multiplicity of
+    one path segment — the /a/b/a/b/a loop detector), is_trap.
+    """
+    url = F.col(url_col)
+    path = F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*([^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    qs = F.regexp_extract(url, "\\?([^#]*)", 1)
+    n_params = F.when(qs == "", F.lit(0)).otherwise(F.size(F.split(qs, "&")))
+    # max multiplicity of any one segment: O(k^2) over a tiny array beats a
+    # per-row sort; k is bounded by max_depth in practice
+    seg_repeat = F.coalesce(
+        F.array_max(F.transform(segs, lambda s: F.size(F.filter(segs, lambda x: x == s)))),
+        F.lit(0),
+    )
+    out = (
+        df.withColumn("url_len", F.length(url).cast("int"))
+        .withColumn("path_depth", F.size(segs).cast("int"))
+        .withColumn("n_params", n_params.cast("int"))
+        .withColumn("seg_repeat", seg_repeat.cast("int"))
+    )
+    return out.withColumn(
+        "is_trap",
+        (F.col("url_len") > max_len)
+        | (F.col("path_depth") > max_depth)
+        | (F.col("n_params") > max_params)
+        | (F.col("seg_repeat") >= max_seg_repeat),
+    )
+
+
+def drop_traps(frontier: DataFrame, **limits) -> DataFrame:
+    """Frontier candidates minus trap URLs (trap_heuristics thresholds via
+    **limits); projection restored to the input columns."""
+    scored = trap_heuristics(frontier, **limits)
+    return scored.filter(~F.col("is_trap")).select(*frontier.columns)

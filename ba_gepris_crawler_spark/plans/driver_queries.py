@@ -2443,3 +2443,73 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= 2)
         .orderBy("tok")
     )
+
+
+@_q(
+    "crawl_trap_filter",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/gepris/projekt/' || CAST(doc_id AS VARCHAR) || '?language=en'
+          WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/cal/' || repeat('2024/', CAST(doc_id % 20 AS INT)) || 'index.html'
+          WHEN 2 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/a/b' || repeat('/a', CAST(doc_id % 6 AS INT))
+          WHEN 3 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/search?' || array_to_string(list_transform(range(1, CAST(doc_id % 12 AS BIGINT) + 2), i -> 'p' || CAST(i AS VARCHAR) || '=' || CAST(i AS VARCHAR)), '&')
+          ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/' || repeat('x', CAST(doc_id % 40 AS INT) * 20)
+        END AS url
+      FROM documents),
+    s AS (
+      SELECT doc_id, url,
+        CAST(length(url) AS INT) AS url_len,
+        CAST(len(list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*([^?#]*)', 1), '/'), x -> x <> '')) AS INT) AS path_depth,
+        CAST(CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN 0
+             ELSE len(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&')) END AS INT) AS n_params,
+        CAST(coalesce(list_max(list_transform(
+               list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*([^?#]*)', 1), '/'), x -> x <> ''),
+               s -> len(list_filter(
+                 list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*([^?#]*)', 1), '/'), x -> x <> ''),
+                 x -> x = s)))), 0) AS INT) AS seg_repeat
+      FROM u)
+    SELECT doc_id, url_len, path_depth, n_params, seg_repeat,
+           (url_len > 120 OR path_depth > 6 OR n_params > 8 OR seg_repeat >= 3) AS is_trap
+    FROM s ORDER BY doc_id
+    """,
+)
+def crawl_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap heuristics through the REAL module
+    (operators/frontier.py trap_heuristics — new open-web design, the
+    reference crawls one known site and has no trap surface): synthesized
+    URL families cover healthy detail pages, infinite-calendar paths,
+    /a/b/a/a repeated-segment loops, parameter explosions, and over-long
+    URLs; the operator scores url_len / path_depth / n_params /
+    seg_repeat and flags is_trap, all in Catalyst higher-order functions
+    (no UDF, no shuffle)."""
+    from ba_gepris_crawler_spark.operators.frontier import trap_heuristics
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("https://h"), k, F.lit(".example.org/gepris/projekt/"), i, F.lit("?language=en")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("https://h"), k, F.lit(".example.org/cal/"),
+                       F.repeat(F.lit("2024/"), (F.col("doc_id") % 20).cast("int")), F.lit("index.html")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("https://h"), k, F.lit(".example.org/a/b"),
+                       F.repeat(F.lit("/a"), (F.col("doc_id") % 6).cast("int"))))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("https://h"), k, F.lit(".example.org/search?"),
+                       F.array_join(F.transform(
+                           F.sequence(F.lit(1), (F.col("doc_id") % 12 + 1).cast("int")),
+                           lambda x: F.concat(F.lit("p"), x.cast("string"), F.lit("="), x.cast("string"))), "&")))
+        .otherwise(F.concat(F.lit("https://h"), k, F.lit(".example.org/"),
+                            F.repeat(F.lit("x"), ((F.col("doc_id") % 40) * 20).cast("int"))))
+    )
+    scored = trap_heuristics(
+        d.select("doc_id", url.alias("url")),
+        max_len=120, max_depth=6, max_params=8, max_seg_repeat=3,
+    )
+    return scored.select(
+        "doc_id", "url_len", "path_depth", "n_params", "seg_repeat", "is_trap"
+    ).orderBy("doc_id")

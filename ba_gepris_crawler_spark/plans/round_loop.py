@@ -50,6 +50,12 @@ class CrawlSettings:
     # "html" (pre-parsed spans off the fetch worker) or "json" (S7: raw
     # JSON-API bodies parsed in the plan via from_json — byte-equal output)
     fetch_format: str = "html"
+    # open-web frontier hygiene: drop crawler-trap URLs (over-long, over-
+    # deep, parameter-exploded, repeated-segment loops) from discovered
+    # candidates before they enter the frontier. None = off (the synthetic
+    # GEPRIS site cannot produce traps; real discovery feeds should pass
+    # e.g. {} for the operators/frontier.py trap_heuristics defaults).
+    trap_limits: dict | None = None
 
 
 class CrawlEngine:
@@ -267,6 +273,9 @@ class CrawlEngine:
         # observed during the frontier write, not a separate job.
         disc_obs = Observation(f"disc-{rnd}")
         disc = FR.discovered_urls(docs, self.site, rnd + 1).observe(disc_obs, F.count(F.lit(1)).alias("n"))
+        if s.trap_limits is not None:
+            # trap hygiene fuses into the discovery scan (no UDF, no shuffle)
+            disc = FR.drop_traps(disc, **s.trap_limits)
         # left_anti is duplicate-tolerant on the right side, so the seen
         # union needs NO dropDuplicates — that was a second full shuffle of
         # the entire seen set every round (unbounded at 10^10 URLs).

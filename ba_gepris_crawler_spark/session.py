@@ -36,10 +36,14 @@ def get_spark(
     shuffle_partitions: int | str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
+    # Under spark-submit the JVM gateway is already up (PYSPARK_GATEWAY_PORT
+    # exported) and --master/--conf live in the submitted conf — don't
+    # override them; the local[32] default is for plain `python ...` runs.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or (None if under_submit else "local[32]")
     shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", _DEF_SHUFFLE))
     b = (
-        SparkSession.builder.master(master)
+        (SparkSession.builder.master(master) if master else SparkSession.builder)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,87 @@
+"""Crawler-trap heuristics (operators/frontier.py trap_heuristics /
+drop_traps): open-web frontier hygiene — new design beyond the single-site
+reference, which never faces traps. Pinned here: each heuristic fires on
+its own trap family and never on healthy URLs, the filter is UDF-free, and
+enabling it on the (trap-free) synthetic site changes nothing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ba_gepris_crawler_spark.operators.frontier import drop_traps, trap_heuristics
+
+HEALTHY = [
+    "https://h00.gepris.example.org/gepris/projekt/123?language=en",
+    "https://h01.gepris.example.org/gepris/OCTOPUS?context=projekt&hitsPerPage=50&index=0&task=doSearchExtended&resourceTypeQuery=projekt&language=en",
+    "https://x.org/a/b/c/d",
+    "https://x.org/",
+]
+TRAPS = {
+    "deep_calendar": "https://x.org/cal/" + "2024/01/" * 10 + "index.html",
+    "segment_loop": "https://x.org/a/b/a/a",
+    "param_explosion": "https://x.org/s?" + "&".join(f"p{i}={i}" for i in range(12)),
+    "overlong": "https://x.org/" + "x" * 600,
+}
+
+
+def _scored(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {r["url"]: r.asDict() for r in trap_heuristics(df).collect()}
+
+
+def test_healthy_urls_pass(spark):
+    rows = _scored(spark, HEALTHY)
+    assert all(not r["is_trap"] for r in rows.values()), rows
+
+
+def test_each_trap_family_fires(spark):
+    rows = _scored(spark, list(TRAPS.values()))
+    assert all(r["is_trap"] for r in rows.values()), rows
+    assert rows[TRAPS["deep_calendar"]]["path_depth"] > 12
+    assert rows[TRAPS["segment_loop"]]["seg_repeat"] >= 3
+    assert rows[TRAPS["param_explosion"]]["n_params"] > 8
+    assert rows[TRAPS["overlong"]]["url_len"] > 512
+
+
+def test_drop_traps_preserves_schema_and_healthy_rows(spark):
+    df = spark.createDataFrame(
+        [(u, "x.org", 1) for u in HEALTHY + list(TRAPS.values())],
+        "url string, host string, crawl_depth int",
+    )
+    out = drop_traps(df)
+    assert out.columns == df.columns
+    kept = {r["url"] for r in out.collect()}
+    assert kept == set(HEALTHY)
+
+
+def test_trap_filter_is_udf_free(spark):
+    df = spark.createDataFrame([(u,) for u in HEALTHY], "url string")
+    plan = trap_heuristics(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_engine_unchanged_on_trapfree_site(spark, tmp_path):
+    """trap_limits={} (defaults on) over the synthetic site — which cannot
+    emit trap URLs — must be a byte-identical crawl to trap_limits=None."""
+    from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig
+    from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+    from ba_gepris_crawler_spark.plans.round_loop import CrawlEngine, CrawlSettings
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    site = SiteConfig(
+        hosts=("h00.gepris.example.org", "h01.gepris.example.org"),
+        n_projects=120, n_persons=40, n_institutions=10, hits_per_page=50, seed=42,
+    )
+    seen = {}
+    for name, limits in (("off", None), ("on", {})):
+        store = SnapshotStore(spark, tmp_path / name)
+        settings = CrawlSettings(
+            n_buckets=8,
+            politeness=PolitenessConfig(per_host_rate=400, round_seconds=1.0, max_in_flight=10),
+            extract=False, trap_limits=limits,
+        )
+        CrawlEngine(spark, site, store, settings).run(max_rounds=8)
+        df = store.read_union("url_seen", store.latest_round())
+        seen[name] = sorted((r["url"], r["seq"], r["round"]) for r in df.collect())
+    assert seen["on"] == seen["off"]
+    assert len(seen["on"]) > 100
