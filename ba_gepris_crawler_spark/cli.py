@@ -48,6 +48,7 @@ def _settings(args: argparse.Namespace) -> CrawlSettings:
             per_host_rate=args.rate, round_seconds=1.0, max_in_flight=args.in_flight
         ),
         fetch_format=getattr(args, "fetch_format", "html"),
+        seen_filter=getattr(args, "seen_filter", "bloom"),
     )
 
 
@@ -67,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument(
             "--fetch-format", dest="fetch_format", choices=["html", "json"], default="html",
             help="html = pre-parsed spans; json = S7 JSON-API bodies parsed in-plan",
+        )
+        c.add_argument(
+            "--seen-filter", dest="seen_filter", choices=["bloom", "cuckoo"], default="bloom",
+            help="URL-seen admission gate: OR-merged bloom bitmap (persisted) "
+                 "or cuckoo shards (deletable fingerprints; rebuilt on resume)",
         )
         if name == "resume-crawl":
             c.add_argument(
@@ -116,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
                     "politeness": asdict(settings.politeness),
                     "n_buckets": settings.n_buckets,
                     "fetch_format": settings.fetch_format,
+                    "seen_filter": settings.seen_filter,
                 }
             )
         else:
@@ -135,6 +142,7 @@ def main(argv: list[str] | None = None) -> int:
                     n_buckets=cfg.get("n_buckets", settings.n_buckets),
                     politeness=PolitenessConfig(**pol),
                     fetch_format=cfg.get("fetch_format", settings.fetch_format),
+                    seen_filter=cfg.get("seen_filter", settings.seen_filter),
                 )
         engine = CrawlEngine(spark, site, store, settings)
         if args.cmd == "new-crawl":

@@ -179,11 +179,16 @@ def new_urls(
     url_seen: DataFrame,
     bloom: BloomFilterModel | None = None,
     url_col: str = "url",
+    splitter=None,
 ) -> DataFrame:
     """J1, THE core crawl operator: frontier minus seen. Exact semantics
-    always; bloom (when provided) pre-gates the exact join."""
+    always; an admission gate (when provided) pre-gates the exact join —
+    either `bloom` or an explicit `splitter(frontier) -> (definitely_new,
+    maybe_seen)` such as the cuckoo shards' (operators/cuckoo.py)."""
     seen_keys = url_seen.select(F.col("url").alias(url_col)).dropDuplicates([url_col])
-    if bloom is None:
+    if splitter is None and bloom is not None:
+        splitter = lambda f: split_by_bloom(f, bloom, url_col)  # noqa: E731
+    if splitter is None:
         return frontier.join(seen_keys, url_col, "left_anti")
-    definitely_new, maybe_seen = split_by_bloom(frontier, bloom, url_col)
+    definitely_new, maybe_seen = splitter(frontier)
     return definitely_new.unionByName(maybe_seen.join(seen_keys, url_col, "left_anti"))

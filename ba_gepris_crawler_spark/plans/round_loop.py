@@ -42,6 +42,13 @@ class CrawlSettings:
     bloom_fpp: float = 0.01
     bloom_expected_items: int = 1 << 17  # sizes m once; incremental OR after
     use_bloom: bool = True
+    # URL-seen admission gate: "bloom" (default; OR-merged bitmap, persisted
+    # across restarts) or "cuckoo" (operators/cuckoo.py: per-shard tables,
+    # supports DELETION for refetch flows; rebuilt on resume — cuckoo
+    # tables don't OR-merge, so persistence would be per shard). Gate
+    # choice never changes results: both are admission-only, the exact
+    # anti-join backstop decides membership.
+    seen_filter: str = "bloom"
     extract: bool = True
     # every K committed rounds, merge url_seen delta dirs into one
     # hash-clustered snapshot (SnapshotStore.compact) so the seen union and
@@ -66,6 +73,8 @@ class CrawlEngine:
         self.s = settings or CrawlSettings()
         self._bloom = None  # incremental bloom state (rebuilt on resume)
         self._bloom_round: int = -10
+        self._cuckoo = None  # incremental cuckoo shards (seen_filter="cuckoo")
+        self._cuckoo_round: int = -10
         # session cookie cache (one Set-Cookie fetch+parse per epoch;
         # reference: CookieFlowGraph.scala:30-58)
         self._jar = CookieJar()
@@ -104,7 +113,21 @@ class CrawlEngine:
         n_seen = 0 if prev_counters is None else prev_counters.get("seen_total", 0)
 
         bloom = None
-        if s.use_bloom and n_seen > 0:
+        splitter = None
+        cuckoo = None
+        if s.seen_filter == "cuckoo" and s.use_bloom and n_seen > 0:
+            from ba_gepris_crawler_spark.operators import cuckoo as CK
+
+            if self._cuckoo is not None and self._cuckoo_round == rnd - 1:
+                # incremental: insert only last round's delta
+                cuckoo = CK.insert_urls(self._cuckoo, self.store.read_state("url_seen", rnd - 1))
+            else:
+                # cold start / resume: full rebuild (shards don't OR-merge)
+                cuckoo = CK.build_cuckoo(
+                    seen, expected_items=max(n_seen * 4, s.bloom_expected_items), version=rnd
+                )
+            splitter = lambda f: CK.split_by_cuckoo(f, cuckoo)  # noqa: E731
+        elif s.use_bloom and n_seen > 0:
             if self._bloom is None:
                 # resume path: load the persisted bitmap as of round rnd-1
                 # instead of rebuilding from the full seen union (at 10^10
@@ -130,7 +153,7 @@ class CrawlEngine:
 
         _mark('state_bloom')
         # J1: the core frontier anti-join (bloom pre-gate + exact backstop)
-        candidates = US.new_urls(frontier_prev, seen, bloom).cache()
+        candidates = US.new_urls(frontier_prev, seen, bloom, splitter=splitter).cache()
         # The frontier written at round k-1 was already anti-joined against
         # the full seen set, and new_urls is exact (bloom only pre-gates), so
         # |candidates| == the frontier_next count carried in the manifest —
@@ -335,6 +358,9 @@ class CrawlEngine:
             "frontier_exact": True,  # engine-written: already seen-anti-joined
             "seen_total": n_seen + tables["url_seen"],  # carried forward, no count job
             "bloom": {"m": bloom.m, "k": bloom.k, "version": bloom.version} if bloom else None,
+            "seen_gate": s.seen_filter if s.use_bloom else None,
+            "cuckoo": {"n_shards": cuckoo.n_shards, "n_items": cuckoo.n_items,
+                       "version": cuckoo.version} if cuckoo else None,
             "virtual_cost_sec": max((r["virtual_cost_sec"] for r in lineage_rows), default=0.0),
             "done": False,
         }
@@ -354,9 +380,20 @@ class CrawlEngine:
             # round count; see BENCH/BASELINE.md round-count bench).
             self.store.compact("url_seen", rnd, key_col="url", n_buckets=s.n_buckets)
             self.store.compact_tiered("documents", rnd, key_col="doc_id", n_buckets=s.n_buckets)
+        if cuckoo is not None:
+            self._cuckoo, self._cuckoo_round = cuckoo, rnd
+        elif s.seen_filter == "cuckoo" and s.use_bloom and rnd == 0:
+            # bootstrap the incremental shards from round 0's written delta
+            from ba_gepris_crawler_spark.operators import cuckoo as CK
+
+            self._cuckoo = CK.build_cuckoo(
+                self.store.read_state("url_seen", rnd),
+                expected_items=s.bloom_expected_items, version=0,
+            )
+            self._cuckoo_round = 0
         if bloom is not None:
             self._bloom, self._bloom_round = bloom, rnd
-        elif s.use_bloom and rnd == 0:
+        elif s.seen_filter == "bloom" and s.use_bloom and rnd == 0:
             # bootstrap the incremental filter from round 0's delta
             self._bloom = US.build_bloom(
                 seen_delta, expected_items=s.bloom_expected_items, fpp=s.bloom_fpp, version=0

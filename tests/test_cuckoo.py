@@ -1,0 +1,140 @@
+"""Cuckoo-filter URL-seen shards (operators/cuckoo.py) — the north rule's
+second admission-gate option. Pinned: the no-false-negative contract, the
+measured false-positive rate, DELETION (the capability blooms lack),
+incremental insert, split_by_cuckoo's partition of the frontier, and
+determinism of the build."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ba_gepris_crawler_spark.operators.cuckoo import (
+    CuckooShard,
+    build_cuckoo,
+    delete_urls,
+    insert_urls,
+    split_by_cuckoo,
+)
+
+
+def _urls(spark, lo, hi, tag="p"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit(f"https://h/{tag}/"), F.col("id").cast("string")).alias("url")
+    )
+
+
+# ---------------- shard-level (no Spark) ----------------
+
+def _hashes(n, seed=7):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2**63, n).astype(np.uint64),
+            rng.integers(0, 2**63, n).astype(np.uint64))
+
+
+def test_shard_no_false_negatives_and_fpp():
+    h1, h2 = _hashes(50_000)
+    s = CuckooShard.sized_for(60_000)
+    s.insert_many(h1, h2)
+    assert bool(s.contains_many(h1, h2).all())  # every inserted key hits
+    q1, q2 = _hashes(100_000, seed=99)  # disjoint w.h.p.
+    fpp = s.contains_many(q1, q2).mean()
+    assert fpp < 0.005, fpp  # expected ~2*4/2^16 = 0.00012
+
+
+def test_shard_delete_removes_without_collateral():
+    h1, h2 = _hashes(10_000)
+    s = CuckooShard.sized_for(12_000)
+    s.insert_many(h1, h2)
+    removed = s.delete_many(h1[:1000], h2[:1000])
+    assert removed == 1000
+    assert not s.contains_many(h1[:1000], h2[:1000]).any()  # gone
+    assert bool(s.contains_many(h1[1000:], h2[1000:]).all())  # others intact
+
+
+def test_shard_over_capacity_raises():
+    h1, h2 = _hashes(5_000)
+    s = CuckooShard.sized_for(64)  # tiny table
+    with pytest.raises(RuntimeError, match="over capacity"):
+        s.insert_many(h1, h2)
+
+
+# ---------------- distributed build + gate ----------------
+
+@pytest.fixture(scope="module")
+def cf(spark):
+    return build_cuckoo(_urls(spark, 0, 20_000), expected_items=30_000, n_shards=8)
+
+
+def test_split_contract(spark, cf):
+    frontier = _urls(spark, 10_000, 30_000)  # half seen, half new
+    new, maybe = split_by_cuckoo(frontier, cf)
+    new_ids = {int(r.url.rsplit("/", 1)[1]) for r in new.collect()}
+    maybe_ids = {int(r.url.rsplit("/", 1)[1]) for r in maybe.collect()}
+    assert new_ids.isdisjoint(maybe_ids)
+    assert new_ids | maybe_ids == set(range(10_000, 30_000))
+    # no false negatives: every actually-seen url is in maybe_seen
+    assert set(range(10_000, 20_000)) <= maybe_ids
+    # the gate is useful: nearly all unseen urls skip the exact join
+    fp = len(maybe_ids & set(range(20_000, 30_000)))
+    assert fp < 100, fp
+
+
+def test_incremental_insert(spark, cf):
+    insert_urls(cf, _urls(spark, 40_000, 41_000))
+    new, maybe = split_by_cuckoo(_urls(spark, 40_000, 41_000), cf)
+    assert new.count() == 0 and maybe.count() == 1_000
+
+
+def test_delete_unsees(spark, cf):
+    # quarantine-refetch shape: un-see a bounded set, the gate re-admits it
+    gone = _urls(spark, 0, 500)
+    assert delete_urls(cf, gone) == 500
+    new, _maybe = split_by_cuckoo(gone, cf)
+    assert new.count() == 500  # provably-new again -> will be refetched
+    # neighbours untouched
+    new2, maybe2 = split_by_cuckoo(_urls(spark, 500, 1_000), cf)
+    assert new2.count() == 0 and maybe2.count() == 500
+
+
+def test_build_is_deterministic(spark):
+    a = build_cuckoo(_urls(spark, 0, 5_000), expected_items=8_000, n_shards=4)
+    b = build_cuckoo(
+        _urls(spark, 0, 5_000).repartition(13), expected_items=8_000, n_shards=4
+    )
+    for sid in range(4):
+        assert np.array_equal(a.shards[sid].table, b.shards[sid].table), sid
+
+
+def test_engine_crawl_with_cuckoo_gate_equals_bloom(spark, tmp_path):
+    """seen_filter='cuckoo' must produce the exact same crawl as the bloom
+    gate (both are admission-only; the exact anti-join decides) — pinned as
+    set equality of (url, seq, round) over the whole crawl, plus resume."""
+    from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig
+    from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+    from ba_gepris_crawler_spark.plans.round_loop import CrawlEngine, CrawlSettings
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    site = SiteConfig(
+        hosts=("h00.gepris.example.org", "h01.gepris.example.org"),
+        n_projects=150, n_persons=50, n_institutions=12, hits_per_page=50, seed=42,
+    )
+    seen = {}
+    for kind in ("bloom", "cuckoo"):
+        store = SnapshotStore(spark, tmp_path / kind)
+        settings = CrawlSettings(
+            n_buckets=8,
+            politeness=PolitenessConfig(per_host_rate=300, round_seconds=1.0, max_in_flight=10),
+            extract=False, seen_filter=kind, bloom_expected_items=1 << 14,
+        )
+        eng = CrawlEngine(spark, site, store, settings)
+        ms = eng.run(max_rounds=4)  # stop mid-crawl...
+        eng2 = CrawlEngine(spark, site, store, settings)  # ...fresh engine
+        eng2.resume(max_rounds=8)  # cuckoo resume = full rebuild path
+        df = store.read_union("url_seen", store.latest_round())
+        seen[kind] = sorted((r["url"], r["seq"], r["round"]) for r in df.collect())
+        if kind == "cuckoo":
+            assert any(m["counters"].get("cuckoo") for m in ms), "gate never engaged"
+    assert seen["cuckoo"] == seen["bloom"]
+    assert len(seen["cuckoo"]) > 150
