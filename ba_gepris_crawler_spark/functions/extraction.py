@@ -68,6 +68,32 @@ def with_fields(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
     return docs.withColumn("fields", F.expr(fields)).drop("_labs")
 
 
+_INST_PROJ_IDS = (
+    "filter(transform("
+    "  filter(spans, s -> s.kind = 'link' AND s.media_ref LIKE '/gepris/projekt%'),"
+    "  s -> regexp_extract(s.media_ref, '^/gepris/projekt/(\\\\d*)$', 1)),"
+    " id -> id != '')"
+)
+
+
+def prepare_details(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """with_fields plus the only two spans-derived values the typed
+    extractors need (_title = first h3 text; _inst_project_ids = F8 project
+    links), with the spans column DROPPED — the cache-friendly shape when
+    one details frame feeds many outputs (round loop: 9 concurrent writes).
+    Persisting with_fields' raw output keeps BOTH the span payload and the
+    rendered fields in executor storage (~2x the bytes, and the span text
+    is re-scanned by every downstream pass); at a terabyte-rounds scale the
+    cached copy of spans cannot exist. Same expressions, byte-identical
+    downstream output — pinned by test_extraction."""
+    d = with_fields(docs, spans_col)
+    return (
+        d.withColumn("_title", h3_text(spans_col))
+        .withColumn("_inst_project_ids", F.expr(_INST_PROJ_IDS))
+        .drop(spans_col)
+    )
+
+
 def h3_text(spans_col: str = "spans") -> Column:
     """F7 title: first h3 span's text."""
     return F.expr(
@@ -208,9 +234,10 @@ def projects(docs_with_fields: DataFrame) -> DataFrame:
     """Typed project extraction (ProjectExtractorGraph.scala:15-64)."""
     start, end = funding_range_cols()
     d = docs_with_fields.filter(F.col("resource_type") == "project")
+    title = F.col("_title") if "_title" in d.columns else h3_text()
     return d.select(
         F.col("resource_id").alias("project_id"),
-        h3_text().alias("title"),
+        title.alias("title"),
         tab_text().alias("project_description"),
         field_text("DFG Programme").alias("dfg_programme"),
         start.alias("funding_start_year"),
@@ -231,9 +258,10 @@ def persons(docs_with_fields: DataFrame) -> DataFrame:
     d = docs_with_fields.filter(F.col("resource_type") == "person")
     addr = "transform(split(%s, '<br>'), x -> trim(x))"
     addr_expr = addr % "coalesce(get(filter(fields, f -> f.field_kind = 'name' AND f.field_name RLIKE 'Address'), 0).html, '')"
+    name = F.col("_title") if "_title" in d.columns else h3_text()
     return d.select(
         F.col("resource_id").alias("person_id"),
-        h3_text().alias("name"),
+        name.alias("name"),
         F.expr(f"coalesce(get({addr_expr}, 0), '')").alias("institution_name"),
         F.expr(f"array_join({addr_expr}, '\\n')").alias("address"),
         field_text("Telephone").alias("phone"),
@@ -252,21 +280,19 @@ def institutions(docs_with_fields: DataFrame) -> DataFrame:
         "transform(split(coalesce(get(filter(fields, f -> f.field_kind = 'name' "
         "AND f.field_name RLIKE 'Address'), 0).html, ''), '<br>'), x -> trim(x))"
     )
+    name = F.col("_title") if "_title" in d.columns else h3_text()
     proj_ids = (
-        "filter(transform("
-        "  filter(spans, s -> s.kind = 'link' AND s.media_ref LIKE '/gepris/projekt%'),"
-        "  s -> regexp_extract(s.media_ref, '^/gepris/projekt/(\\\\d*)$', 1)),"
-        " id -> id != '')"
+        F.col("_inst_project_ids") if "_inst_project_ids" in d.columns else F.expr(_INST_PROJ_IDS)
     )
     return d.select(
         F.col("resource_id").alias("institution_id"),
-        h3_text().alias("name"),
+        name.alias("name"),
         F.expr(f"array_join({addr_expr}, '\\n')").alias("address"),
         field_text("Telephone").alias("phone"),
         field_text("Fax").alias("fax"),
         deobfuscated_email().alias("email"),
         field_text("Website").alias("internet"),
-        F.expr(proj_ids).alias("project_ids_on_page"),
+        proj_ids.alias("project_ids_on_page"),
     )
 
 

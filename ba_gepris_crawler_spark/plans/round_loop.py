@@ -330,7 +330,10 @@ class CrawlEngine:
             # cache it once rather than re-running the extraction kernel per
             # table; the independent writes run as concurrent Spark jobs so
             # idle task slots of one write serve another.
-            details = X.with_fields(docs.filter(F.col("resource_id").isNotNull())).cache()
+            # prepare_details drops the span payload from the cached frame
+            # (title + institution links precomputed) — half the persisted
+            # bytes, and no downstream pass re-scans span text
+            details = X.prepare_details(docs.filter(F.col("resource_id").isNotNull())).cache()
             projects = X.projects(details).cache()
             to_write = {
                 "eav": X.eav(details),

@@ -252,7 +252,7 @@ def main() -> None:
         # extraction throughput over the crawled corpus (stage-2 analog)
         docs = store.read_union("documents", store.latest_round())
         t0 = time.time()
-        d = X.with_fields(docs.filter("status = 200 and resource_id is not null")).persist()
+        d = X.prepare_details(docs.filter("status = 200 and resource_id is not null")).persist()
         for out in (X.eav(d), X.projects(d), X.persons(d), X.institutions(d)):
             out.write.format("noop").mode("overwrite").save()
         extract_sec = time.time() - t0
