@@ -325,3 +325,40 @@ def test_multimodal_plumbing(spark):
     assert {r.doc_id % 3 for r in fr} == {2}  # only video rows fan out
     with pytest.raises(NotImplementedError):
         MM.real_decode(b"x")
+
+
+def test_caption_align_on_crawled_corpus(spark):
+    """The interleaved operators must run on the ENGINE's own documents
+    shape (doc_id, spans<kind,text,media_ref,offset>) — the input_hint
+    table — not only on synthesized fixtures: every img span of every
+    crawled person page pairs with its nearest PRECEDING span in document
+    order, and the modality profile sums match the raw span counts."""
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+    from ba_gepris_crawler_spark.testing.fixtures import site_documents_df
+
+    cfg = SiteConfig(
+        hosts=("h00.gepris.example.org",),
+        n_projects=40, n_persons=30, n_institutions=8, hits_per_page=50, seed=42,
+    )
+    docs = site_documents_df(spark, cfg).select("doc_id", "spans")
+
+    aligned = MM.caption_align(docs)
+    rows = aligned.collect()
+    assert rows, "site corpus contains no media spans"
+    # every alignment: caption is a text span strictly before the media span
+    assert all(r["caption_dist"] >= 1 for r in rows if r["caption"] is not None)
+    # cross-check one document by hand against its raw span sequence
+    some_doc = rows[0]["doc_id"]
+    spans = docs.filter(F.col("doc_id") == some_doc).select(F.explode("spans").alias("s")).collect()
+    by_off = sorted((r["s"]["offset"], r["s"]["kind"], r["s"]["text"]) for r in spans)
+    for r in [x for x in rows if x["doc_id"] == some_doc]:
+        preceding_text = [t for off, kind, t in by_off if off < r["span_off"] and kind == "text" and t is not None]
+        assert r["caption"] == (preceding_text[-1] if preceding_text else None)
+
+    prof = MM.interleave_stats(docs)
+    tot = prof.agg(F.sum("n_spans"), F.sum("n_media")).first()
+    raw = docs.select(
+        F.sum(F.size("spans")),
+        F.sum(F.size(F.filter("spans", lambda s: s["kind"] != "text"))),
+    ).first()
+    assert (tot[0], tot[1]) == (raw[0], raw[1])
