@@ -46,11 +46,19 @@ def run(n_urls: int, n_hosts: int) -> dict:
     n_now = fetch_now.count()
     n_def = deferred.count()
     sec = time.time() - t0
+    # size of the offsets relation the old design would have .collect()ed
+    # to the driver every round (and which must NOT be force-broadcast
+    # either — AQE decides broadcast vs co-keyed shuffle join by size)
+    n_off = (
+        frontier.select("host", "crawl_depth", "priority",
+                        (F.crc32(F.col("url").cast("binary")) % 32).alias("b"))
+        .dropDuplicates(["host", "crawl_depth", "priority", "b"]).count()
+    )
     out = {
         "n_urls": n_urls, "n_hosts": n_hosts, "budget": cfg.per_host_budget,
         "fetch_now": n_now, "deferred": n_def,
         "sec": round(sec, 2), "urls_per_sec": round(n_urls / sec),
-        "driver_offset_rows_collected": 0,  # by construction: no .collect() in schedule_round
+        "offset_relation_rows": n_off,
     }
     spark.catalog.clearCache()
     return out

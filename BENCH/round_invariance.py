@@ -74,12 +74,16 @@ def crawl(compact_every: int, n_hosts: int, budget: int, max_rounds: int) -> dic
             "documents": n_read_files("documents"),
         }
         n = len(per_round)
+
+        def avg(xs: list[float]) -> float | None:
+            return round(sum(xs) / len(xs), 3) if xs else None
+
         res = {
             "compact_every": compact_every,
             "rounds": n,
-            "first10_avg": round(sum(per_round[2:12]) / len(per_round[2:12]), 3),
-            "mid_avg": round(sum(per_round[n // 2 - 5: n // 2 + 5]) / 10, 3),
-            "last10_avg": round(sum(per_round[-11:-1]) / len(per_round[-11:-1]), 3),
+            "first10_avg": avg(per_round[2:12]),
+            "mid_avg": avg(per_round[max(0, n // 2 - 5): n // 2 + 5]),
+            "last10_avg": avg(per_round[-11:-1]),
             "total_sec": round(sum(per_round), 1),
             "read_files": files,
             "per_round": per_round,

@@ -101,8 +101,16 @@ def main(argv: list[str] | None = None) -> int:
         from ba_gepris_crawler_spark.streaming.crawl_stream import StreamingCrawl
 
         site, settings = _site(args), _settings(args)
+        if settings.seen_filter != "bloom":
+            # the stream dedups via the exact anti-join over committed
+            # batches only — no probabilistic gate exists there yet; fail
+            # loudly instead of silently ignoring the flag
+            print(json.dumps({"error": "--seen-filter is batch-engine only; "
+                                       "stream-crawl always uses the exact anti-join"}))
+            return 2
         sc = StreamingCrawl(
-            spark, site, args.root, politeness=settings.politeness, n_buckets=settings.n_buckets
+            spark, site, args.root, politeness=settings.politeness,
+            n_buckets=settings.n_buckets, fetch_format=settings.fetch_format,
         )
         if sc.needs_seed():
             sc.seed()

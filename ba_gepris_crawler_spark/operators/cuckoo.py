@@ -86,8 +86,11 @@ class CuckooShard:
         i2_arr = self._i2(i1_arr, fp_arr)
         t = self.table
         for fp, i1, i2 in zip(fp_arr, i1_arr, i2_arr):
-            if fp in t[i1] or fp in t[i2]:  # already present (dedup insert)
-                continue
+            # NOTE: duplicate (bucket, fp) copies are stored, per Fan et al.
+            # §3 — deduping on insert would make delete_many of one key
+            # un-see a colliding OTHER key (a false negative, breaking the
+            # gate contract). Callers must not re-insert the same key set
+            # (the engine tracks the delta high-water mark).
             placed = False
             for i in (i1, i2):
                 empt = np.flatnonzero(t[i] == 0)
@@ -153,6 +156,14 @@ class CuckooFilterShards:
     @property
     def n_items(self) -> int:
         return sum(s.n_items for s in self.shards.values())
+
+    @property
+    def capacity(self) -> int:
+        return sum(s.m * _SLOTS for s in self.shards.values())
+
+    @property
+    def load(self) -> float:
+        return self.n_items / max(1, self.capacity)
 
 
 def _hash_cols(df: DataFrame, url_col: str) -> DataFrame:
@@ -271,9 +282,14 @@ def split_by_cuckoo(
             for sid, (tb, m) in payload.items()
         }
         for pdf in batches:
-            h1 = pdf["_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
+            h1s = pdf["_h1"].to_numpy(dtype=np.int64)
+            h1 = h1s.astype(np.uint64)
             h2 = pdf["_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
-            sid = (h1 % np.uint64(n_shards)).astype(np.int64)
+            # route with SIGNED floor-mod — numpy's int64 % matches Spark's
+            # pmod for positive divisors; routing via uint64 % would
+            # disagree with the build side on negative hashes whenever
+            # n_shards is not a power of two (false negatives)
+            sid = np.mod(h1s, n_shards)
             hit = np.zeros(len(pdf), dtype=bool)
             for s in np.unique(sid):
                 mask = sid == s

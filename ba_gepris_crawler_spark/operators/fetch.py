@@ -53,6 +53,7 @@ def fetch_pages(
     session_token: str | None = None,
     epoch: int = 0,
     fmt: str = "html",
+    host_rates: tuple[tuple[str, float], ...] = (),
 ) -> DataFrame:
     """scheduled: output of politeness.schedule_round(...).fetch_now.
     Returns the same rows + (status, spans, virtual_cost_sec).
@@ -70,6 +71,7 @@ def fetch_pages(
     cfg_bc = spark.sparkContext.broadcast(site_cfg)
     token_bc = spark.sparkContext.broadcast(session_token)  # session/cookie analog
     rate = float(per_host_rate)
+    rate_overrides = dict(host_rates)  # robots Crawl-delay per-host rates
     as_json = fmt == "json"
 
     in_schema = scheduled.schema
@@ -102,8 +104,11 @@ def fetch_pages(
                     payloads.append(
                         [{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in pl]
                     )
-            # virtual politeness cost: each slot-wave of a host costs 1/rate
-            cost = (pdf.groupby("host")["slot"].transform("max") / rate).astype("float64")
+            # virtual politeness cost: each slot-wave of a host costs
+            # 1/rate, where rate honors the robots Crawl-delay per-host
+            # overrides — the same rates the budget cut used upstream
+            host_rate = pdf["host"].map(rate_overrides).fillna(rate).astype("float64")
+            cost = (pdf.groupby("host")["slot"].transform("max") / host_rate).astype("float64")
             out = {("body" if as_json else "spans"): payloads}
             res = pdf.assign(status=pd.Series(statuses, index=pdf.index, dtype="int32"), virtual_cost_sec=cost, **out)
             yield res[[f.name for f in out_schema.fields]]  # schema column order

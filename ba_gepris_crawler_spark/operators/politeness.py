@@ -275,9 +275,17 @@ def schedule_round(
     # Level 1: rank within the salted partition — the only data-sized
     # shuffle, keyed (host, host_bucket) so a hot host spreads over B tasks.
     w = Window.partitionBy("host", "host_bucket").orderBy("crawl_depth", "priority", "url")
+    # NO broadcast hint on the offsets join: off scales with host
+    # cardinality (hosts x depths x priorities x B rows), and a forced
+    # broadcast funnels it through the driver — at 10^6-10^7 hosts that IS
+    # the driver-materialization ceiling this scheduler exists to avoid.
+    # AQE picks broadcast when the measured size is small (every sandbox
+    # case) and a co-keyed shuffle join when it isn't; the join key is a
+    # superset of the rank window's (host, host_bucket) partitioning, so
+    # the data side never funnels through a bare-host exchange either way.
     f = (
         f.withColumn("_lrank", F.row_number().over(w))
-        .join(F.broadcast(off), ["host", "crawl_depth", "priority", "host_bucket"])
+        .join(off, ["host", "crawl_depth", "priority", "host_bucket"])
         .withColumn("host_rank", (F.col("grp_off") + F.col("_lrank") - F.col("lrank_before")).cast("int"))
         .drop("_lrank", "grp_off", "lrank_before")
     )

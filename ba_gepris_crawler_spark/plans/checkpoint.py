@@ -299,8 +299,12 @@ class SnapshotStore:
             if comp.get("paths"):  # tiered: every immutable tier
                 paths = list(comp["paths"]) + paths
             else:
-                paths.insert(0, comp.get("path") or str(self.compacted_path(
-                    name, base_upto, comp.get("key_col", "url"), comp.get("n_buckets", 32))))
+                # manifests have carried an explicit 'path' since the dirs
+                # became parameter-qualified; a manifest WITHOUT one is from
+                # the older layout, whose dirs were NOT qualified — so the
+                # fallback must reconstruct the legacy name, not the new one
+                legacy = self.root / "compacted" / name / f"upto={base_upto:05d}"
+                paths.insert(0, comp.get("path") or str(legacy))
         if not paths:
             return None
         return self.spark.read.parquet(*paths)

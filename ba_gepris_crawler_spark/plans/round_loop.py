@@ -74,7 +74,7 @@ class CrawlEngine:
         self._bloom = None  # incremental bloom state (rebuilt on resume)
         self._bloom_round: int = -10
         self._cuckoo = None  # incremental cuckoo shards (seen_filter="cuckoo")
-        self._cuckoo_round: int = -10
+        self._cuckoo_upto: int = -10  # highest round whose delta is inserted
         # session cookie cache (one Set-Cookie fetch+parse per epoch;
         # reference: CookieFlowGraph.scala:30-58)
         self._jar = CookieJar()
@@ -118,14 +118,26 @@ class CrawlEngine:
         if s.seen_filter == "cuckoo" and s.use_bloom and n_seen > 0:
             from ba_gepris_crawler_spark.operators import cuckoo as CK
 
-            if self._cuckoo is not None and self._cuckoo_round == rnd - 1:
-                # incremental: insert only last round's delta
-                cuckoo = CK.insert_urls(self._cuckoo, self.store.read_state("url_seen", rnd - 1))
+            if (
+                self._cuckoo is not None
+                and self._cuckoo_upto in (rnd - 1, rnd - 2)
+                # cuckoo shards cannot grow in place (fingerprints don't
+                # rehash to a larger m) — once the seen set approaches
+                # capacity, rebuild 4x instead of failing the insert
+                and (n_seen / self._cuckoo.capacity) <= 0.8
+            ):
+                if self._cuckoo_upto == rnd - 2:
+                    # incremental: insert only last round's delta (at the
+                    # round after bootstrap the delta is ALREADY in —
+                    # re-inserting would store duplicate fingerprints)
+                    CK.insert_urls(self._cuckoo, self.store.read_state("url_seen", rnd - 1))
+                cuckoo = self._cuckoo
             else:
-                # cold start / resume: full rebuild (shards don't OR-merge)
+                # cold start / resume / capacity growth: full rebuild
                 cuckoo = CK.build_cuckoo(
                     seen, expected_items=max(n_seen * 4, s.bloom_expected_items), version=rnd
                 )
+            self._cuckoo, self._cuckoo_upto = cuckoo, rnd - 1
             splitter = lambda f: CK.split_by_cuckoo(f, cuckoo)  # noqa: E731
         elif s.use_bloom and n_seen > 0:
             if self._bloom is None:
@@ -185,6 +197,7 @@ class CrawlEngine:
         fetched = fetch_pages(
             fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets,
             session_token=token, epoch=epoch, fmt=s.fetch_format,
+            host_rates=s.politeness.host_rates,
         )
         if s.fetch_format == "json":
             fetched = parse_json_spans(fetched)
@@ -278,7 +291,9 @@ class CrawlEngine:
         # the consolidated crawl log: seen-set + deterministic trace +
         # fetch status (errors quarantined by status != 200) in ONE table.
         crawl_log = (
-            docs_stored.join(F.broadcast(off_df), ["crawl_depth", "priority", "host"])
+            # no broadcast hint: off_df scales with host cardinality; AQE
+            # broadcasts it when small, shuffle-joins co-keyed when not
+            docs_stored.join(off_df, ["crawl_depth", "priority", "host"])
             .select(
                 F.xxhash64("url").alias("url_hash"),
                 "url",
@@ -383,9 +398,7 @@ class CrawlEngine:
             # round count; see BENCH/BASELINE.md round-count bench).
             self.store.compact("url_seen", rnd, key_col="url", n_buckets=s.n_buckets)
             self.store.compact_tiered("documents", rnd, key_col="doc_id", n_buckets=s.n_buckets)
-        if cuckoo is not None:
-            self._cuckoo, self._cuckoo_round = cuckoo, rnd
-        elif s.seen_filter == "cuckoo" and s.use_bloom and rnd == 0:
+        if s.seen_filter == "cuckoo" and s.use_bloom and cuckoo is None and rnd == 0:
             # bootstrap the incremental shards from round 0's written delta
             from ba_gepris_crawler_spark.operators import cuckoo as CK
 
@@ -393,7 +406,7 @@ class CrawlEngine:
                 self.store.read_state("url_seen", rnd),
                 expected_items=s.bloom_expected_items, version=0,
             )
-            self._cuckoo_round = 0
+            self._cuckoo_upto = 0
         if bloom is not None:
             self._bloom, self._bloom_round = bloom, rnd
         elif s.seen_filter == "bloom" and s.use_bloom and rnd == 0:

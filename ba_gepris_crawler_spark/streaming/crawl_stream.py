@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ba_gepris_crawler_spark.operators import frontier as FR
 from ba_gepris_crawler_spark.operators.cookies import CookieJar
-from ba_gepris_crawler_spark.operators.fetch import fetch_pages, to_documents
+from ba_gepris_crawler_spark.operators.fetch import fetch_pages, parse_json_spans, to_documents
 from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, schedule_round
 from ba_gepris_crawler_spark.schema import FRONTIER_SCHEMA
 from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
@@ -53,6 +53,10 @@ class StreamingCrawl:
     root: str | os.PathLike
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     n_buckets: int = 16
+    # "html" or "json" (S7) — same semantics as the batch engine's
+    # CrawlSettings.fetch_format; json bodies parse in-plan to the same
+    # spans, so both modes write byte-equal documents
+    fetch_format: str = "html"
     # session cookie cache (one Set-Cookie fetch per epoch), mirroring the
     # batch engine: the epoch analog is batch_id // session_rounds, so a
     # session-gated site rotates in the stream too instead of every
@@ -120,8 +124,11 @@ class StreamingCrawl:
         token = self._jar.get(self.site, epoch) if self.site.session_rounds else None
         fetched = fetch_pages(
             fetch_now, self.site, self.politeness.per_host_rate, self.n_buckets,
-            session_token=token, epoch=epoch,
+            session_token=token, epoch=epoch, fmt=self.fetch_format,
+            host_rates=self.politeness.host_rates,
         )
+        if self.fetch_format == "json":
+            fetched = parse_json_spans(fetched)
         docs = to_documents(fetched, batch_id, keep_errors=True)
         docs.write.mode("overwrite").parquet(self._out("documents", batch_id))
         stored = self.spark.read.parquet(self._out("documents", batch_id))

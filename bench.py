@@ -178,8 +178,11 @@ def main() -> None:
                 queries["fetch_only"] = round(fetch_sec, 3)
                 extras["fetch_pages"] = n_sched
                 extras["fetch_pages_per_sec"] = round(n_sched / fetch_sec, 1)
+                # value is SECONDS (unit: sec); the throughput lives in
+                # fetch_pages_per_sec — the metric name must not imply
+                # value is a rate (review regression)
                 print(json.dumps({
-                    "metric": "fetch_only_pages_per_sec", "value": queries["fetch_only"],
+                    "metric": "fetch_only_sec", "value": queries["fetch_only"],
                     "unit": "sec", "queries": queries, "sf": sf, **extras,
                 }))
                 return
@@ -232,7 +235,6 @@ def main() -> None:
         # worker pool fork) are one-time per cluster, not per crawl — the
         # headline metric is SUSTAINED pages/sec. The warmup touches the
         # same machinery (shuffle + a mapInPandas round-trip), no bench data.
-        import pandas as _pd
         from pyspark.sql import functions as _F
         (spark.range(10000).repartition(8, "id")
              .groupBy((_F.col("id") % 8).alias("g")).count()

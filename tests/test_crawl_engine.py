@@ -320,3 +320,32 @@ def test_json_api_crawl_equals_html_crawl(spark, crawl_cfg, tmp_path_factory, ru
     dj = {(r.doc_id, r.url, r.round, r.status, str(r.spans))
           for r in store_j.read_union("documents", store_j.latest_round()).select(*cols).collect()}
     assert da == dj  # span sequences byte-equal across fetch formats
+
+
+def test_read_union_legacy_compaction_manifest(spark, tmp_path):
+    """A compaction manifest from the pre-qualified-dir layout (no 'path'
+    key; data at compacted/<name>/upto=<k>) must still resolve — the
+    fallback has to reconstruct the LEGACY dir name, not the new
+    parameter-qualified one (review regression)."""
+    import json as _json
+    import shutil as _shutil
+
+    from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, tmp_path)
+    for rnd in range(3):
+        df = spark.range(rnd * 10, rnd * 10 + 10).select(
+            F.concat(F.lit("https://h/p/"), F.col("id").cast("string")).alias("url")
+        )
+        n = store.write_table("url_seen", rnd, df)
+        store.commit(rnd, {"url_seen": n}, {"round": rnd})
+    m = store.compact("url_seen", 1, key_col="url", n_buckets=4)
+    # rewrite history into the legacy layout: unqualified dir, no 'path'
+    legacy_dir = tmp_path / "compacted" / "url_seen" / "upto=00001"
+    _shutil.move(m["path"], legacy_dir)
+    mp = store._compact_manifest_path("url_seen", 1)
+    legacy_manifest = {k: v for k, v in _json.loads(mp.read_text()).items() if k != "path"}
+    mp.write_text(_json.dumps(legacy_manifest))
+    got = store.read_union("url_seen", 2)
+    assert got.count() == 30  # base (rounds 0-1) + tail delta (round 2)

@@ -138,3 +138,13 @@ def test_engine_crawl_with_cuckoo_gate_equals_bloom(spark, tmp_path):
             assert any(m["counters"].get("cuckoo") for m in ms), "gate never engaged"
     assert seen["cuckoo"] == seen["bloom"]
     assert len(seen["cuckoo"]) > 150
+
+
+def test_non_power_of_two_shards_no_false_negatives(spark):
+    """Regression: lookup routing must use the same signed floor-mod as the
+    build side's pmod — with n_shards=10 roughly half of all xxhash64
+    values are negative, and a uint64 modulo would probe the wrong shard."""
+    cf10 = build_cuckoo(_urls(spark, 0, 8_000, tag="npot"), expected_items=12_000, n_shards=10)
+    new, maybe = split_by_cuckoo(_urls(spark, 0, 8_000, tag="npot"), cf10)
+    assert new.count() == 0  # every seen url must hit (no false negatives)
+    assert maybe.count() == 8_000
