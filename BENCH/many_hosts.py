@@ -42,7 +42,10 @@ def run(n_urls: int, n_hosts: int) -> dict:
 
     cfg = PolitenessConfig(per_host_rate=5.0, round_seconds=1.0, max_in_flight=10)
     t0 = time.time()
-    fetch_now, deferred = schedule_round(frontier, cfg, n_buckets=32)
+    # many_hosts=True: the size-aware offsets join runs as a co-keyed
+    # shuffle instead of a multi-million-row driver broadcast (the engine
+    # flips this automatically above ~2000 configured hosts)
+    fetch_now, deferred = schedule_round(frontier, cfg, n_buckets=32, many_hosts=True)
     n_now = fetch_now.count()
     n_def = deferred.count()
     sec = time.time() - t0

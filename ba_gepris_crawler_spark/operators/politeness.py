@@ -215,6 +215,7 @@ def schedule_round(
     frontier: DataFrame,
     cfg: PolitenessConfig,
     n_buckets: int = 32,
+    many_hosts: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the deduplicated frontier into (fetch_now, deferred).
 
@@ -275,17 +276,22 @@ def schedule_round(
     # Level 1: rank within the salted partition — the only data-sized
     # shuffle, keyed (host, host_bucket) so a hot host spreads over B tasks.
     w = Window.partitionBy("host", "host_bucket").orderBy("crawl_depth", "priority", "url")
-    # NO broadcast hint on the offsets join: off scales with host
-    # cardinality (hosts x depths x priorities x B rows), and a forced
-    # broadcast funnels it through the driver — at 10^6-10^7 hosts that IS
-    # the driver-materialization ceiling this scheduler exists to avoid.
-    # AQE picks broadcast when the measured size is small (every sandbox
-    # case) and a co-keyed shuffle join when it isn't; the join key is a
-    # superset of the rank window's (host, host_bucket) partitioning, so
-    # the data side never funnels through a bare-host exchange either way.
+    # The offsets join strategy is SIZE-AWARE (many_hosts): off scales with
+    # host cardinality (hosts x depths x priorities x B rows). For a small
+    # host universe (GEPRIS: <=16 hosts; anything under a few thousand) a
+    # broadcast hint is strictly best — AQE without the hint plans a
+    # sort-merge join and the data side pays its shuffle WRITE before AQE
+    # can convert, a measured regression on the steady bench. For a
+    # 10^5-10^7-host open-web frontier the broadcast itself becomes a
+    # multi-million-row driver round-trip — there the caller passes
+    # many_hosts=True and the join runs as a co-keyed shuffle (the join key
+    # is a superset of the rank window's (host, host_bucket) partitioning,
+    # so no bare-host exchange either way; 1.4-2.8x faster at 10^6 hosts,
+    # BENCH/many_hosts.py).
     f = (
         f.withColumn("_lrank", F.row_number().over(w))
-        .join(off, ["host", "crawl_depth", "priority", "host_bucket"])
+        .join(off if many_hosts else F.broadcast(off),
+              ["host", "crawl_depth", "priority", "host_bucket"])
         .withColumn("host_rank", (F.col("grp_off") + F.col("_lrank") - F.col("lrank_before")).cast("int"))
         .drop("_lrank", "grp_off", "lrank_before")
     )

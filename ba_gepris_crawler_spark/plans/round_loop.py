@@ -190,7 +190,13 @@ class CrawlEngine:
             return manifest
 
         _mark('candidates_count')
-        fetch_now, deferred = schedule_round(candidates, s.politeness, s.n_buckets)
+        # size-aware offsets-join strategy: broadcast for a small host
+        # universe, co-keyed shuffle join when hosts x depths x priorities
+        # x B would make the broadcast a driver-scale round-trip
+        many_hosts = len(self.site.hosts) > 2000
+        fetch_now, deferred = schedule_round(
+            candidates, s.politeness, s.n_buckets, many_hosts=many_hosts
+        )
         # session cookie: refreshed once per epoch, broadcast into the fetch
         epoch = rnd // self.site.session_rounds if self.site.session_rounds else 0
         token = self._jar.get(self.site, epoch) if self.site.session_rounds else None
@@ -291,9 +297,9 @@ class CrawlEngine:
         # the consolidated crawl log: seen-set + deterministic trace +
         # fetch status (errors quarantined by status != 200) in ONE table.
         crawl_log = (
-            # no broadcast hint: off_df scales with host cardinality; AQE
-            # broadcasts it when small, shuffle-joins co-keyed when not
-            docs_stored.join(off_df, ["crawl_depth", "priority", "host"])
+            # same size-aware strategy as the scheduler's offsets join
+            docs_stored.join(off_df if many_hosts else F.broadcast(off_df),
+                             ["crawl_depth", "priority", "host"])
             .select(
                 F.xxhash64("url").alias("url_hash"),
                 "url",
