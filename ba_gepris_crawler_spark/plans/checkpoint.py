@@ -219,18 +219,36 @@ class SnapshotStore:
     def tier_path(self, name: str, lo: int, upto: int, n_buckets: int) -> Path:
         return self.root / "compacted" / name / f"tier-{lo:05d}-{upto:05d}-b{n_buckets}"
 
+    @staticmethod
+    def _tier_span(path: str) -> tuple[int, int]:
+        """Round span covered by a tier dir, parsed from its name (legacy
+        manifests carry no explicit span list). Full-rewrite bases
+        (upto=<k>...) span 0..k."""
+        base = os.path.basename(path)
+        m = re.match(r"tier-(\d+)-(\d+)-b\d+$", base)
+        if m:
+            return int(m.group(1)), int(m.group(2))
+        m = re.match(r"upto=(\d+)", base)
+        if m:
+            return 0, int(m.group(1))
+        return 0, -1
+
     def compact_tiered(self, name: str, upto: int, key_col: str = "doc_id", n_buckets: int = 32) -> dict:
         """Span-aware compaction for payload-heavy delta tables (documents,
         eav): merge ONLY the closed rounds since the previous compaction into
-        one new immutable TIER, leaving earlier tiers untouched — so each
-        heavy row (e.g. a page's span payload) is rewritten exactly ONCE in
-        the table's lifetime, amortized O(delta) per compaction instead of
-        the full-rewrite's O(total). read_union reads tiers + tail deltas;
-        the file count is bounded by n_buckets per tier, tiers grow as
-        rounds/K (Iceberg rewrite_data_files with a min-input-files filter
-        is the same policy). The row set is identical, so resume
-        determinism and --from-round rewind (which falls back to the
-        previous compaction manifest and its own tier list) are unaffected."""
+        one new immutable TIER, leaving earlier tiers untouched, then bound
+        the tier count with the logarithmic method (Bentley–Saxe; the LSM /
+        Lucene size-tiered merge): while the newest tier has at least as
+        many rows as the one before it, the two are merged into a single
+        tier covering both spans. Tier sizes therefore decay geometrically,
+        the tier count is O(log total_rows) — FULLY bounded, not rounds/K —
+        and each heavy row (a page's span payload) is rewritten O(log n)
+        times over the table's lifetime instead of every compaction
+        (Iceberg rewrite_data_files with a min-input-files filter expresses
+        the same policy). read_union reads tiers + tail deltas. The row set
+        is identical, so resume determinism is unaffected, and superseded
+        tier dirs are kept (visibility is manifest-only) so --from-round
+        rewind to an older compaction manifest still finds its tier list."""
         prev = self.latest_compaction(name, upto)
         lo = (prev["upto"] if prev else -1) + 1
         delta_paths = [
@@ -248,6 +266,26 @@ class SnapshotStore:
         new_rows = int(obs.get["n"])
         tiers = (list(prev["paths"]) if prev and prev.get("paths") else
                  ([prev["path"]] if prev and prev.get("path") else [])) + [str(path)]
+        # Per-tier row counts; legacy manifests lack them -> None sentinels
+        # that never satisfy the merge condition (treated as unbounded).
+        prev_rows = (list(prev.get("tier_rows", [])) if prev else [])
+        prev_rows += [None] * (len(tiers) - 1 - len(prev_rows))
+        tier_rows = prev_rows + [new_rows]
+        while (
+            len(tiers) >= 2
+            and tier_rows[-1] is not None
+            and tier_rows[-2] is not None
+            and tier_rows[-1] >= tier_rows[-2]
+        ):
+            a_lo, _ = self._tier_span(tiers[-2])
+            _, b_hi = self._tier_span(tiers[-1])
+            merged = self.tier_path(name, a_lo, b_hi, n_buckets)
+            mdf = self.spark.read.parquet(tiers[-2], tiers[-1])
+            mout = mdf.repartition(n_buckets, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
+            mobs = Observation(f"tier-merge-{name}-{a_lo}-{b_hi}")
+            mout.observe(mobs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(str(merged))
+            tiers[-2:] = [str(merged)]
+            tier_rows[-2:] = [int(mobs.get["n"])]
         manifest = {
             "table": name,
             "upto": upto,
@@ -256,6 +294,7 @@ class SnapshotStore:
             "key_col": key_col,
             "mode": "tiered",
             "paths": tiers,
+            "tier_rows": tier_rows,
             "base": prev["upto"] if prev else None,
             "committed_at": time.time(),
         }

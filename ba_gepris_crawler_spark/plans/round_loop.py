@@ -399,9 +399,10 @@ class CrawlEngine:
             # round's own manifest is already visible. url_seen gets the
             # full hash-clustered rewrite (the anti-join layout); the
             # span-heavy documents table gets TIERED compaction — only the
-            # rounds closed since the last tier are rewritten, so each span
-            # payload is rewritten exactly once (flat per-round cost at any
-            # round count; see BENCH/BASELINE.md round-count bench).
+            # rounds closed since the last tier are rewritten, and same-size
+            # tiers merge logarithmically, so each span payload is rewritten
+            # O(log n) times and the tier list stays O(log rows) (flat
+            # per-round cost at any round count; BENCH/BASELINE.md).
             self.store.compact("url_seen", rnd, key_col="url", n_buckets=s.n_buckets)
             self.store.compact_tiered("documents", rnd, key_col="doc_id", n_buckets=s.n_buckets)
         if s.seen_filter == "cuckoo" and s.use_bloom and cuckoo is None and rnd == 0:

@@ -179,11 +179,19 @@ def test_compaction_preserves_seen_set_and_resume(spark, crawl_cfg, tmp_path_fac
     a = {tuple(r) for r in store_a.read_union("url_seen", store_a.latest_round()).collect()}
     c = {tuple(r) for r in store_c.read_union("url_seen", store_c.latest_round()).collect()}
     assert a == c
-    # later tiers APPEND; the first tier is immutable (span payloads are
-    # rewritten exactly once — the span-aware policy)
+    # tiers stay a contiguous cover of rounds 0..upto, with row counts
+    # strictly decreasing (the logarithmic-method merge collapses any
+    # newest tier at least as big as its predecessor), and any superseded
+    # tier dir stays immutable on disk — --from-round rewind to the older
+    # compaction manifest must still find its tier list.
     dcomp2 = store_c.latest_compaction("documents")
     if dcomp2["upto"] > 2:
-        assert dcomp2["paths"][0] == str(tier1) and len(dcomp2["paths"]) > 1
+        spans = [SnapshotStore._tier_span(p) for p in dcomp2["paths"]]
+        assert spans[0][0] == 0 and spans[-1][1] == dcomp2["upto"]
+        assert all(spans[i][1] + 1 == spans[i + 1][0] for i in range(len(spans) - 1))
+        rows = dcomp2["tier_rows"]
+        assert all(rows[i] > rows[i + 1] for i in range(len(rows) - 1))
+        assert sum(rows) == dcomp2["rows"]
     assert {p.name: p.stat().st_mtime for p in tier1.glob("part-*")} == tier1_files
     da = {
         tuple(r) for r in store_a.read_union("documents", store_a.latest_round())
@@ -320,6 +328,36 @@ def test_json_api_crawl_equals_html_crawl(spark, crawl_cfg, tmp_path_factory, ru
     dj = {(r.doc_id, r.url, r.round, r.status, str(r.spans))
           for r in store_j.read_union("documents", store_j.latest_round()).select(*cols).collect()}
     assert da == dj  # span sequences byte-equal across fetch formats
+
+
+def test_tiered_compaction_logarithmic_merge(spark, tmp_path):
+    """Equal-size deltas compacted every round behave like a binary counter
+    (Bentley–Saxe logarithmic method): the tier count equals popcount(k)
+    after k compactions — O(log n), fully bounded — while the visible row
+    set stays identical to the plain delta union at every step and tier
+    spans remain a contiguous cover."""
+    store = SnapshotStore(spark, tmp_path)
+    per = 20
+    expect: set[str] = set()
+    for rnd in range(8):
+        df = spark.range(rnd * per, (rnd + 1) * per).select(
+            F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id")
+        )
+        n = store.write_table("documents", rnd, df)
+        store.commit(rnd, {"documents": n}, {"round": rnd})
+        expect |= {f"d{i}" for i in range(rnd * per, (rnd + 1) * per)}
+        m = store.compact_tiered("documents", rnd, key_col="doc_id", n_buckets=4)
+        got = {r.doc_id for r in store.read_union("documents", rnd).collect()}
+        assert got == expect
+        assert len(m["paths"]) == bin(rnd + 1).count("1")  # binary counter
+        rows = m["tier_rows"]
+        assert sum(rows) == (rnd + 1) * per
+        assert all(rows[i] > rows[i + 1] for i in range(len(rows) - 1))
+        spans = [SnapshotStore._tier_span(p) for p in m["paths"]]
+        assert spans[0][0] == 0 and spans[-1][1] == rnd
+        assert all(spans[i][1] + 1 == spans[i + 1][0] for i in range(len(spans) - 1))
+    final = store.latest_compaction("documents")
+    assert len(final["paths"]) == 1 and final["tier_rows"] == [8 * per]
 
 
 def test_read_union_legacy_compaction_manifest(spark, tmp_path):
