@@ -90,7 +90,28 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("root")
     e.add_argument("--out", default=None, help="output dir (default <root>/final)")
     e.add_argument("--format", dest="fmt", choices=["parquet", "csv", "sqlite"], default="parquet")
+    g = sub.add_parser("gc", help="expire old compaction snapshots and delete unreferenced data dirs "
+                                  "(Iceberg expire_snapshots + remove_orphan_files analog; run offline)")
+    g.add_argument("root")
+    g.add_argument("--keep-compactions", dest="keep_compactions", type=int, default=1,
+                   help="newest compaction manifests to retain per table (rewind fallback targets)")
+    g.add_argument("--dry-run", dest="dry_run", action="store_true")
     args = p.parse_args(argv)
+
+    if args.cmd == "gc":
+        # pure filesystem maintenance — no SparkSession needed
+        import re as _re
+
+        store = SnapshotStore(None, args.root)
+        tables = sorted({
+            m.group(1)
+            for pth in (store.root / "manifests").glob("compact-*.json")
+            if (m := _re.match(r"compact-(.+)-(\d+)\.json$", pth.name))
+        })
+        expired = {t: store.expire_compactions(t, keep_last=args.keep_compactions) for t in tables}
+        removed = store.remove_orphans(dry_run=args.dry_run)
+        print(json.dumps({"expired": expired, "orphans_removed": removed, "dry_run": args.dry_run}))
+        return 0
 
     spark = get_spark(app_name=f"gepris-{args.cmd}")
 

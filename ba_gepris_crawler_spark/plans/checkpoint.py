@@ -51,7 +51,8 @@ from pyspark.sql import functions as F
 
 
 class SnapshotStore:
-    def __init__(self, spark: SparkSession, root: str | os.PathLike):
+    def __init__(self, spark: SparkSession | None, root: str | os.PathLike):
+        # spark=None is allowed for pure-filesystem maintenance (CLI gc)
         self.spark = spark
         self.root = Path(root)
         (self.root / "manifests").mkdir(parents=True, exist_ok=True)
@@ -335,18 +336,77 @@ class SnapshotStore:
             if base_upto < r <= upto and r in self._rounds_with(name)
         ]
         if comp is not None:
-            if comp.get("paths"):  # tiered: every immutable tier
-                paths = list(comp["paths"]) + paths
-            else:
-                # manifests have carried an explicit 'path' since the dirs
-                # became parameter-qualified; a manifest WITHOUT one is from
-                # the older layout, whose dirs were NOT qualified — so the
-                # fallback must reconstruct the legacy name, not the new one
-                legacy = self.root / "compacted" / name / f"upto={base_upto:05d}"
-                paths.insert(0, comp.get("path") or str(legacy))
+            paths = self._compaction_tier_paths(comp, name) + paths
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    def _compaction_tier_paths(self, comp: dict, name: str) -> list[str]:
+        """Data dirs a compaction manifest references: the tier list
+        (tiered mode), the qualified snapshot dir, or — for manifests from
+        the pre-qualified-dir layout, which carried no 'path' — the
+        reconstructed LEGACY unqualified dir name."""
+        if comp.get("paths"):  # tiered: every immutable tier
+            return list(comp["paths"])
+        if comp.get("path"):
+            return [comp["path"]]
+        return [str(self.root / "compacted" / name / f"upto={comp['upto']:05d}")]
+
+    # -- maintenance (Iceberg expire_snapshots / remove_orphan_files
+    #    analog; offline — never run concurrently with a live crawl) ----
+    def expire_compactions(self, name: str, keep_last: int = 1) -> list[int]:
+        """Delete all but the newest `keep_last` compaction manifests of
+        `name`. This only narrows which snapshots --from-round rewind can
+        fall back to — round deltas are untouched, so read_union at ANY
+        retained round still resolves (pure delta union past the dropped
+        bases). The now-unreferenced dirs become orphans for
+        remove_orphans()."""
+        uptos = sorted(
+            int(m.group(1))
+            for p in (self.root / "manifests").glob(f"compact-{name}-*.json")
+            if (m := re.match(rf"compact-{re.escape(name)}-(\d+)\.json$", p.name))
+        )
+        drop = uptos[: -keep_last] if keep_last > 0 else uptos
+        for k in drop:
+            self._compact_manifest_path(name, k).unlink()
+        return drop
+
+    def orphan_dirs(self) -> list[Path]:
+        """Data dirs no committed manifest references: round dirs from
+        crashed (never-committed) or truncated rounds, and compaction
+        snapshot dirs superseded by re-clustering, tier merges, or
+        expire_compactions. Safe to delete because visibility is
+        manifest-only."""
+        referenced = {str(self._round_dir(r)) for r in self.committed_rounds()}
+        for p in (self.root / "manifests").glob("compact-*.json"):
+            m = re.match(r"compact-(.+)-(\d+)\.json$", p.name)
+            if not m:
+                continue
+            comp = json.loads(p.read_text())
+            referenced |= set(self._compaction_tier_paths(comp, m.group(1)))
+        orphans = []
+        for d in sorted((self.root / "rounds").glob("round=*")):
+            if d.is_dir() and str(d) not in referenced:
+                orphans.append(d)
+        comp_root = self.root / "compacted"
+        if comp_root.is_dir():
+            for table_dir in sorted(comp_root.iterdir()):
+                if not table_dir.is_dir():
+                    continue
+                for d in sorted(table_dir.iterdir()):
+                    if d.is_dir() and str(d) not in referenced:
+                        orphans.append(d)
+        return orphans
+
+    def remove_orphans(self, dry_run: bool = False) -> list[str]:
+        """Delete (or with dry_run just list) every orphan dir."""
+        import shutil
+
+        orphans = [str(d) for d in self.orphan_dirs()]
+        if not dry_run:
+            for d in orphans:
+                shutil.rmtree(d, ignore_errors=True)
+        return orphans
 
     def _rounds_with(self, name: str) -> set[int]:
         return {r for r in self.committed_rounds() if name in self.manifest(r)["tables"]}

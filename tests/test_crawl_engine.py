@@ -360,6 +360,51 @@ def test_tiered_compaction_logarithmic_merge(spark, tmp_path):
     assert len(final["paths"]) == 1 and final["tier_rows"] == [8 * per]
 
 
+def test_gc_expires_and_removes_only_unreferenced_dirs(spark, tmp_path, capsys):
+    """`gc` (expire_compactions + remove_orphans) must delete superseded
+    compaction dirs, crashed-round orphans, and expired snapshot dirs —
+    and NOTHING a committed manifest still references: the visible row set
+    is byte-identical before and after."""
+    from pathlib import Path as _P
+
+    from ba_gepris_crawler_spark.cli import main as cli_main
+
+    store = SnapshotStore(spark, tmp_path)
+    for rnd in range(4):
+        df = spark.range(rnd * 10, (rnd + 1) * 10).select(
+            F.concat(F.lit("https://h/p/"), F.col("id").cast("string")).alias("url")
+        )
+        store.commit(rnd, {"url_seen": store.write_table("url_seen", rnd, df)}, {"round": rnd})
+        store.compact_tiered("url_seen", rnd, key_col="url", n_buckets=2)  # forces tier merges
+    store.compact("url_seen", 3, key_col="url", n_buckets=4)  # supersedes at same upto
+    # crashed round: data dir, no manifest
+    spark.range(5).select(F.lit("x").alias("url")).write.parquet(str(store.table_path("url_seen", 99)))
+    before = {r.url for r in store.read_union("url_seen", 3).collect()}
+    n_dirs_before = len(list((tmp_path / "compacted" / "url_seen").iterdir()))
+    assert cli_main(["gc", str(tmp_path), "--dry-run"]) == 0
+    assert (tmp_path / "rounds" / "round=00099").exists()  # dry run deletes nothing
+    assert cli_main(["gc", str(tmp_path), "--keep-compactions", "1"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json as _json
+
+    rep = _json.loads(out)
+    assert not rep["dry_run"] and rep["orphans_removed"]
+    assert not (tmp_path / "rounds" / "round=00099").exists()
+    # only the retained (newest) compaction's dirs remain
+    kept = store.latest_compaction("url_seen")
+    remaining = {str(d) for d in (tmp_path / "compacted" / "url_seen").iterdir()}
+    assert remaining == set(store._compaction_tier_paths(kept, "url_seen"))
+    assert len(remaining) < n_dirs_before
+    assert {r.url for r in store.read_union("url_seen", 3).collect()} == before
+    # committed round deltas untouched -> rewind past the expired snapshots
+    # still resolves as a pure delta union
+    store.truncate_after(1)
+    assert store.latest_compaction("url_seen") is None
+    assert {r.url for r in store.read_union("url_seen", 1).collect()} == {
+        f"https://h/p/{i}" for i in range(20)
+    }
+
+
 def test_read_union_legacy_compaction_manifest(spark, tmp_path):
     """A compaction manifest from the pre-qualified-dir layout (no 'path'
     key; data at compacted/<name>/upto=<k>) must still resolve — the
