@@ -44,7 +44,7 @@ def run(n_urls: int, n_hosts: int) -> dict:
     t0 = time.time()
     # many_hosts=True: the size-aware offsets join runs as a co-keyed
     # shuffle instead of a multi-million-row driver broadcast (the engine
-    # flips this automatically above ~2000 configured hosts)
+    # flips this automatically above MANY_HOSTS_THRESHOLD configured hosts)
     fetch_now, deferred = schedule_round(frontier, cfg, n_buckets=32, many_hosts=True)
     n_now = fetch_now.count()
     n_def = deferred.count()

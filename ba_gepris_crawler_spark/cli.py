@@ -108,10 +108,24 @@ def main(argv: list[str] | None = None) -> int:
             for pth in (store.root / "manifests").glob("compact-*.json")
             if (m := _re.match(r"compact-(.+)-(\d+)\.json$", pth.name))
         })
-        expired = {t: store.expire_compactions(t, keep_last=args.keep_compactions) for t in tables}
+        expired = {
+            t: store.expire_compactions(
+                t, keep_last=args.keep_compactions, dry_run=args.dry_run
+            )
+            for t in tables
+        }
         removed = store.remove_orphans(dry_run=args.dry_run)
         print(json.dumps({"expired": expired, "orphans_removed": removed, "dry_run": args.dry_run}))
         return 0
+
+    if args.cmd == "stream-crawl" and getattr(args, "seen_filter", "bloom") != "bloom":
+        # pure-argparse validation: fail before paying JVM/session startup.
+        # The stream dedups via the exact anti-join over committed batches
+        # only — no probabilistic gate exists there yet; fail loudly
+        # instead of silently ignoring the flag.
+        print(json.dumps({"error": "--seen-filter is batch-engine only; "
+                                   "stream-crawl always uses the exact anti-join"}))
+        return 2
 
     spark = get_spark(app_name=f"gepris-{args.cmd}")
 
@@ -122,13 +136,6 @@ def main(argv: list[str] | None = None) -> int:
         from ba_gepris_crawler_spark.streaming.crawl_stream import StreamingCrawl
 
         site, settings = _site(args), _settings(args)
-        if settings.seen_filter != "bloom":
-            # the stream dedups via the exact anti-join over committed
-            # batches only — no probabilistic gate exists there yet; fail
-            # loudly instead of silently ignoring the flag
-            print(json.dumps({"error": "--seen-filter is batch-engine only; "
-                                       "stream-crawl always uses the exact anti-join"}))
-            return 2
         sc = StreamingCrawl(
             spark, site, args.root, politeness=settings.politeness,
             n_buckets=settings.n_buckets, fetch_format=settings.fetch_format,

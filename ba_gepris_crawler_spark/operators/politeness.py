@@ -41,6 +41,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Host-cardinality crossover for schedule_round's offsets-join strategy:
+# at or below this many hosts the offsets frame is tiny and a forced
+# broadcast wins (AQE alone plans sort-merge and the data side pays its
+# shuffle write first — measured regression); above it, the broadcast
+# round-trips millions of metadata rows through the driver and the
+# co-keyed shuffle join wins (1.4-2.8x at 10^6 hosts, BENCH/many_hosts.py).
+MANY_HOSTS_THRESHOLD = 2000
+
 
 @dataclass(frozen=True)
 class PolitenessConfig:
@@ -52,6 +60,16 @@ class PolitenessConfig:
     # per-host rate OVERRIDES (host, pages/sec) — fed by robots.txt
     # Crawl-delay (rate = 1/delay); hosts not listed use per_host_rate
     host_rates: tuple[tuple[str, float], ...] = ()
+
+    def __post_init__(self) -> None:
+        # rates are divisors downstream (budget cut, fetch virtual cost):
+        # a hand-written 0/negative override would clamp to budget 1 here
+        # but produce an inf virtual_cost_sec in fetch_pages — reject once
+        if self.per_host_rate <= 0:
+            raise ValueError(f"per_host_rate must be > 0, got {self.per_host_rate}")
+        for h, r in self.host_rates:
+            if r <= 0:
+                raise ValueError(f"host_rates[{h!r}] must be > 0, got {r}")
 
     @property
     def per_host_budget(self) -> int:

@@ -354,21 +354,24 @@ class SnapshotStore:
 
     # -- maintenance (Iceberg expire_snapshots / remove_orphan_files
     #    analog; offline — never run concurrently with a live crawl) ----
-    def expire_compactions(self, name: str, keep_last: int = 1) -> list[int]:
-        """Delete all but the newest `keep_last` compaction manifests of
-        `name`. This only narrows which snapshots --from-round rewind can
-        fall back to — round deltas are untouched, so read_union at ANY
-        retained round still resolves (pure delta union past the dropped
-        bases). The now-unreferenced dirs become orphans for
-        remove_orphans()."""
+    def expire_compactions(
+        self, name: str, keep_last: int = 1, dry_run: bool = False
+    ) -> list[int]:
+        """Delete (or with dry_run just list) all but the newest
+        `keep_last` compaction manifests of `name`. This only narrows
+        which snapshots --from-round rewind can fall back to — round
+        deltas are untouched, so read_union at ANY retained round still
+        resolves (pure delta union past the dropped bases). The
+        now-unreferenced dirs become orphans for remove_orphans()."""
         uptos = sorted(
             int(m.group(1))
             for p in (self.root / "manifests").glob(f"compact-{name}-*.json")
             if (m := re.match(rf"compact-{re.escape(name)}-(\d+)\.json$", p.name))
         )
         drop = uptos[: -keep_last] if keep_last > 0 else uptos
-        for k in drop:
-            self._compact_manifest_path(name, k).unlink()
+        if not dry_run:
+            for k in drop:
+                self._compact_manifest_path(name, k).unlink()
         return drop
 
     def orphan_dirs(self) -> list[Path]:
@@ -376,17 +379,41 @@ class SnapshotStore:
         crashed (never-committed) or truncated rounds, and compaction
         snapshot dirs superseded by re-clustering, tier merges, or
         expire_compactions. Safe to delete because visibility is
-        manifest-only."""
-        referenced = {str(self._round_dir(r)) for r in self.committed_rounds()}
+        manifest-only.
+
+        Manifests store path STRINGS spelled with whatever root the writer
+        used ('/data/crawl1/...' vs 'crawl1/...'); comparing raw strings
+        against the current root's listing would make every live dir look
+        unreferenced under a different spelling and gc would delete it. So
+        both sides are canonicalized: resolve() to a common absolute form,
+        plus a rebase of the root-relative tail ('compacted/...' /
+        'rounds/...') onto the CURRENT root, which also survives a moved
+        root directory."""
+        root = self.root.resolve()
+
+        def _canon(s: str | Path) -> set[str]:
+            p = Path(s)
+            out = {str(p.resolve())}
+            parts = p.parts
+            for anchor in ("compacted", "rounds"):
+                if anchor in parts:
+                    i = len(parts) - 1 - parts[::-1].index(anchor)
+                    out.add(str(root.joinpath(*parts[i:])))
+            return out
+
+        referenced: set[str] = set()
+        for r in self.committed_rounds():
+            referenced |= _canon(self._round_dir(r))
         for p in (self.root / "manifests").glob("compact-*.json"):
             m = re.match(r"compact-(.+)-(\d+)\.json$", p.name)
             if not m:
                 continue
             comp = json.loads(p.read_text())
-            referenced |= set(self._compaction_tier_paths(comp, m.group(1)))
+            for ref in self._compaction_tier_paths(comp, m.group(1)):
+                referenced |= _canon(ref)
         orphans = []
         for d in sorted((self.root / "rounds").glob("round=*")):
-            if d.is_dir() and str(d) not in referenced:
+            if d.is_dir() and referenced.isdisjoint(_canon(d)):
                 orphans.append(d)
         comp_root = self.root / "compacted"
         if comp_root.is_dir():
@@ -394,7 +421,7 @@ class SnapshotStore:
                 if not table_dir.is_dir():
                     continue
                 for d in sorted(table_dir.iterdir()):
-                    if d.is_dir() and str(d) not in referenced:
+                    if d.is_dir() and referenced.isdisjoint(_canon(d)):
                         orphans.append(d)
         return orphans
 

@@ -29,7 +29,11 @@ from ba_gepris_crawler_spark.operators import frontier as FR
 from ba_gepris_crawler_spark.operators.cookies import CookieJar
 from ba_gepris_crawler_spark.operators import url_seen as US
 from ba_gepris_crawler_spark.operators.fetch import fetch_pages, parse_json_spans, to_documents
-from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, schedule_round
+from ba_gepris_crawler_spark.operators.politeness import (
+    MANY_HOSTS_THRESHOLD,
+    PolitenessConfig,
+    schedule_round,
+)
 from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
 from ba_gepris_crawler_spark.schema import URL_SEEN_SCHEMA
 from ba_gepris_crawler_spark.sources.synthetic_site import OFFICIAL_SUBJECT_AREAS, SiteConfig
@@ -123,8 +127,11 @@ class CrawlEngine:
                 and self._cuckoo_upto in (rnd - 1, rnd - 2)
                 # cuckoo shards cannot grow in place (fingerprints don't
                 # rehash to a larger m) — once the seen set approaches
-                # capacity, rebuild 4x instead of failing the insert
-                and (n_seen / self._cuckoo.capacity) <= 0.8
+                # capacity, rebuild 4x instead of failing the insert.
+                # Gate on BOTH the unique-URL ratio (counts the delta about
+                # to be inserted) and actual slot occupancy (.load — counts
+                # duplicate fingerprints kept for delete safety)
+                and max(n_seen / self._cuckoo.capacity, self._cuckoo.load) <= 0.8
             ):
                 if self._cuckoo_upto == rnd - 2:
                     # incremental: insert only last round's delta (at the
@@ -193,7 +200,8 @@ class CrawlEngine:
         # size-aware offsets-join strategy: broadcast for a small host
         # universe, co-keyed shuffle join when hosts x depths x priorities
         # x B would make the broadcast a driver-scale round-trip
-        many_hosts = len(self.site.hosts) > 2000
+        # (crossover rationale lives with the constant in politeness.py)
+        many_hosts = len(self.site.hosts) > MANY_HOSTS_THRESHOLD
         fetch_now, deferred = schedule_round(
             candidates, s.politeness, s.n_buckets, many_hosts=many_hosts
         )

@@ -381,9 +381,23 @@ def test_gc_expires_and_removes_only_unreferenced_dirs(spark, tmp_path, capsys):
     spark.range(5).select(F.lit("x").alias("url")).write.parquet(str(store.table_path("url_seen", 99)))
     before = {r.url for r in store.read_union("url_seen", 3).collect()}
     n_dirs_before = len(list((tmp_path / "compacted" / "url_seen").iterdir()))
+    n_manifests = len(list((tmp_path / "manifests").glob("compact-*.json")))
     assert cli_main(["gc", str(tmp_path), "--dry-run"]) == 0
     assert (tmp_path / "rounds" / "round=00099").exists()  # dry run deletes nothing
-    assert cli_main(["gc", str(tmp_path), "--keep-compactions", "1"]) == 0
+    # ... including compaction manifests (review r3: expire ran unconditionally)
+    assert len(list((tmp_path / "manifests").glob("compact-*.json"))) == n_manifests
+    # the REAL gc runs under a DIFFERENT spelling of the same root (relative,
+    # from the parent dir): manifests store paths with the writer's spelling,
+    # and a raw-string comparison would make every live dir look unreferenced
+    # and delete it (review r3, reproduced) — canonicalized matching must not
+    import os as _os
+
+    _cwd = _os.getcwd()
+    _os.chdir(tmp_path.parent)
+    try:
+        assert cli_main(["gc", tmp_path.name, "--keep-compactions", "1"]) == 0
+    finally:
+        _os.chdir(_cwd)
     out = capsys.readouterr().out.strip().splitlines()[-1]
     import json as _json
 

@@ -7,6 +7,8 @@ partition by bare `host` (the single-task hot-host scale-killer)."""
 from __future__ import annotations
 
 import re
+
+import pytest
 import zlib
 
 from pyspark.sql import Window
@@ -97,9 +99,13 @@ def test_no_exchange_partitions_by_bare_host(spark):
     assert checked >= 1, plan
 
 
-def test_two_level_rank_many_hosts(spark):
+@pytest.mark.parametrize("many_hosts", [False, True])
+def test_two_level_rank_many_hosts(spark, many_hosts):
     """Host-cardinality smoke: 200 hosts, no driver-side offset loop (the
-    r2 fix) — ranks must still equal the flat per-host window."""
+    r2 fix) — ranks must still equal the flat per-host window, under BOTH
+    offsets-join strategies (many_hosts=False forced broadcast /
+    many_hosts=True co-keyed shuffle, the branch the engine flips to above
+    MANY_HOSTS_THRESHOLD and which otherwise only BENCH would execute)."""
     n = 2000
     f = spark.range(n).select(
         F.concat(F.lit("https://h"), (F.col("id") % 200).cast("string"),
@@ -110,7 +116,7 @@ def test_two_level_rank_many_hosts(spark):
         F.lit(0).cast("int").alias("discovered_round"),
     )
     cfg = PolitenessConfig(per_host_rate=6, round_seconds=1.0, max_in_flight=3)
-    fetch_now, deferred = schedule_round(f, cfg, n_buckets=N_BUCKETS)
+    fetch_now, deferred = schedule_round(f, cfg, n_buckets=N_BUCKETS, many_hosts=many_hosts)
     got = {r["url"]: r["host_rank"] for r in fetch_now.collect()}
     ref = f.withColumn("host_bucket", salt_bucket("url", N_BUCKETS))
     w = Window.partitionBy("host").orderBy("crawl_depth", "priority", "host_bucket", "url")
@@ -201,6 +207,45 @@ def test_crawl_delay_feeds_per_host_budget(spark):
     ranks = {r["host"]: r["m"] for r in fetch_now.groupBy("host").agg(F.max("host_rank").alias("m")).collect()}
     assert ranks == {"h0.example.org": 2, "h1.example.org": 8, "h2.example.org": 40}
     assert deferred.count() == f.count() - sum(got.values())
+
+
+def test_fetch_virtual_cost_honors_host_rate_overrides(spark):
+    """fetch_pages' virtual_cost_sec must use the SAME per-host rates the
+    budget cut used upstream: for an overridden host cost = max_slot /
+    override_rate, for the rest max_slot / default_rate (VERDICT r2 #5 /
+    review r3 coverage gap)."""
+    from ba_gepris_crawler_spark.operators.fetch import fetch_pages
+    from ba_gepris_crawler_spark.operators.frontier import seed_frontier
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    cfg = SiteConfig(
+        hosts=("h00.gepris.example.org", "h01.gepris.example.org"),
+        n_projects=12, n_persons=5, n_institutions=2, hits_per_page=5, seed=7,
+    )
+    pol = PolitenessConfig(
+        per_host_rate=100, round_seconds=1.0, max_in_flight=3,
+        host_rates=(("h00.gepris.example.org", 4.0),),
+    )
+    fetch_now, _ = schedule_round(seed_frontier(spark, cfg), pol, n_buckets=4)
+    fetched = fetch_pages(
+        fetch_now, cfg, pol.per_host_rate, 4, host_rates=pol.host_rates
+    )
+    rows = fetched.select("host", "slot", "virtual_cost_sec").collect()
+    assert rows, "seed frontier produced no fetches"
+    max_slot = {}
+    for r in rows:
+        max_slot[r["host"]] = max(max_slot.get(r["host"], 0), r["slot"])
+    assert set(max_slot) == set(cfg.hosts)
+    for r in rows:
+        rate = 4.0 if r["host"] == "h00.gepris.example.org" else 100.0
+        assert r["virtual_cost_sec"] == pytest.approx(max_slot[r["host"]] / rate), r
+
+    # config-level guard: a non-positive override must be rejected at
+    # construction, not surface as an inf virtual cost here
+    with pytest.raises(ValueError):
+        PolitenessConfig(host_rates=(("h00.gepris.example.org", 0.0),))
+    with pytest.raises(ValueError):
+        PolitenessConfig(per_host_rate=0)
 
 
 def test_empty_frontier(spark):
