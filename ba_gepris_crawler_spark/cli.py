@@ -118,13 +118,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"expired": expired, "orphans_removed": removed, "dry_run": args.dry_run}))
         return 0
 
-    if args.cmd == "stream-crawl" and getattr(args, "seen_filter", "bloom") != "bloom":
+    if args.cmd == "stream-crawl" and getattr(args, "seen_filter", "bloom") == "cuckoo":
         # pure-argparse validation: fail before paying JVM/session startup.
-        # The stream dedups via the exact anti-join over committed batches
-        # only — no probabilistic gate exists there yet; fail loudly
-        # instead of silently ignoring the flag.
-        print(json.dumps({"error": "--seen-filter is batch-engine only; "
-                                   "stream-crawl always uses the exact anti-join"}))
+        # The stream's bloom gate is derived state rebuilt from committed
+        # batch dirs; the cuckoo shards' deletable fingerprints have no
+        # stream analog yet — fail loudly instead of silently downgrading.
+        print(json.dumps({"error": "--seen-filter cuckoo is batch-engine only; "
+                                   "stream-crawl supports the bloom gate + exact backstop"}))
         return 2
 
     spark = get_spark(app_name=f"gepris-{args.cmd}")
@@ -139,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
         sc = StreamingCrawl(
             spark, site, args.root, politeness=settings.politeness,
             n_buckets=settings.n_buckets, fetch_format=settings.fetch_format,
+            seen_filter=settings.seen_filter,
         )
         if sc.needs_seed():
             sc.seed()

@@ -4,8 +4,9 @@ source, with discovery feeding back into it.
 The batch engine (plans/round_loop.py) models the reference's stage loop as
 discrete rounds; this module is the forward path the north rule's streaming
 mandate points at: the frontier directory is a file-source STREAM, each
-micro-batch runs the same operators (exact seen anti-join -> politeness
-schedule -> Arrow fetch -> documents/url_seen append), and discovered URLs
+micro-batch runs the same operators (seen anti-join — optionally pre-gated
+by the incremental bloom, seen_filter='bloom' -> politeness schedule ->
+Arrow fetch -> documents/url_seen append), and discovered URLs
 are written BACK into the frontier directory, so the stream feeds itself
 until the reachable site is exhausted.
 
@@ -39,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ba_gepris_crawler_spark.operators import frontier as FR
+from ba_gepris_crawler_spark.operators import url_seen as US
 from ba_gepris_crawler_spark.operators.cookies import CookieJar
 from ba_gepris_crawler_spark.operators.fetch import fetch_pages, parse_json_spans, to_documents
 from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, schedule_round
@@ -57,11 +59,25 @@ class StreamingCrawl:
     # CrawlSettings.fetch_format; json bodies parse in-plan to the same
     # spans, so both modes write byte-equal documents
     fetch_format: str = "html"
+    # "exact" or "bloom": with "bloom" the per-batch seen anti-join is
+    # pre-gated by the SAME incremental bloom the batch engine maintains
+    # (bloom-negative URLs are provably unseen and bypass the join; the
+    # exact anti-join remains the backstop, so results are identical).
+    # The bitmap is DERIVED state rebuilt from committed url_seen batch
+    # dirs — a crash or process restart just re-ORs them, and a dir is
+    # only inserted once its commit marker exists, so the no-false-
+    # negatives guarantee holds for every URL the gate can be asked about
+    seen_filter: str = "exact"
+    # initial bloom sizing (m/k are fixed at first build; outgrowing it
+    # only degrades the pre-gate's selectivity, never correctness)
+    bloom_expected_items: int = 1_000_000
     # session cookie cache (one Set-Cookie fetch per epoch), mirroring the
     # batch engine: the epoch analog is batch_id // session_rounds, so a
     # session-gated site rotates in the stream too instead of every
     # partition of every micro-batch paying the worker-side 401 refresh
     _jar: CookieJar = field(default_factory=CookieJar)
+    _bloom: US.BloomFilterModel | None = field(default=None, init=False, repr=False)
+    _bloom_dirs: set = field(default_factory=set, init=False, repr=False)
 
     def __post_init__(self) -> None:
         self.root = Path(self.root)
@@ -109,13 +125,33 @@ class StreamingCrawl:
             return None
         return self.spark.read.parquet(*dirs)
 
+    def _bloom_gate(self) -> US.BloomFilterModel | None:
+        """Incrementally OR committed url_seen batch dirs into the bloom
+        (the stream analog of round_loop's update_bloom-per-round). Only
+        dirs whose commit marker exists are inserted, and the instance
+        tracks which, so each delta is scanned exactly once per process
+        lifetime; a restart rebuilds from all committed dirs."""
+        if self.seen_filter != "bloom":
+            return None
+        committed = [p for p in sorted((self.root / "url_seen").glob("b*"))
+                     if self._committed(p.name)]
+        fresh = [p for p in committed if p.name not in self._bloom_dirs]
+        if fresh:
+            delta = self.spark.read.parquet(*[str(p) for p in fresh]).select("url")
+            if self._bloom is None:
+                self._bloom = US.build_bloom(delta, expected_items=self.bloom_expected_items)
+            else:
+                self._bloom = US.update_bloom(self._bloom, delta)
+            self._bloom_dirs |= {p.name for p in fresh}
+        return self._bloom
+
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self._marker(batch_id).exists():
             return  # committed replay: every output of this batch is final
         batch = batch.dropDuplicates(["url"])
         seen = self._read_seen()
-        candidates = batch if seen is None else batch.join(
-            seen.select("url").dropDuplicates(["url"]), "url", "left_anti"
+        candidates = batch if seen is None else US.new_urls(
+            batch, seen, bloom=self._bloom_gate()
         )
         if candidates.isEmpty():
             return  # write nothing: lets drain() detect quiescence
