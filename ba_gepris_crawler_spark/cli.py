@@ -101,7 +101,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "gc":
         # pure filesystem maintenance — no SparkSession needed
         import re as _re
+        from pathlib import Path as _P
 
+        if not (_P(args.root) / "manifests").is_dir():
+            # constructing the store would mkdir a skeleton at a mistyped
+            # path and report a successful empty gc; refuse instead
+            print(json.dumps({"error": f"not a snapshot store (no manifests dir): {args.root}"}))
+            return 2
         store = SnapshotStore(None, args.root)
         tables = sorted({
             m.group(1)
@@ -114,7 +120,12 @@ def main(argv: list[str] | None = None) -> int:
             )
             for t in tables
         }
-        removed = store.remove_orphans(dry_run=args.dry_run)
+        # on dry-run the expired manifests are still on disk: pass them so
+        # the orphan preview matches what the real gc would delete
+        removed = store.remove_orphans(
+            dry_run=args.dry_run,
+            pending_expiry={(t, k) for t, ks in expired.items() for k in ks},
+        )
         print(json.dumps({"expired": expired, "orphans_removed": removed, "dry_run": args.dry_run}))
         return 0
 
@@ -127,6 +138,16 @@ def main(argv: list[str] | None = None) -> int:
                                    "stream-crawl supports the bloom gate + exact backstop"}))
         return 2
 
+    site = settings = None
+    if args.cmd in ("new-crawl", "resume-crawl", "stream-crawl"):
+        try:
+            site, settings = _site(args), _settings(args)
+        except ValueError as e:
+            # bad flag values (e.g. --rate 0): JSON error + exit 2 before
+            # paying JVM startup, matching the CLI's other validations
+            print(json.dumps({"error": str(e)}))
+            return 2
+
     spark = get_spark(app_name=f"gepris-{args.cmd}")
 
     if args.cmd == "stream-crawl":
@@ -135,7 +156,6 @@ def main(argv: list[str] | None = None) -> int:
         # micro-batches replay as no-ops)
         from ba_gepris_crawler_spark.streaming.crawl_stream import StreamingCrawl
 
-        site, settings = _site(args), _settings(args)
         sc = StreamingCrawl(
             spark, site, args.root, politeness=settings.politeness,
             n_buckets=settings.n_buckets, fetch_format=settings.fetch_format,
@@ -151,7 +171,6 @@ def main(argv: list[str] | None = None) -> int:
     store = SnapshotStore(spark, args.root)
 
     if args.cmd in ("new-crawl", "resume-crawl"):
-        site, settings = _site(args), _settings(args)
         if args.cmd == "new-crawl":
             store.save_config(
                 {
@@ -168,19 +187,25 @@ def main(argv: list[str] | None = None) -> int:
             # poisons the seen set. CLI flags are ignored on resume.
             cfg = store.load_config()
             if cfg is not None:
-                sc = dict(cfg["site"])
-                sc["hosts"] = tuple(sc["hosts"])
-                sc["disallow"] = tuple(tuple(x) for x in sc.get("disallow", ()))
-                site = SiteConfig(**{k: v for k, v in sc.items() if k in SiteConfig.__dataclass_fields__})
-                pol = dict(cfg["politeness"])
-                pol["disallow"] = tuple(tuple(x) for x in pol.get("disallow", ()))
-                pol["host_rates"] = tuple(tuple(x) for x in pol.get("host_rates", ()))
-                settings = CrawlSettings(
-                    n_buckets=cfg.get("n_buckets", settings.n_buckets),
-                    politeness=PolitenessConfig(**pol),
-                    fetch_format=cfg.get("fetch_format", settings.fetch_format),
-                    seen_filter=cfg.get("seen_filter", settings.seen_filter),
-                )
+                try:
+                    sc = dict(cfg["site"])
+                    sc["hosts"] = tuple(sc["hosts"])
+                    sc["disallow"] = tuple(tuple(x) for x in sc.get("disallow", ()))
+                    site = SiteConfig(**{k: v for k, v in sc.items() if k in SiteConfig.__dataclass_fields__})
+                    pol = dict(cfg["politeness"])
+                    pol["disallow"] = tuple(tuple(x) for x in pol.get("disallow", ()))
+                    pol["host_rates"] = tuple(tuple(x) for x in pol.get("host_rates", ()))
+                    settings = CrawlSettings(
+                        n_buckets=cfg.get("n_buckets", settings.n_buckets),
+                        politeness=PolitenessConfig(**pol),
+                        fetch_format=cfg.get("fetch_format", settings.fetch_format),
+                        seen_filter=cfg.get("seen_filter", settings.seen_filter),
+                    )
+                except (ValueError, TypeError, KeyError) as e:
+                    # a hand-edited/corrupt config.json must surface as the
+                    # CLI's JSON-error contract, not a raw traceback
+                    print(json.dumps({"error": f"invalid persisted config: {e}"}))
+                    return 2
         engine = CrawlEngine(spark, site, store, settings)
         if args.cmd == "new-crawl":
             manifests = engine.run(max_rounds=args.max_rounds)

@@ -259,34 +259,39 @@ class SnapshotStore:
         ]
         if not delta_paths:
             return prev or {"table": name, "upto": upto, "rows": 0, "empty": True}
-        df = self.spark.read.parquet(*delta_paths)
-        out = df.repartition(n_buckets, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
-        obs = Observation(f"tier-{name}-{lo}-{upto}")
-        path = self.tier_path(name, lo, upto, n_buckets)
-        out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(str(path))
-        new_rows = int(obs.get["n"])
         tiers = (list(prev["paths"]) if prev and prev.get("paths") else
-                 ([prev["path"]] if prev and prev.get("path") else [])) + [str(path)]
+                 ([prev["path"]] if prev and prev.get("path") else []))
         # Per-tier row counts; legacy manifests lack them -> None sentinels
         # that never satisfy the merge condition (treated as unbounded).
         prev_rows = (list(prev.get("tier_rows", [])) if prev else [])
-        prev_rows += [None] * (len(tiers) - 1 - len(prev_rows))
-        tier_rows = prev_rows + [new_rows]
+        prev_rows += [None] * (len(tiers) - len(prev_rows))
+        # Tiers never dedup, so a merged tier's size is exactly the sum of
+        # its inputs — once the delta's row count is known (a zero-column
+        # parquet count: footer metadata only), the whole binary-counter
+        # carry is arithmetic. Collapse the full trailing run in ONE
+        # read+write instead of a pairwise cascade that would rewrite the
+        # newest span payloads O(run) times and leave instantly-orphaned
+        # intermediate tier dirs.
+        new_rows = self.spark.read.parquet(*delta_paths).count()
+        sim = prev_rows + [new_rows]
         while (
-            len(tiers) >= 2
-            and tier_rows[-1] is not None
-            and tier_rows[-2] is not None
-            and tier_rows[-1] >= tier_rows[-2]
+            len(sim) >= 2
+            and sim[-1] is not None
+            and sim[-2] is not None
+            and sim[-1] >= sim[-2]
         ):
-            a_lo, _ = self._tier_span(tiers[-2])
-            _, b_hi = self._tier_span(tiers[-1])
-            merged = self.tier_path(name, a_lo, b_hi, n_buckets)
-            mdf = self.spark.read.parquet(tiers[-2], tiers[-1])
-            mout = mdf.repartition(n_buckets, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
-            mobs = Observation(f"tier-merge-{name}-{a_lo}-{b_hi}")
-            mout.observe(mobs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(str(merged))
-            tiers[-2:] = [str(merged)]
-            tier_rows[-2:] = [int(mobs.get["n"])]
+            sim[-2:] = [sim[-2] + sim[-1]]
+        n_absorbed = len(prev_rows) + 1 - len(sim)  # trailing prev tiers merged in
+        span_lo = self._tier_span(tiers[-n_absorbed])[0] if n_absorbed else lo
+        in_paths = tiers[len(tiers) - n_absorbed:] + delta_paths
+        path = self.tier_path(name, span_lo, upto, n_buckets)
+        out = self.spark.read.parquet(*in_paths).repartition(
+            n_buckets, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        )
+        obs = Observation(f"tier-{name}-{span_lo}-{upto}")
+        out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(str(path))
+        tiers = tiers[: len(tiers) - n_absorbed] + [str(path)]
+        tier_rows = prev_rows[: len(prev_rows) - n_absorbed] + [int(obs.get["n"])]
         manifest = {
             "table": name,
             "upto": upto,
@@ -374,7 +379,7 @@ class SnapshotStore:
                 self._compact_manifest_path(name, k).unlink()
         return drop
 
-    def orphan_dirs(self) -> list[Path]:
+    def orphan_dirs(self, pending_expiry: set[tuple[str, int]] | None = None) -> list[Path]:
         """Data dirs no committed manifest references: round dirs from
         crashed (never-committed) or truncated rounds, and compaction
         snapshot dirs superseded by re-clustering, tier merges, or
@@ -408,6 +413,11 @@ class SnapshotStore:
             m = re.match(r"compact-(.+)-(\d+)\.json$", p.name)
             if not m:
                 continue
+            if pending_expiry and (m.group(1), int(m.group(2))) in pending_expiry:
+                # a dry-run expire_compactions left this manifest on disk but
+                # the real gc will unlink it first — treating it as live
+                # would make the preview omit every dir only it references
+                continue
             comp = json.loads(p.read_text())
             for ref in self._compaction_tier_paths(comp, m.group(1)):
                 referenced |= _canon(ref)
@@ -425,11 +435,17 @@ class SnapshotStore:
                         orphans.append(d)
         return orphans
 
-    def remove_orphans(self, dry_run: bool = False) -> list[str]:
-        """Delete (or with dry_run just list) every orphan dir."""
+    def remove_orphans(
+        self,
+        dry_run: bool = False,
+        pending_expiry: set[tuple[str, int]] | None = None,
+    ) -> list[str]:
+        """Delete (or with dry_run just list) every orphan dir.
+        `pending_expiry` = (table, upto) manifests a dry-run expiry WOULD
+        unlink, so the preview matches the real deletion set."""
         import shutil
 
-        orphans = [str(d) for d in self.orphan_dirs()]
+        orphans = [str(d) for d in self.orphan_dirs(pending_expiry)]
         if not dry_run:
             for d in orphans:
                 shutil.rmtree(d, ignore_errors=True)

@@ -346,7 +346,13 @@ def test_tiered_compaction_logarithmic_merge(spark, tmp_path):
         n = store.write_table("documents", rnd, df)
         store.commit(rnd, {"documents": n}, {"round": rnd})
         expect |= {f"d{i}" for i in range(rnd * per, (rnd + 1) * per)}
+        tier_root = tmp_path / "compacted" / "documents"
+        dirs_before = {d.name for d in tier_root.iterdir()} if tier_root.is_dir() else set()
         m = store.compact_tiered("documents", rnd, key_col="doc_id", n_buckets=4)
+        # the whole carry run collapses in ONE write: exactly one new tier
+        # dir per compaction, never instantly-orphaned intermediates
+        # (review r3: the pairwise cascade wrote run-1 throwaway dirs)
+        assert len({d.name for d in tier_root.iterdir()} - dirs_before) == 1
         got = {r.doc_id for r in store.read_union("documents", rnd).collect()}
         assert got == expect
         assert len(m["paths"]) == bin(rnd + 1).count("1")  # binary counter
@@ -382,7 +388,10 @@ def test_gc_expires_and_removes_only_unreferenced_dirs(spark, tmp_path, capsys):
     before = {r.url for r in store.read_union("url_seen", 3).collect()}
     n_dirs_before = len(list((tmp_path / "compacted" / "url_seen").iterdir()))
     n_manifests = len(list((tmp_path / "manifests").glob("compact-*.json")))
+    import json as _json
+
     assert cli_main(["gc", str(tmp_path), "--dry-run"]) == 0
+    dry = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert (tmp_path / "rounds" / "round=00099").exists()  # dry run deletes nothing
     # ... including compaction manifests (review r3: expire ran unconditionally)
     assert len(list((tmp_path / "manifests").glob("compact-*.json"))) == n_manifests
@@ -399,10 +408,14 @@ def test_gc_expires_and_removes_only_unreferenced_dirs(spark, tmp_path, capsys):
     finally:
         _os.chdir(_cwd)
     out = capsys.readouterr().out.strip().splitlines()[-1]
-    import json as _json
-
     rep = _json.loads(out)
     assert not rep["dry_run"] and rep["orphans_removed"]
+    # the dry-run preview must name EXACTLY what the real gc then deleted:
+    # expiry + orphan sets both (review r3: the preview computed orphans
+    # while the to-be-expired manifests still looked live, under-reporting)
+    assert dry["expired"] == rep["expired"]
+    key = lambda ps: {(_P(p).parent.name, _P(p).name) for p in ps}  # noqa: E731
+    assert key(dry["orphans_removed"]) == key(rep["orphans_removed"])
     assert not (tmp_path / "rounds" / "round=00099").exists()
     # only the retained (newest) compaction's dirs remain
     kept = store.latest_compaction("url_seen")
@@ -446,3 +459,45 @@ def test_read_union_legacy_compaction_manifest(spark, tmp_path):
     mp.write_text(_json.dumps(legacy_manifest))
     got = store.read_union("url_seen", 2)
     assert got.count() == 30  # base (rounds 0-1) + tail delta (round 2)
+
+
+def test_cli_validation_is_json_and_pre_spark(tmp_path, capsys):
+    """CLI misconfiguration must follow the JSON-error/exit-2 contract,
+    not raw tracebacks, and fail before creating anything on disk:
+    --rate 0 is caught by pure-argparse-level validation (no JVM, no
+    root dir), and `gc` on a path that is not a snapshot store refuses
+    instead of mkdir-ing a skeleton and reporting a clean empty gc."""
+    import json as _json
+
+    from ba_gepris_crawler_spark.cli import main as cli_main
+
+    bad_root = tmp_path / "never-created"
+    assert cli_main(["new-crawl", str(bad_root), "--rate", "0"]) == 2
+    assert "per_host_rate" in _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["error"]
+    assert not bad_root.exists()
+
+    assert cli_main(["gc", str(bad_root)]) == 2
+    assert "not a snapshot store" in _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["error"]
+    assert not bad_root.exists()
+
+
+def test_cli_resume_rejects_corrupt_persisted_config(spark, tmp_path, capsys):
+    """resume-crawl replays the persisted config; a hand-edited
+    config.json with an invalid politeness rate must surface as the JSON
+    error contract (exit 2), not an uncaught ValueError mid-command."""
+    import json as _json
+
+    from ba_gepris_crawler_spark.cli import main as cli_main
+
+    store = SnapshotStore(spark, tmp_path)
+    store.save_config({
+        "site": {"hosts": ["h00.gepris.example.org"], "n_projects": 5,
+                 "n_persons": 2, "n_institutions": 1},
+        "politeness": {"per_host_rate": 0, "round_seconds": 1.0, "max_in_flight": 5},
+        "n_buckets": 4,
+    })
+    assert cli_main(["resume-crawl", str(tmp_path)]) == 2
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["error"]
+    assert "invalid persisted config" in err and "per_host_rate" in err
