@@ -184,3 +184,45 @@ def test_streaming_crawl_matches_batch_seen_set(spark, tmp_path, seen_filter):
     }
     stream_docs = {r.doc_id for r in sc.documents().filter(F.col("status") == 200).collect()}
     assert stream_docs == batch_docs
+
+
+def test_streaming_bloom_gate_rebuilds_across_restart(spark, tmp_path):
+    """The stream's bloom pre-gate is DERIVED state: a process restart
+    mid-crawl (new StreamingCrawl instance, empty in-memory bitmap) must
+    rebuild it from the committed url_seen batch dirs and finish the crawl
+    with the same final state — a rebuild false negative would refetch a
+    seen URL and show up as a duplicate."""
+    cfg = SiteConfig(
+        hosts=("gepris.example.org",),
+        n_projects=12, n_persons=6, n_institutions=2,
+        hits_per_page=6, seed=11,
+    )
+    pol = PolitenessConfig(per_host_rate=30, round_seconds=1.0, max_in_flight=5)
+    root = tmp_path / "stream"
+
+    sc1 = StreamingCrawl(spark, cfg, root, politeness=pol, n_buckets=4,
+                         seen_filter="bloom", bloom_expected_items=5_000)
+    sc1.seed()
+    assert sc1.drain(max_waves=2) == 2  # stop mid-crawl: frontier not drained
+    done_dirs = {p.name for p in (root / "url_seen").glob("b*")
+                 if (root / "_commits" / p.name).exists()}
+    assert done_dirs  # some batches committed before the "crash"
+
+    # restart: fresh instance, no in-memory bloom; finish the crawl
+    sc2 = StreamingCrawl(spark, cfg, root, politeness=pol, n_buckets=4,
+                         seen_filter="bloom", bloom_expected_items=5_000)
+    assert not sc2.needs_seed()
+    sc2.drain(max_waves=20)
+    assert done_dirs <= sc2._bloom_dirs  # pre-crash dirs re-ORed on restart
+
+    seen = sc2.seen()
+    assert seen.count() == seen.select("url").distinct().count()  # no refetch
+
+    # same final seen set as an uninterrupted batch crawl
+    store = SnapshotStore(spark, tmp_path / "batch")
+    CrawlEngine(
+        spark, cfg, store,
+        CrawlSettings(n_buckets=4, politeness=pol, extract=False),
+    ).run(max_rounds=30)
+    batch_seen = {r.url for r in store.read_union("url_seen", store.latest_round()).collect()}
+    assert {r.url for r in seen.collect()} == batch_seen
