@@ -501,3 +501,32 @@ def test_cli_resume_rejects_corrupt_persisted_config(spark, tmp_path, capsys):
     assert cli_main(["resume-crawl", str(tmp_path)]) == 2
     err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["error"]
     assert "invalid persisted config" in err and "per_host_rate" in err
+
+
+def test_tiered_compaction_legacy_manifest_never_merges(spark, tmp_path):
+    """A pre-tier_rows compaction manifest (legacy) has unknown tier sizes:
+    the None sentinels must never satisfy the merge condition, so the next
+    compaction appends a new tier instead of merging into a tier whose
+    size it cannot know."""
+    import json as _json
+
+    store = SnapshotStore(spark, tmp_path)
+    per = 10
+    for rnd in range(2):
+        df = spark.range(rnd * per, (rnd + 1) * per).select(
+            F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id")
+        )
+        store.commit(rnd, {"documents": store.write_table("documents", rnd, df)}, {"round": rnd})
+    store.compact_tiered("documents", 0, key_col="doc_id", n_buckets=4)
+    # age the manifest into the legacy shape: no per-tier row counts
+    mp = store._compact_manifest_path("documents", 0)
+    m = _json.loads(mp.read_text())
+    del m["tier_rows"]
+    mp.write_text(_json.dumps(m))
+
+    m2 = store.compact_tiered("documents", 1, key_col="doc_id", n_buckets=4)
+    # equal-size deltas WOULD merge with known sizes; unknown must not
+    assert len(m2["paths"]) == 2
+    assert m2["tier_rows"] == [None, per]
+    got = {r.doc_id for r in store.read_union("documents", 1).collect()}
+    assert got == {f"d{i}" for i in range(2 * per)}
