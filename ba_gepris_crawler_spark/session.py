@@ -61,6 +61,15 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        # parquet codec for every table write. snappy (Spark default) is the
+        # balanced choice; at 100 TB, zstd buys ~30-40% smaller files (less
+        # scan I/O) for more encode CPU, lz4/uncompressed cut encode cost
+        # where the writer is CPU/memory-bus bound (the measured ceiling of
+        # this sandbox's span-payload encode stage, BENCH/BASELINE.md).
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
