@@ -98,16 +98,20 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--dry-run", dest="dry_run", action="store_true")
     args = p.parse_args(argv)
 
-    if args.cmd == "gc":
-        # pure filesystem maintenance — no SparkSession needed
-        import re as _re
+    if args.cmd in ("gc", "compact", "export", "dq", "resume-crawl"):
+        # these operate on an EXISTING store; constructing one would mkdir
+        # a skeleton at a mistyped path and report clean-looking empty
+        # results — refuse pre-JVM instead (new-/stream-crawl create)
         from pathlib import Path as _P
 
         if not (_P(args.root) / "manifests").is_dir():
-            # constructing the store would mkdir a skeleton at a mistyped
-            # path and report a successful empty gc; refuse instead
             print(json.dumps({"error": f"not a snapshot store (no manifests dir): {args.root}"}))
             return 2
+
+    if args.cmd == "gc":
+        # pure filesystem maintenance — no SparkSession needed
+        import re as _re
+
         store = SnapshotStore(None, args.root)
         tables = sorted({
             m.group(1)
@@ -185,7 +189,11 @@ def main(argv: list[str] | None = None) -> int:
             # A crawl folder is self-describing: resume MUST replay the same
             # site + politeness config or every frontier URL turns 404 and
             # poisons the seen set. CLI flags are ignored on resume.
-            cfg = store.load_config()
+            try:
+                cfg = store.load_config()  # json.JSONDecodeError is a ValueError
+            except ValueError as e:
+                print(json.dumps({"error": f"invalid persisted config: {e}"}))
+                return 2
             if cfg is not None:
                 try:
                     sc = dict(cfg["site"])

@@ -259,8 +259,11 @@ class SnapshotStore:
         ]
         if not delta_paths:
             return prev or {"table": name, "upto": upto, "rows": 0, "empty": True}
-        tiers = (list(prev["paths"]) if prev and prev.get("paths") else
-                 ([prev["path"]] if prev and prev.get("path") else []))
+        # _compaction_tier_paths handles every manifest generation: tier
+        # lists, single qualified dirs, and the legacy no-'path' layout
+        # (whose base dir must survive into the new tier list — dropping
+        # it would silently lose rounds <= base from every later read)
+        tiers = list(self._compaction_tier_paths(prev, name)) if prev else []
         # Per-tier row counts; legacy manifests lack them -> None sentinels
         # that never satisfy the merge condition (treated as unbounded).
         prev_rows = (list(prev.get("tier_rows", [])) if prev else [])

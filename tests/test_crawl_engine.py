@@ -459,6 +459,11 @@ def test_read_union_legacy_compaction_manifest(spark, tmp_path):
     mp.write_text(_json.dumps(legacy_manifest))
     got = store.read_union("url_seen", 2)
     assert got.count() == 30  # base (rounds 0-1) + tail delta (round 2)
+    # a LATER tiered compaction must carry the legacy base into its tier
+    # list (review r3: tiers=[] silently dropped rounds <= base forever)
+    m2 = store.compact_tiered("url_seen", 2, key_col="url", n_buckets=4)
+    assert str(legacy_dir) in m2["paths"]
+    assert store.read_union("url_seen", 2).count() == 30
 
 
 def test_cli_validation_is_json_and_pre_spark(tmp_path, capsys):
@@ -476,11 +481,13 @@ def test_cli_validation_is_json_and_pre_spark(tmp_path, capsys):
     assert "per_host_rate" in _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["error"]
     assert not bad_root.exists()
 
-    assert cli_main(["gc", str(bad_root)]) == 2
-    assert "not a snapshot store" in _json.loads(
-        capsys.readouterr().out.strip().splitlines()[-1]
-    )["error"]
-    assert not bad_root.exists()
+    # EVERY existing-store command refuses a non-store root pre-JVM
+    for cmd in (["gc"], ["compact"], ["dq"], ["export"], ["resume-crawl"]):
+        assert cli_main(cmd + [str(bad_root)]) == 2
+        assert "not a snapshot store" in _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1]
+        )["error"]
+        assert not bad_root.exists()
 
 
 def test_cli_resume_rejects_corrupt_persisted_config(spark, tmp_path, capsys):
@@ -501,6 +508,14 @@ def test_cli_resume_rejects_corrupt_persisted_config(spark, tmp_path, capsys):
     assert cli_main(["resume-crawl", str(tmp_path)]) == 2
     err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["error"]
     assert "invalid persisted config" in err and "per_host_rate" in err
+
+    # invalid JSON (truncated file) must hit the same contract, not a raw
+    # json.JSONDecodeError traceback (review r3: load_config sat outside
+    # the try block)
+    (tmp_path / "config.json").write_text('{"site": {"hosts": ["h00"')
+    assert cli_main(["resume-crawl", str(tmp_path)]) == 2
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["error"]
+    assert "invalid persisted config" in err
 
 
 def test_tiered_compaction_legacy_manifest_never_merges(spark, tmp_path):
