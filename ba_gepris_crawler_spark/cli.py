@@ -255,7 +255,9 @@ def main(argv: list[str] | None = None) -> int:
     for name, df in results.items():
         print(f"== {name}")
         for row in df.limit(20).collect():
-            print("  ", row.asDict())
+            # JSON lines (default=str covers dates), not python dict reprs,
+            # so the report is machine-parseable like every other command
+            print("  ", json.dumps(row.asDict(), default=str))
     return 0
 
 
