@@ -279,12 +279,21 @@ def main() -> None:
     ]
     for name in bench_queries:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.time() - t0, 3)
-        # queries that persist intermediates (dedup_minhash_lsh's token
-        # table) would otherwise leak executor storage across the suite
-        spark.catalog.clearCache()
+        # best-of-2: the sandbox's sporadic ~40 s stall (BENCH/BASELINE.md)
+        # can land in any single run and would dominate a sub-second query;
+        # min() keeps the undisturbed measurement. Labeled in the output —
+        # BENCH_r01/r02 query timings were single-run.
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+            # queries that persist intermediates (dedup_minhash_lsh's token
+            # table) would otherwise leak executor storage across the suite
+            spark.catalog.clearCache()
+        queries[name] = round(min(runs), 3)
+    if bench_queries:
+        extras["timing"] = "queries=best_of_2_min; crawl/extract=single_run"
 
     total = round(sum(queries.values()), 3)
     print(
