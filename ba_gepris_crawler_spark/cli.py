@@ -190,8 +190,9 @@ def main(argv: list[str] | None = None) -> int:
             # site + politeness config or every frontier URL turns 404 and
             # poisons the seen set. CLI flags are ignored on resume.
             try:
-                cfg = store.load_config()  # json.JSONDecodeError is a ValueError
-            except ValueError as e:
+                cfg = store.load_config()  # json.JSONDecodeError is a ValueError;
+                # OSError covers an unreadable/misrestored config.json
+            except (ValueError, OSError) as e:
                 print(json.dumps({"error": f"invalid persisted config: {e}"}))
                 return 2
             if cfg is not None:
@@ -253,11 +254,10 @@ def main(argv: list[str] | None = None) -> int:
     tables = published_tables(store)
     results = dq.run_all(spark, tables, official_subject_areas(spark))
     for name, df in results.items():
-        print(f"== {name}")
         for row in df.limit(20).collect():
-            # JSON lines (default=str covers dates), not python dict reprs,
-            # so the report is machine-parseable like every other command
-            print("  ", json.dumps(row.asDict(), default=str))
+            # pure JSON lines (default=str covers dates) with the query name
+            # embedded — no non-JSON headers, so `json.loads` per line works
+            print(json.dumps({"query": name, **row.asDict()}, default=str))
     return 0
 
 
