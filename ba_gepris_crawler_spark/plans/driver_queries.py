@@ -2513,3 +2513,42 @@ def crawl_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "url_len", "path_depth", "n_params", "seg_repeat", "is_trap"
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Registry ordering
+# --------------------------------------------------------------------------
+# The per-round driver gate emits CORRECTNESS rows for (at most) the first
+# 50 registry entries in insertion order; rounds 2-3 therefore rowed only
+# the first 50 names and never the 20 added later. Rotate those 20 to the
+# head so they get driver rows (the displaced 20 keep two rounds of green
+# rows plus the identical local DuckDB gate in tests/test_driver_contract.py
+# as regression cover). New queries should be appended to _HEAD_FIRST until
+# they have a green driver row.
+_HEAD_FIRST = [
+    "tpch_monthly_orders",
+    "rel_string_functions",
+    "tpch_cube_counts",
+    "rel_intersect_except",
+    "events_first_last_nav",
+    "text_bigram_topk",
+    "text_lm_score",
+    "mm_extract_features",
+    "mm_frame_sample",
+    "crawl_json_api_parse",
+    "crawl_robots_filter",
+    "dq_url_liveness",
+    "crawl_cookie_parse",
+    "crawl_robots_txt_parse",
+    "crawl_crawl_delay_budget",
+    "emb_ivf_probe_topk",
+    "mm_caption_align",
+    "mm_interleave_stats",
+    "text_inverted_index",
+    "crawl_trap_filter",
+]
+assert all(n in REGISTRY for n in _HEAD_FIRST), "stale name in _HEAD_FIRST"
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _HEAD_FIRST},
+    **{n: v for n, v in REGISTRY.items() if n not in set(_HEAD_FIRST)},
+}
