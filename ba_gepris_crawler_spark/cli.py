@@ -49,6 +49,7 @@ def _settings(args: argparse.Namespace) -> CrawlSettings:
         ),
         fetch_format=getattr(args, "fetch_format", "html"),
         seen_filter=getattr(args, "seen_filter", "bloom"),
+        cuckoo_mode=getattr(args, "cuckoo_mode", "auto"),
     )
 
 
@@ -73,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
             "--seen-filter", dest="seen_filter", choices=["bloom", "cuckoo"], default="bloom",
             help="URL-seen admission gate: OR-merged bloom bitmap (persisted) "
                  "or cuckoo shards (deletable fingerprints; rebuilt on resume)",
+        )
+        c.add_argument(
+            "--cuckoo-mode", dest="cuckoo_mode", choices=["auto", "driver", "distributed"],
+            default="auto",
+            help="cuckoo shard regime: driver dict (small filters) or executor-"
+                 "resident shard table (never collects the seen set); auto picks "
+                 "by estimated table bytes",
         )
         if name == "resume-crawl":
             c.add_argument(
@@ -183,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
                     "n_buckets": settings.n_buckets,
                     "fetch_format": settings.fetch_format,
                     "seen_filter": settings.seen_filter,
+                    "cuckoo_mode": settings.cuckoo_mode,
                 }
             )
         else:
@@ -209,6 +218,7 @@ def main(argv: list[str] | None = None) -> int:
                         politeness=PolitenessConfig(**pol),
                         fetch_format=cfg.get("fetch_format", settings.fetch_format),
                         seen_filter=cfg.get("seen_filter", settings.seen_filter),
+                        cuckoo_mode=cfg.get("cuckoo_mode", settings.cuckoo_mode),
                     )
                 except (ValueError, TypeError, KeyError) as e:
                     # a hand-edited/corrupt config.json must surface as the
@@ -255,9 +265,10 @@ def main(argv: list[str] | None = None) -> int:
     results = dq.run_all(spark, tables, official_subject_areas(spark))
     for name, df in results.items():
         for row in df.limit(20).collect():
-            # pure JSON lines (default=str covers dates) with the query name
-            # embedded — no non-JSON headers, so `json.loads` per line works
-            print(json.dumps({"query": name, **row.asDict()}, default=str))
+            # pure JSON lines (default=str covers dates); row data nested
+            # under "row" so a result column literally named "query" can
+            # never clobber the query-name key
+            print(json.dumps({"query": name, "row": row.asDict()}, default=str))
     return 0
 
 

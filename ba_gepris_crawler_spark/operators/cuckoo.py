@@ -14,10 +14,26 @@ false positives only cost a pass through the exact-seen anti-join.
 Sharding: URLs route to shard `pmod(xxhash64(url), n_shards)` — the same
 hash family every other URL-keyed layout in this engine uses — and each
 shard is an independent filter over its key range. Unlike bloom bitmaps,
-cuckoo tables cannot be OR-merged, so the shards NEVER merge: at 10^10
-URLs they live executor-resident, co-partitioned with the frontier, and
-membership tests run shard-local (the sandbox keeps the dict
-driver/broadcast-resident — same read contract, fewer executors).
+cuckoo tables cannot be OR-merged, so the shards NEVER merge.
+
+Two regimes, mirroring url_seen.py's bloom build (url_seen.py:95-137):
+
+- **driver dict** (`CuckooFilterShards`, small filters): shards are built
+  from collected per-shard hash rows and broadcast whole for membership.
+  Fast-path only — the collect is O(seen set).
+- **executor-resident table** (`CuckooShardTable`, the 10^10-URL regime):
+  shards are BUILT inside `mapInPandas` tasks and live as rows
+  `(shard, table binary, m, n_items)` of a localCheckpointed DataFrame —
+  the hashed seen set is never collected and no whole-filter broadcast
+  exists. Membership/insert/delete are co-keyed `cogroup.applyInPandas`
+  on the shard id, so each task touches exactly one shard. Size
+  `n_shards` so one shard's frontier slice fits an Arrow group
+  (at 10^10 URLs: 2^12 shards ≈ 2.4M URLs / ~5 MB table each).
+
+`build_cuckoo` picks the regime by estimated table bytes (`mode="auto"`,
+threshold 64 MiB — same spill point as the bloom's collect/treeReduce
+split); both regimes produce BIT-IDENTICAL shard tables (canonical
+sorted insert order), so the gate's output is regime-independent.
 
 Structure: m buckets (power of two) x 4 slots of 16-bit fingerprints;
 i2 = i1 XOR H(fp) (partial-key cuckooing), <= 500 evictions per insert.
@@ -104,8 +120,10 @@ class CuckooShard:
             # evict loop (partial-key cuckooing); slot rotation is
             # deterministic — resume must rebuild identical tables
             i, cur = int(i2), np.uint16(fp)
+            chain: list[tuple[int, int]] = []  # (bucket, slot) swap trail
             for kick in range(_MAX_KICKS):
                 slot = kick % _SLOTS
+                chain.append((i, slot))
                 cur, t[i, slot] = t[i, slot], cur
                 i = int((i ^ (int(_mix(np.array([cur], dtype=np.uint64))[0]) % self.m)) % self.m)
                 empt = np.flatnonzero(t[i] == 0)
@@ -114,6 +132,14 @@ class CuckooShard:
                     cur = None
                     break
             if cur is not None:
+                # unwind the eviction chain before raising: replaying the
+                # swaps in reverse restores every displaced fingerprint to
+                # its original slot, so a caller that catches the error and
+                # keeps using the filter can never see a false negative
+                # (the gate's contract) — only the key that failed to place
+                # is absent, and it was never reported as inserted.
+                for ui, uslot in reversed(chain):
+                    cur, t[ui, uslot] = t[ui, uslot], cur
                 raise RuntimeError(
                     f"cuckoo shard over capacity ({self.n_items}/{self.m * _SLOTS}); "
                     "size shards with expected_items headroom"
@@ -175,18 +201,256 @@ def _hash_cols(df: DataFrame, url_col: str) -> DataFrame:
     )
 
 
+def _shard_m(per_shard: int) -> int:
+    """Bucket count sized_for would pick, without allocating the table."""
+    need = max(8, int(per_shard / (_SLOTS * 0.95)) + 1)
+    return 1 << (need - 1).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Executor-resident regime: shards as rows of a localCheckpointed DataFrame
+# ---------------------------------------------------------------------------
+
+_SHARD_SCHEMA = "shard int, table binary, m int, n_items int"
+
+
+def _persisted_ids(spark) -> set[int]:
+    ids: set[int] = set()
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        ids.add(it.next().getKey())
+    return ids
+
+
+def _free_ids(spark, ids: set[int]) -> None:
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if e.getKey() in ids:
+            e.getValue().unpersist()
+
+
+@dataclass
+class CuckooShardTable:
+    """Executor-resident cuckoo shards: one row per shard, blocks pinned by
+    an eager localCheckpoint (lineage-free, never on the driver). All
+    mutation swaps in a NEW checkpointed version and frees the old blocks
+    — the engine holds exactly one live version.
+
+    n_items/capacity/load mirror CuckooFilterShards so the engine's
+    capacity-rebuild gate (plans/round_loop.py) is regime-blind; they are
+    maintained from a ≤ n_shards-row metadata aggregate, never from data."""
+
+    df: DataFrame  # (shard, table, m, n_items), localCheckpointed
+    n_shards: int
+    per_shard: int  # sizing for shards created lazily on insert
+    version: int = 0
+    n_items: int = 0
+    _rdd_ids: set[int] | None = None
+
+    @property
+    def capacity(self) -> int:
+        # every shard is sized_for(per_shard): m is uniform by construction
+        return self.n_shards * _shard_m(self.per_shard) * _SLOTS
+
+    @property
+    def load(self) -> float:
+        return self.n_items / max(1, self.capacity)
+
+    def free(self) -> None:
+        if self._rdd_ids:
+            _free_ids(self.df.sparkSession, self._rdd_ids)
+            self._rdd_ids = None
+
+    def _swap(self, new_rows: DataFrame) -> None:
+        """Materialize the next version executor-side, then free the old."""
+        spark = new_rows.sparkSession
+        before = _persisted_ids(spark)
+        new_df = new_rows.localCheckpoint(eager=True)
+        new_ids = _persisted_ids(spark) - before
+        old_ids = self._rdd_ids
+        self.df, self._rdd_ids = new_df, new_ids
+        self.n_items = int(
+            new_df.agg(F.sum("n_items").alias("n")).first()["n"] or 0
+        )
+        self.version += 1
+        if old_ids:
+            _free_ids(spark, old_ids)
+
+
+def _sharded_hashes(df: DataFrame, url_col: str, n_shards: int) -> DataFrame:
+    return _hash_cols(df, url_col).withColumn(
+        "_shard", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int")
+    )
+
+
+def _shard_from_row(row: pd.Series) -> CuckooShard:
+    return CuckooShard(
+        table=np.frombuffer(row["table"], dtype=np.uint16)
+        .reshape(int(row["m"]), _SLOTS)
+        .copy(),
+        m=int(row["m"]),
+        n_items=int(row["n_items"]),
+    )
+
+
+def _shard_row(sid: int, sh: CuckooShard) -> dict:
+    return {"shard": sid, "table": sh.table.tobytes(), "m": sh.m, "n_items": sh.n_items}
+
+
+def _sorted_hashes(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    # canonical insert order (same as the driver regime's sorted tuples):
+    # tables must come out bit-identical no matter how the scan partitioned
+    g = pdf.sort_values(["_h1", "_h2"])
+    return (
+        g["_h1"].to_numpy(dtype=np.int64).astype(np.uint64),
+        g["_h2"].to_numpy(dtype=np.int64).astype(np.uint64),
+    )
+
+
+def build_cuckoo_table(
+    df: DataFrame,
+    url_col: str = "url",
+    expected_items: int = 1 << 17,
+    n_shards: int = 16,
+    version: int = 0,
+) -> CuckooShardTable:
+    """Distributed build: shards are constructed INSIDE mapInPandas tasks
+    (each shard's keys land in one partition of the `repartition(n_shards,
+    "_shard")` exchange) and emitted as binary rows — the hashed seen set
+    never transits the driver, so driver memory is flat in |seen|."""
+    per_shard = max(64, expected_items // n_shards)
+    hashed = _sharded_hashes(df, url_col, n_shards)
+
+    def build_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, list[pd.DataFrame]] = {}
+        for pdf in batches:
+            for sid, grp in pdf.groupby("_shard"):
+                acc.setdefault(int(sid), []).append(grp)
+        out = []
+        for sid, grps in acc.items():
+            h1, h2 = _sorted_hashes(pd.concat(grps))
+            sh = CuckooShard.sized_for(per_shard)
+            sh.insert_many(h1, h2)
+            out.append(_shard_row(sid, sh))
+        yield pd.DataFrame(out, columns=["shard", "table", "m", "n_items"])
+
+    rows = hashed.repartition(n_shards, "_shard").mapInPandas(
+        build_part, schema=_SHARD_SCHEMA
+    )
+    ct = CuckooShardTable(
+        df=rows, n_shards=n_shards, per_shard=per_shard, version=version
+    )
+    ct._swap(rows)
+    ct.version = version  # _swap bumped it; builds start at the caller's
+    return ct
+
+
+def _insert_table(ct: CuckooShardTable, delta: DataFrame, url_col: str) -> CuckooShardTable:
+    per_shard = ct.per_shard
+    hashed = _sharded_hashes(delta, url_col, ct.n_shards)
+
+    def ins(table_pdf: pd.DataFrame, delta_pdf: pd.DataFrame) -> pd.DataFrame:
+        if delta_pdf.empty:  # shard untouched this round: pass through
+            return table_pdf[["shard", "table", "m", "n_items"]]
+        if table_pdf.empty:  # first keys ever routed to this shard
+            sid = int(delta_pdf["_shard"].iloc[0])
+            sh = CuckooShard.sized_for(per_shard)
+        else:
+            sid = int(table_pdf["shard"].iloc[0])
+            sh = _shard_from_row(table_pdf.iloc[0])
+        h1, h2 = _sorted_hashes(delta_pdf)
+        sh.insert_many(h1, h2)
+        return pd.DataFrame([_shard_row(sid, sh)])
+
+    ct._swap(
+        ct.df.groupBy("shard")
+        .cogroup(hashed.groupBy("_shard"))
+        .applyInPandas(ins, schema=_SHARD_SCHEMA)
+    )
+    return ct
+
+
+def _delete_table(ct: CuckooShardTable, gone: DataFrame, url_col: str) -> int:
+    hashed = _sharded_hashes(gone, url_col, ct.n_shards)
+
+    def rm(table_pdf: pd.DataFrame, gone_pdf: pd.DataFrame) -> pd.DataFrame:
+        if gone_pdf.empty:
+            return table_pdf[["shard", "table", "m", "n_items"]]
+        if table_pdf.empty:  # nothing to delete from
+            return table_pdf[["shard", "table", "m", "n_items"]]
+        sid = int(table_pdf["shard"].iloc[0])
+        sh = _shard_from_row(table_pdf.iloc[0])
+        h1, h2 = _sorted_hashes(gone_pdf)
+        sh.delete_many(h1, h2)
+        return pd.DataFrame([_shard_row(sid, sh)])
+
+    before = ct.n_items
+    ct._swap(
+        ct.df.groupBy("shard")
+        .cogroup(hashed.groupBy("_shard"))
+        .applyInPandas(rm, schema=_SHARD_SCHEMA)
+    )
+    return before - ct.n_items
+
+
+def _split_by_table(
+    frontier: DataFrame, ct: CuckooShardTable, url_col: str
+) -> tuple[DataFrame, DataFrame]:
+    hashed = frontier.withColumn("_h1", F.xxhash64(F.col(url_col))).withColumn(
+        "_h2", F.xxhash64(F.concat(F.col(url_col), F.lit("\x01cuckoo")))
+    ).withColumn("_shard", F.pmod(F.col("_h1"), F.lit(ct.n_shards)).cast("int"))
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in hashed.schema.fields
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return left.assign(_maybe_seen=np.zeros(0, dtype=bool))
+        if right.empty:  # no shard row: nothing from this key range was seen
+            return left.assign(_maybe_seen=False)
+        sh = _shard_from_row(right.iloc[0])
+        hit = sh.contains_many(
+            left["_h1"].to_numpy(dtype=np.int64).astype(np.uint64),
+            left["_h2"].to_numpy(dtype=np.int64).astype(np.uint64),
+        )
+        return left.assign(_maybe_seen=hit)
+
+    tested = (
+        hashed.groupBy("_shard")
+        .cogroup(ct.df.groupBy("shard"))
+        .applyInPandas(probe, schema=f"{out_fields}, _maybe_seen boolean")
+    )
+    cols = frontier.columns
+    return (
+        tested.filter(~F.col("_maybe_seen")).select(*cols),
+        tested.filter(F.col("_maybe_seen")).select(*cols),
+    )
+
+
+_TABLE_REGIME_BYTES = 64 << 20  # same spill point as the bloom's two regimes
+
+
 def build_cuckoo(
     df: DataFrame,
     url_col: str = "url",
     expected_items: int = 1 << 17,
     n_shards: int = 16,
     version: int = 0,
-) -> CuckooFilterShards:
-    """Build per-shard tables: one Arrow-batched pass emits (shard, h1, h2)
-    grouped rows; inserts run shard-local. The sandbox collects the shard
-    dict on the driver (bounded: m*4*2 bytes per shard); the 10^10 regime
-    keeps each shard executor-resident next to its frontier partition."""
+    mode: str = "auto",
+):
+    """Build the URL-seen cuckoo gate. mode: "driver" forces the collected
+    dict (CuckooFilterShards — small-filter fast path), "distributed" the
+    executor-resident CuckooShardTable, "auto" picks by estimated table
+    bytes (> 64 MiB → distributed, mirroring url_seen.build_bloom's
+    collect/treeReduce split). Both regimes build BIT-IDENTICAL tables."""
     per_shard = max(64, expected_items // n_shards)
+    est_bytes = n_shards * _shard_m(per_shard) * _SLOTS * 2
+    if mode == "distributed" or (mode == "auto" and est_bytes > _TABLE_REGIME_BYTES):
+        return build_cuckoo_table(
+            df, url_col=url_col, expected_items=expected_items,
+            n_shards=n_shards, version=version,
+        )
     hashed = _hash_cols(df, url_col).withColumn(
         "_shard", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int")
     )
@@ -220,9 +484,13 @@ def build_cuckoo(
     return CuckooFilterShards(shards=shards, n_shards=n_shards, version=version)
 
 
-def insert_urls(cf: CuckooFilterShards, delta: DataFrame, url_col: str = "url") -> CuckooFilterShards:
+def insert_urls(cf, delta: DataFrame, url_col: str = "url"):
     """Incremental maintenance: route the delta's hashes to their shards
-    and insert — the cuckoo analog of url_seen.update_bloom (no rebuild)."""
+    and insert — the cuckoo analog of url_seen.update_bloom (no rebuild).
+    Driver regime collects the round delta (bounded); the table regime
+    inserts shard-local via cogroup and never collects."""
+    if isinstance(cf, CuckooShardTable):
+        return _insert_table(cf, delta, url_col)
     rows = (
         _hash_cols(delta, url_col)
         .withColumn("_shard", F.pmod(F.col("_h1"), F.lit(cf.n_shards)).cast("int"))
@@ -238,9 +506,11 @@ def insert_urls(cf: CuckooFilterShards, delta: DataFrame, url_col: str = "url") 
     return cf
 
 
-def delete_urls(cf: CuckooFilterShards, gone: DataFrame, url_col: str = "url") -> int:
+def delete_urls(cf, gone: DataFrame, url_col: str = "url") -> int:
     """Un-see a bounded URL set (e.g. quarantined errors marked for
     refetch) — the operation blooms cannot express. Returns #removed."""
+    if isinstance(cf, CuckooShardTable):
+        return _delete_table(cf, gone, url_col)
     rows = (
         _hash_cols(gone, url_col)
         .withColumn("_shard", F.pmod(F.col("_h1"), F.lit(cf.n_shards)).cast("int"))
@@ -256,11 +526,14 @@ def delete_urls(cf: CuckooFilterShards, gone: DataFrame, url_col: str = "url") -
 
 
 def split_by_cuckoo(
-    frontier: DataFrame, cf: CuckooFilterShards, url_col: str = "url"
+    frontier: DataFrame, cf, url_col: str = "url"
 ) -> tuple[DataFrame, DataFrame]:
     """(definitely_new, maybe_seen) — the same admission-gate contract as
     url_seen.split_by_bloom: negatives are PROVABLY unseen (no false
-    negatives) and skip the exact join; positives go through it."""
+    negatives) and skip the exact join; positives go through it. The table
+    regime probes via a co-keyed cogroup (no whole-filter broadcast)."""
+    if isinstance(cf, CuckooShardTable):
+        return _split_by_table(frontier, cf, url_col)
     spark = frontier.sparkSession
     payload = {
         sid: (s.table.tobytes(), s.m) for sid, s in cf.shards.items()

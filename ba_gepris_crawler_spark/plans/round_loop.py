@@ -53,6 +53,11 @@ class CrawlSettings:
     # choice never changes results: both are admission-only, the exact
     # anti-join backstop decides membership.
     seen_filter: str = "bloom"
+    # cuckoo regime: "auto" (estimated table bytes pick driver-dict vs
+    # executor-resident shard table), "driver", or "distributed". The
+    # regimes build bit-identical shards; "distributed" never collects
+    # the hashed seen set (operators/cuckoo.py:CuckooShardTable).
+    cuckoo_mode: str = "auto"
     extract: bool = True
     # every K committed rounds, merge url_seen delta dirs into one
     # hash-clustered snapshot (SnapshotStore.compact) so the seen union and
@@ -137,12 +142,19 @@ class CrawlEngine:
                     # incremental: insert only last round's delta (at the
                     # round after bootstrap the delta is ALREADY in —
                     # re-inserting would store duplicate fingerprints)
-                    CK.insert_urls(self._cuckoo, self.store.read_state("url_seen", rnd - 1))
+                    self._cuckoo = CK.insert_urls(
+                        self._cuckoo, self.store.read_state("url_seen", rnd - 1)
+                    )
                 cuckoo = self._cuckoo
             else:
-                # cold start / resume / capacity growth: full rebuild
+                # cold start / resume / capacity growth: full rebuild.
+                # Free the outgrown table's executor blocks before the new
+                # version replaces it (driver dicts just get GC'd).
+                if self._cuckoo is not None and hasattr(self._cuckoo, "free"):
+                    self._cuckoo.free()
                 cuckoo = CK.build_cuckoo(
-                    seen, expected_items=max(n_seen * 4, s.bloom_expected_items), version=rnd
+                    seen, expected_items=max(n_seen * 4, s.bloom_expected_items),
+                    version=rnd, mode=s.cuckoo_mode,
                 )
             self._cuckoo, self._cuckoo_upto = cuckoo, rnd - 1
             splitter = lambda f: CK.split_by_cuckoo(f, cuckoo)  # noqa: E731
@@ -419,7 +431,7 @@ class CrawlEngine:
 
             self._cuckoo = CK.build_cuckoo(
                 self.store.read_state("url_seen", rnd),
-                expected_items=s.bloom_expected_items, version=0,
+                expected_items=s.bloom_expected_items, version=0, mode=s.cuckoo_mode,
             )
             self._cuckoo_upto = 0
         if bloom is not None:

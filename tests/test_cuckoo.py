@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 
 from ba_gepris_crawler_spark.operators.cuckoo import (
     CuckooShard,
+    CuckooShardTable,
     build_cuckoo,
+    build_cuckoo_table,
     delete_urls,
     insert_urls,
     split_by_cuckoo,
@@ -138,6 +140,129 @@ def test_engine_crawl_with_cuckoo_gate_equals_bloom(spark, tmp_path):
             assert any(m["counters"].get("cuckoo") for m in ms), "gate never engaged"
     assert seen["cuckoo"] == seen["bloom"]
     assert len(seen["cuckoo"]) > 150
+
+
+def test_shard_over_capacity_unwinds_eviction_chain():
+    """A caught over-capacity error must leave the table exactly as it was
+    before the failing key: every previously-inserted key still hits (no
+    false negatives for a caller that keeps using the filter)."""
+    h1, h2 = _hashes(100_000)
+    s = CuckooShard.sized_for(256)
+    inserted = 0
+    with pytest.raises(RuntimeError, match="over capacity"):
+        for i in range(len(h1)):  # insert one at a time to count successes
+            s.insert_many(h1[i : i + 1], h2[i : i + 1])
+            inserted += 1
+    assert inserted > 200  # the table did fill up meaningfully first
+    assert bool(s.contains_many(h1[:inserted], h2[:inserted]).all())
+    assert s.n_items == inserted
+
+
+# ---------------- executor-resident table regime ----------------
+
+def _persistent_rdd_count(spark) -> int:
+    n = 0
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        it.next()
+        n += 1
+    return n
+
+
+def test_table_regime_bit_identical_to_driver(spark):
+    """The two regimes must build the SAME tables — the gate's output is
+    then regime-independent by construction."""
+    drv = build_cuckoo(_urls(spark, 0, 6_000, tag="t"), expected_items=9_000,
+                       n_shards=4, mode="driver")
+    tbl = build_cuckoo(_urls(spark, 0, 6_000, tag="t").repartition(11),
+                       expected_items=9_000, n_shards=4, mode="distributed")
+    assert isinstance(tbl, CuckooShardTable)
+    rows = {r["shard"]: r for r in tbl.df.collect()}
+    for sid in range(4):
+        assert np.array_equal(
+            np.frombuffer(rows[sid]["table"], dtype=np.uint16).reshape(-1, 4),
+            drv.shards[sid].table,
+        ), sid
+    assert tbl.n_items == drv.n_items
+    tbl.free()
+
+
+@pytest.fixture(scope="module")
+def ct(spark):
+    return build_cuckoo_table(
+        _urls(spark, 0, 20_000), expected_items=30_000, n_shards=8
+    )
+
+
+def test_table_split_contract(spark, ct):
+    frontier = _urls(spark, 10_000, 30_000)
+    new, maybe = split_by_cuckoo(frontier, ct)
+    new_ids = {int(r.url.rsplit("/", 1)[1]) for r in new.collect()}
+    maybe_ids = {int(r.url.rsplit("/", 1)[1]) for r in maybe.collect()}
+    assert new_ids.isdisjoint(maybe_ids)
+    assert new_ids | maybe_ids == set(range(10_000, 30_000))
+    assert set(range(10_000, 20_000)) <= maybe_ids  # no false negatives
+    assert len(maybe_ids & set(range(20_000, 30_000))) < 100
+
+
+def test_table_insert_delete_and_block_hygiene(spark, ct):
+    """Insert/delete swap in a new checkpointed version and FREE the old
+    blocks — the live persisted-RDD count must not grow with versions."""
+    base = _persistent_rdd_count(spark)
+    insert_urls(ct, _urls(spark, 40_000, 41_000))
+    insert_urls(ct, _urls(spark, 41_000, 42_000))
+    removed = delete_urls(ct, _urls(spark, 0, 500))
+    assert removed == 500
+    assert _persistent_rdd_count(spark) == base  # old versions freed
+    new, maybe = split_by_cuckoo(_urls(spark, 40_000, 42_000), ct)
+    assert new.count() == 0 and maybe.count() == 2_000
+    gone_new, _ = split_by_cuckoo(_urls(spark, 0, 500), ct)
+    assert gone_new.count() == 500  # un-seen again
+    ok_new, ok_maybe = split_by_cuckoo(_urls(spark, 500, 1_000), ct)
+    assert ok_new.count() == 0 and ok_maybe.count() == 500  # no collateral
+
+
+def test_table_non_power_of_two_shards(spark):
+    ct10 = build_cuckoo_table(
+        _urls(spark, 0, 8_000, tag="tnp"), expected_items=12_000, n_shards=10
+    )
+    new, maybe = split_by_cuckoo(_urls(spark, 0, 8_000, tag="tnp"), ct10)
+    assert new.count() == 0
+    assert maybe.count() == 8_000
+    ct10.free()
+
+
+def test_engine_crawl_with_distributed_cuckoo_equals_bloom(spark, tmp_path):
+    """cuckoo_mode='distributed' must produce the exact same crawl as the
+    bloom gate, including across a mid-crawl resume (rebuild path)."""
+    from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig
+    from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+    from ba_gepris_crawler_spark.plans.round_loop import CrawlEngine, CrawlSettings
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    site = SiteConfig(
+        hosts=("h00.gepris.example.org", "h01.gepris.example.org"),
+        n_projects=120, n_persons=40, n_institutions=10, hits_per_page=50, seed=42,
+    )
+    seen = {}
+    for kind, mode in (("bloom", "auto"), ("cuckoo", "distributed")):
+        store = SnapshotStore(spark, tmp_path / f"{kind}-{mode}")
+        settings = CrawlSettings(
+            n_buckets=8,
+            politeness=PolitenessConfig(per_host_rate=300, round_seconds=1.0, max_in_flight=10),
+            extract=False, seen_filter=kind, bloom_expected_items=1 << 14,
+            cuckoo_mode=mode,
+        )
+        eng = CrawlEngine(spark, site, store, settings)
+        ms = eng.run(max_rounds=3)
+        eng2 = CrawlEngine(spark, site, store, settings)
+        eng2.resume(max_rounds=6)
+        df = store.read_union("url_seen", store.latest_round())
+        seen[kind] = sorted((r["url"], r["seq"], r["round"]) for r in df.collect())
+        if kind == "cuckoo":
+            assert any(m["counters"].get("cuckoo") for m in ms), "gate never engaged"
+    assert seen["cuckoo"] == seen["bloom"]
+    assert len(seen["cuckoo"]) > 120
 
 
 def test_non_power_of_two_shards_no_false_negatives(spark):
