@@ -17,6 +17,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort the type (MapType — alone or nested — cannot
+    appear in an ORDER BY; AnalysisException otherwise)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -55,10 +68,21 @@ def asof_join(
     # (payloads all null, nulls-first) still sort AFTER right rows on an
     # equal timestamp because _is_left dominates. All fills go through ONE
     # select over the original columns so they share a single Window
-    # operator and a single, consistent sort.
+    # operator and a single, consistent sort. Non-orderable payload types
+    # (maps, or structs/arrays nesting them) tie-break by
+    # xxhash64(to_json(payload)) instead — Spark forbids both sorting AND
+    # hashing maps directly (same map, different hashcodes), but the JSON
+    # rendering of a given row is deterministic, so the carried value is
+    # stable across runs and the ORDER BY stays legal.
+    tiebreak = [
+        F.col(f"{c}{suffix}")
+        if _orderable(right.schema[c].dataType)
+        else F.xxhash64(F.to_json(F.col(f"{c}{suffix}")))
+        for c in right_cols
+    ]
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_is_left", *[F.col(f"{c}{suffix}") for c in right_cols])
+        .orderBy("_ts", "_is_left", *tiebreak)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = l2.unionByName(r2).select(

@@ -49,6 +49,14 @@ from pyspark.sql import functions as F
 # co-keyed shuffle join wins (1.4-2.8x at 10^6 hosts, BENCH/many_hosts.py).
 MANY_HOSTS_THRESHOLD = 2000
 
+# Above this many per-host rate overrides, schedule_round stops compiling
+# the budget as a literal when-cascade (O(n_overrides) expression depth
+# blows up Catalyst plan size/codegen at 10^5+ robots Crawl-delay hosts)
+# and instead joins a (host, budget) frame onto the metadata-sized offsets
+# relation — riding the offsets join that happens anyway, so the data side
+# pays no extra shuffle either way.
+BUDGET_CASCADE_MAX = 64
+
 
 @dataclass(frozen=True)
 class PolitenessConfig:
@@ -60,6 +68,11 @@ class PolitenessConfig:
     # per-host rate OVERRIDES (host, pages/sec) — fed by robots.txt
     # Crawl-delay (rate = 1/delay); hosts not listed use per_host_rate
     host_rates: tuple[tuple[str, float], ...] = ()
+    # RFC-9309-style robots rules (host, path_regex, specificity, is_allow)
+    # from parse_robots_rules: longest-match decides, Allow wins ties, no
+    # match = allowed. Lets an Allow carve a hole in a Disallow prefix —
+    # `disallow` above cannot express that (any-match, drop-only).
+    robots_rules: tuple[tuple[str, str, int, bool], ...] = ()
 
     def __post_init__(self) -> None:
         # rates are divisors downstream (budget cut, fetch virtual cost):
@@ -70,6 +83,18 @@ class PolitenessConfig:
         for h, r in self.host_rates:
             if r <= 0:
                 raise ValueError(f"host_rates[{h!r}] must be > 0, got {r}")
+        # normalize host_rates to one entry per host, FIRST occurrence wins
+        # (defined precedence: explicit overrides precede robots-derived
+        # appends). Without this, rate_for/budget_for (first match) and
+        # fetch_pages' dict(host_rates) (last wins) could give the SAME
+        # host a different scheduler budget and fetch virtual cost.
+        seen: set[str] = set()
+        deduped = tuple(
+            (h, r) for h, r in self.host_rates
+            if not (h in seen or seen.add(h))
+        )
+        if len(deduped) != len(self.host_rates):
+            object.__setattr__(self, "host_rates", deduped)
 
     @property
     def per_host_budget(self) -> int:
@@ -107,6 +132,61 @@ def priority_for_type() -> F.Column:
     )
 
 
+def _path_pattern_to_regex(value: str) -> str:
+    """robots.txt path pattern -> anchored regex: '*' matches any char
+    sequence, a TRAILING '$' anchors the end of the URL (RFC 9309 §2.2.3);
+    an optional scheme://host prefix is accepted so bare-path and full-URL
+    inputs both match."""
+    import re as _re
+
+    anchored_end = value.endswith("$")
+    core = value[:-1] if anchored_end else value
+    rx = (
+        "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)?"
+        + _re.escape(core).replace("\\*", ".*")
+    )
+    return rx + "$" if anchored_end else rx
+
+
+def parse_robots_rules(
+    host: str, robots_txt: str, user_agent: str = "*"
+) -> tuple[tuple[str, str, int, bool], ...]:
+    """Full RFC-9309 rule parse -> (host, path_regex, specificity,
+    is_allow) tuples for `apply_robots`'s longest-match evaluation:
+    the matching rule with the LONGEST raw pattern decides; on a tie
+    Allow wins; no matching rule = allowed. '*' and trailing '$' per
+    `_path_pattern_to_regex`. Group semantics identical to parse_robots
+    (consecutive User-agent lines open a group; rules count from groups
+    matching `user_agent` or '*'). Empty Allow/Disallow values are
+    skipped (an empty Disallow is allow-all already)."""
+    rules: list[tuple[str, str, int, bool]] = []
+    group_agents: list[str] = []
+    in_group_body = False
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if in_group_body:
+                group_agents = []
+                in_group_body = False
+            group_agents.append(value.lower())
+        elif key in ("disallow", "allow"):
+            in_group_body = True
+            if not value:
+                continue
+            if "*" in group_agents or user_agent.lower() in group_agents:
+                rules.append(
+                    (host, _path_pattern_to_regex(value), len(value), key == "allow")
+                )
+        else:
+            in_group_body = True  # crawl-delay etc.: group body continues
+    return tuple(rules)
+
+
 def parse_robots(host: str, robots_txt: str, user_agent: str = "*") -> tuple[tuple[str, str], ...]:
     """Minimal robots.txt parse -> (host, path_regex) disallow rules for
     `apply_robots`. Standard group semantics: consecutive User-agent lines
@@ -116,8 +196,6 @@ def parse_robots(host: str, robots_txt: str, user_agent: str = "*") -> tuple[tup
     Like the reference's one-time cookie fetch, the robots fetch+parse is
     a driver-side, once-per-host operation whose result is compiled into
     the plan (the broadcast-robots-cache analog)."""
-    import re as _re
-
     rules: list[tuple[str, str]] = []
     group_agents: list[str] = []
     in_group_body = False
@@ -139,12 +217,9 @@ def parse_robots(host: str, robots_txt: str, user_agent: str = "*") -> tuple[tup
                 continue
             if "*" in {a for a in group_agents} or user_agent.lower() in group_agents:
                 # apply_robots matches the full URL; accept bare-path
-                # inputs too (an optional scheme://host prefix)
-                pattern = (
-                    "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)?"
-                    + _re.escape(value).replace("\\*", ".*")
-                )
-                rules.append((host, pattern))
+                # inputs too (an optional scheme://host prefix). '*' and
+                # trailing '$' wildcards per _path_pattern_to_regex.
+                rules.append((host, _path_pattern_to_regex(value)))
         else:
             in_group_body = True  # crawl-delay etc.: group body continues
     return tuple(rules)
@@ -201,23 +276,50 @@ def politeness_from_robots(
     resulting config is compiled into the plan as literals)."""
     from dataclasses import replace
 
-    disallow = list(cfg.disallow)
+    rules = list(cfg.robots_rules)
+    ruled = {h for h, _rx, _s, _a in rules}
     rates = list(cfg.host_rates)
+    overridden = {h for h, _ in rates}
     for host, txt in sorted(robots_by_host.items()):
-        disallow.extend(parse_robots(host, txt, user_agent))
+        # full Allow/Disallow rules with longest-match semantics; a host
+        # whose rules are already folded in is skipped (idempotent calls)
+        if host not in ruled:
+            new_rules = parse_robots_rules(host, txt, user_agent)
+            if new_rules:
+                rules.extend(new_rules)
+                ruled.add(host)
         delay = parse_crawl_delay(txt, user_agent)
-        if delay is not None:
+        # an explicit config override outranks the robots Crawl-delay;
+        # repeated calls are idempotent (no duplicate accumulation)
+        if delay is not None and host not in overridden:
             rates.append((host, 1.0 / delay))
-    return replace(cfg, disallow=tuple(disallow), host_rates=tuple(rates))
+            overridden.add(host)
+    return replace(cfg, robots_rules=tuple(rules), host_rates=tuple(rates))
 
 
 def apply_robots(frontier: DataFrame, cfg: PolitenessConfig) -> DataFrame:
-    """Drop disallowed URLs. The disallow list is tiny (a per-host dimension)
-    and is compiled into the plan as literals — the Catalyst equivalent of
-    broadcasting a robots cache."""
+    """Drop disallowed URLs. Both rule sets are tiny (per-host dimensions)
+    and are compiled into the plan as literals — the Catalyst equivalent of
+    broadcasting a robots cache.
+
+    - cfg.disallow: legacy any-match drops (explicit config regexes).
+    - cfg.robots_rules: RFC-9309 longest-match — per host the rules are
+      sorted by (pattern length desc, Allow-first on ties) and compiled to
+      a when-cascade whose FIRST hit decides; no hit = allowed. This is
+      what lets an Allow carve a hole inside a Disallow prefix."""
     out = frontier
     for host, path_regex in cfg.disallow:
         out = out.filter(~((F.col("host") == host) & F.col("url").rlike(path_regex)))
+    if cfg.robots_rules:
+        by_host: dict[str, list[tuple[str, int, bool]]] = {}
+        for h, rx, spec, allow in cfg.robots_rules:
+            by_host.setdefault(h, []).append((rx, spec, allow))
+        for h, rules in sorted(by_host.items()):
+            ordered = sorted(rules, key=lambda r: (-r[1], not r[2]))
+            decision: F.Column = F.lit(True)  # no matching rule -> allowed
+            for rx, _spec, allow in reversed(ordered):
+                decision = F.when(F.col("url").rlike(rx), F.lit(allow)).otherwise(decision)
+            out = out.filter((F.col("host") != h) | decision)
     return out
 
 
@@ -291,6 +393,20 @@ def schedule_round(
         F.coalesce(F.sum("n").over(w_host), F.lit(0)).alias("grp_off"),
         F.coalesce(F.sum("n").over(w_in_bucket), F.lit(0)).alias("lrank_before"),
     )
+    # Size-aware per-host budget: few overrides compile to a literal
+    # when-cascade (no join at all); many overrides (10^5+ robots
+    # Crawl-delay hosts) ride the offsets relation as a joined column —
+    # the cascade's Catalyst expression depth would dominate planning
+    # long before the many-hosts join strategy helps.
+    budget_joined = len(cfg.host_rates) > BUDGET_CASCADE_MAX
+    if budget_joined:
+        budgets = f.sparkSession.createDataFrame(
+            [(h, cfg.budget_for(h)) for h, _r in cfg.host_rates],
+            "host string, _budget int",
+        )
+        off = off.join(
+            budgets if many_hosts else F.broadcast(budgets), "host", "left"
+        )
     # Level 1: rank within the salted partition — the only data-sized
     # shuffle, keyed (host, host_bucket) so a hot host spreads over B tasks.
     w = Window.partitionBy("host", "host_bucket").orderBy("crawl_depth", "priority", "url")
@@ -313,14 +429,22 @@ def schedule_round(
         .withColumn("host_rank", (F.col("grp_off") + F.col("_lrank") - F.col("lrank_before")).cast("int"))
         .drop("_lrank", "grp_off", "lrank_before")
     )
-    # Per-host token-bucket cut: the budget is a literal when-cascade over
-    # the (tiny) robots Crawl-delay overrides — no join, no shuffle, and
-    # still independent of partition counts.
-    budget = cfg.budget_col("host")
+    # Per-host token-bucket cut: budget is either the literal when-cascade
+    # (few overrides; no join, no shuffle) or the _budget column the
+    # offsets join carried in — either way partition-count independent.
+    if budget_joined:
+        budget = F.coalesce(F.col("_budget"), F.lit(cfg.per_host_budget))
+        f = f.withColumn("_budget_resolved", budget).drop("_budget")
+        budget = F.col("_budget_resolved")
+    else:
+        budget = cfg.budget_col("host")
     fetch_now = f.filter(F.col("host_rank") <= budget).withColumn(
         "slot", F.ceil(F.col("host_rank") / cfg.max_in_flight).cast("int")
     )
     deferred = f.filter(F.col("host_rank") > budget).drop("host_rank")
+    if budget_joined:
+        fetch_now = fetch_now.drop("_budget_resolved")
+        deferred = deferred.drop("_budget_resolved")
     if added_bucket:
         deferred = deferred.drop("host_bucket")
     return fetch_now, deferred

@@ -163,6 +163,48 @@ def test_parse_robots_groups_wildcards_and_apply(spark):
         assert (u in kept) == want, u
 
 
+def test_robots_allow_longest_match_and_dollar_anchor(spark):
+    """RFC-9309 evaluation: an Allow carves a hole in a Disallow prefix
+    (longest match decides, Allow wins ties), '*.pdf$' blocks by suffix,
+    and an unmatched URL is allowed (VERDICT r3 #5)."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        apply_robots,
+        parse_robots_rules,
+        politeness_from_robots,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/press/\n"
+        "Disallow: /*.pdf$\n"
+        "Allow: /a\n"
+        "Disallow: /a\n"  # exact tie with the Allow above -> Allow wins
+    )
+    rules = parse_robots_rules("h.example.org", txt)
+    assert len(rules) == 5
+    cfg = politeness_from_robots(PolitenessConfig(), {"h.example.org": txt})
+    assert cfg.robots_rules == rules
+    # idempotent: folding the same robots again adds nothing
+    assert politeness_from_robots(cfg, {"h.example.org": txt}).robots_rules == rules
+
+    urls = [
+        ("https://h.example.org/private/x", False),        # Disallow prefix
+        ("https://h.example.org/private/press/r1", True),  # Allow hole (longer)
+        ("https://h.example.org/docs/f.pdf", False),       # *.pdf$ suffix block
+        ("https://h.example.org/docs/f.pdf?x=1", True),    # $ anchors the END
+        ("https://h.example.org/a", True),                 # tie -> Allow wins
+        ("https://h.example.org/open/x", True),            # no rule -> allowed
+        ("https://other.org/private/x", True),             # other host untouched
+    ]
+    df = spark.createDataFrame(
+        [(u, u.split("/")[2]) for u, _ in urls], "url string, host string"
+    )
+    kept = {r.url for r in apply_robots(df, cfg).collect()}
+    for u, want in urls:
+        assert (u in kept) == want, u
+
+
 def test_parse_crawl_delay_group_semantics():
     from ba_gepris_crawler_spark.operators.politeness import parse_crawl_delay
 
@@ -246,6 +288,63 @@ def test_fetch_virtual_cost_honors_host_rate_overrides(spark):
         PolitenessConfig(host_rates=(("h00.gepris.example.org", 0.0),))
     with pytest.raises(ValueError):
         PolitenessConfig(per_host_rate=0)
+
+
+def test_host_rates_dedup_first_wins():
+    """Duplicate host entries normalize to ONE entry per host (first wins),
+    so rate_for / budget_for / fetch_pages' dict lookup can never disagree
+    about a host's rate; politeness_from_robots never overrides an explicit
+    entry and is idempotent across repeated calls (ADVICE r3)."""
+    from ba_gepris_crawler_spark.operators.politeness import politeness_from_robots
+
+    cfg = PolitenessConfig(
+        host_rates=(("a.org", 5.0), ("a.org", 9.0), ("b.org", 2.0))
+    )
+    assert cfg.host_rates == (("a.org", 5.0), ("b.org", 2.0))
+    assert cfg.rate_for("a.org") == 5.0
+    assert dict(cfg.host_rates)["a.org"] == 5.0  # fetch_pages' lookup agrees
+
+    robots = {"a.org": "User-agent: *\nCrawl-delay: 10\n",
+              "c.org": "User-agent: *\nCrawl-delay: 4\n"}
+    once = politeness_from_robots(cfg, robots)
+    twice = politeness_from_robots(once, robots)
+    assert once.rate_for("a.org") == 5.0  # explicit override outranks robots
+    assert once.rate_for("c.org") == 0.25
+    assert twice.host_rates == once.host_rates  # idempotent, no duplicates
+
+
+def test_many_overrides_budget_join_equals_cascade(spark):
+    """Above BUDGET_CASCADE_MAX rate overrides the budget comes from a
+    joined (host, budget) frame instead of a literal when-cascade — the
+    schedule must be IDENTICAL either way (ADVICE r3: the cascade's
+    expression depth blows up Catalyst at 10^5+ robots Crawl-delay hosts)."""
+    from ba_gepris_crawler_spark.operators import politeness as P
+
+    f = _frontier(spark)
+    # >64 overrides: the three live hosts get real budgets, the rest pad
+    # the override list past the cascade threshold
+    rates = tuple(
+        [("h0.example.org", 2.0), ("h1.example.org", 8.0)]
+        + [(f"pad{i}.example.org", 1.0) for i in range(70)]
+    )
+    cfg = PolitenessConfig(per_host_rate=40, round_seconds=1.0,
+                           max_in_flight=7, host_rates=rates)
+    assert len(cfg.host_rates) > P.BUDGET_CASCADE_MAX
+    fetch_now, deferred = schedule_round(f, cfg, n_buckets=N_BUCKETS)
+    got = {r["host"]: r["n"] for r in
+           fetch_now.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert got == {"h0.example.org": 2, "h1.example.org": 8, "h2.example.org": 40}
+    assert deferred.count() == f.count() - sum(got.values())
+    assert "_budget_resolved" not in fetch_now.columns
+    assert "_budget" not in deferred.columns
+
+    # identical schedule to the cascade path with the same effective rates
+    small = PolitenessConfig(per_host_rate=40, round_seconds=1.0, max_in_flight=7,
+                             host_rates=rates[:2])
+    fetch_small, _ = schedule_round(f, small, n_buckets=N_BUCKETS)
+    want = {(r["url"], r["host_rank"]) for r in fetch_small.select("url", "host_rank").collect()}
+    have = {(r["url"], r["host_rank"]) for r in fetch_now.select("url", "host_rank").collect()}
+    assert have == want
 
 
 def test_empty_frontier(spark):
