@@ -2149,6 +2149,62 @@ def crawl_cookie_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "crawl_robots_allow_filter",
+    """
+    WITH f AS (SELECT doc_id,
+      'h' || CAST(doc_id % 2 AS VARCHAR) || '.example.org' AS host,
+      'https://h' || CAST(doc_id % 2 AS VARCHAR) || '.example.org' ||
+      CASE WHEN doc_id % 5 = 0 THEN '/private/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 1 THEN '/private/press/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 2 THEN '/docs/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+           WHEN doc_id % 5 = 3 THEN '/docs/f' || CAST(doc_id AS VARCHAR) || '.pdf?x=1'
+           ELSE '/public/' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents)
+    SELECT doc_id, host, url FROM f
+    WHERE NOT (host = 'h1.example.org' AND (
+        (url LIKE '%.example.org/private/%' AND url NOT LIKE '%.example.org/private/press/%')
+        OR url LIKE '%.pdf'))
+    ORDER BY doc_id
+    """,
+)
+def crawl_robots_allow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-9309 Allow/wildcard robots evaluation end to end through the
+    REAL modules (politeness.parse_robots_rules -> politeness_from_robots
+    -> apply_robots): h1's robots Disallows /private/ but an Allow carves
+    the /private/press/ hole (longest match wins), and a '/*.pdf$' pattern
+    blocks by suffix — the trailing '$' anchors the URL end, so '.pdf?x=1'
+    stays crawlable. h0 serves no robots and is untouched. Beyond the
+    reference (which has no robots at all); the oracle replays the net
+    keep-set with LIKE algebra."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        PolitenessConfig,
+        apply_robots,
+        politeness_from_robots,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/press/\n"
+        "Disallow: /*.pdf$\n"
+    )
+    cfg = politeness_from_robots(PolitenessConfig(), {"h1.example.org": txt})
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 2).cast("string"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 2).cast("string"), F.lit(".example.org"),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/press/"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/docs/f"), F.col("doc_id").cast("string"), F.lit(".pdf")))
+            .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/docs/f"), F.col("doc_id").cast("string"), F.lit(".pdf?x=1")))
+            .otherwise(F.concat(F.lit("/public/"), F.col("doc_id").cast("string"))),
+        ).alias("url"),
+    )
+    return apply_robots(d, cfg).select("doc_id", "host", "url").orderBy("doc_id")
+
+
+@_q(
     "crawl_robots_txt_parse",
     """
     WITH f AS (SELECT doc_id,
@@ -2526,6 +2582,7 @@ def crawl_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as regression cover). New queries should be appended to _HEAD_FIRST until
 # they have a green driver row.
 _HEAD_FIRST = [
+    "crawl_robots_allow_filter",
     "tpch_monthly_orders",
     "rel_string_functions",
     "tpch_cube_counts",
