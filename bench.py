@@ -220,49 +220,73 @@ def main() -> None:
         seed=42,
         page_weight=int(os.environ.get("SPARK_GRAFT_PAGE_WEIGHT", "8")),
     )
-    work = tempfile.mkdtemp(prefix="bench_crawl_")
-    try:
-        store = SnapshotStore(spark, work)
-        settings = CrawlSettings(
-            n_buckets=32,
-            politeness=PolitenessConfig(per_host_rate=8000, round_seconds=1.0, max_in_flight=10),
-            bloom_fpp=0.01,
-            use_bloom=True,
-            extract=False,
-        )
-        # Warm the session BEFORE the timer: first-job costs (executor task
-        # deserialization JIT, whole-stage codegen compile, Python/Arrow
-        # worker pool fork) are one-time per cluster, not per crawl — the
-        # headline metric is SUSTAINED pages/sec. The warmup touches the
-        # same machinery (shuffle + a mapInPandas round-trip), no bench data.
-        from pyspark.sql import functions as _F
-        (spark.range(10000).repartition(8, "id")
-             .groupBy((_F.col("id") % 8).alias("g")).count()
-             .mapInPandas(lambda it: it, schema="g bigint, count bigint")
-             .write.format("noop").mode("overwrite").save())
-        t0 = time.time()
-        manifests = CrawlEngine(spark, site, store, settings).run(max_rounds=12)
-        crawl_sec = time.time() - t0
-        fetched = sum(m["counters"].get("fetched", 0) for m in manifests)
-        discovered = sum(m["counters"].get("discovered_raw", 0) for m in manifests)
-        queries["crawl_pages"] = round(crawl_sec, 3)
-        extras["crawl_pages_fetched"] = fetched
-        extras["crawl_pages_per_sec"] = round(fetched / crawl_sec, 1)
-        extras["crawl_rounds"] = len(manifests)
-        extras["frontier_dedup_rate"] = round(1.0 - fetched / max(discovered, 1), 4)
-
-        # extraction throughput over the crawled corpus (stage-2 analog)
-        docs = store.read_union("documents", store.latest_round())
-        t0 = time.time()
-        d = X.prepare_details(docs.filter("status = 200 and resource_id is not null")).persist()
-        for out in (X.eav(d), X.projects(d), X.persons(d), X.institutions(d)):
-            out.write.format("noop").mode("overwrite").save()
-        extract_sec = time.time() - t0
-        d.unpersist()
-        queries["extract_typed_eav"] = round(extract_sec, 3)
-        extras["extract_pages_per_sec"] = round(fetched / extract_sec, 1)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    settings = CrawlSettings(
+        n_buckets=32,
+        politeness=PolitenessConfig(per_host_rate=8000, round_seconds=1.0, max_in_flight=10),
+        bloom_fpp=0.01,
+        use_bloom=True,
+        extract=False,
+    )
+    # Warm the session BEFORE the timer: first-job costs (executor task
+    # deserialization JIT, whole-stage codegen compile, Python/Arrow
+    # worker pool fork) are one-time per cluster, not per crawl — the
+    # headline metric is SUSTAINED pages/sec. The warmup touches the
+    # same machinery (shuffle + a mapInPandas round-trip), no bench data.
+    from pyspark.sql import functions as _F
+    (spark.range(10000).repartition(8, "id")
+         .groupBy((_F.col("id") % 8).alias("g")).count()
+         .mapInPandas(lambda it: it, schema="g bigint, count bigint")
+         .write.format("noop").mode("overwrite").save())
+    # Best-of-2 for the crawl/extract STAGES too (round-3 verdict #4): the
+    # sandbox's sporadic ~40 s stall previously landed in the recorded
+    # single-run extract number and read as a 6x regression. Each crawl rep
+    # runs in a fresh store; min() keeps the undisturbed measurement and a
+    # large rep spread is annotated instead of silently averaged.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    crawl_secs: list[float] = []
+    extract_secs: list[float] = []
+    stall_notes: dict[str, list[float]] = {}
+    fetched = discovered = n_rounds = 0
+    for rep in range(reps):
+        work = tempfile.mkdtemp(prefix="bench_crawl_")
+        try:
+            store = SnapshotStore(spark, work)
+            t0 = time.time()
+            manifests = CrawlEngine(spark, site, store, settings).run(max_rounds=12)
+            crawl_secs.append(time.time() - t0)
+            # the site is deterministic: counters agree across reps
+            fetched = sum(m["counters"].get("fetched", 0) for m in manifests)
+            discovered = sum(m["counters"].get("discovered_raw", 0) for m in manifests)
+            n_rounds = len(manifests)
+            if rep == reps - 1:
+                # extraction throughput over the crawled corpus (stage-2
+                # analog), measured `reps` times on the final store
+                docs = store.read_union("documents", store.latest_round())
+                base = docs.filter("status = 200 and resource_id is not null")
+                for _ in range(reps):
+                    t0 = time.time()
+                    d = X.prepare_details(base).persist()
+                    for out in (X.eav(d), X.projects(d), X.persons(d), X.institutions(d)):
+                        out.write.format("noop").mode("overwrite").save()
+                    extract_secs.append(time.time() - t0)
+                    d.unpersist()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    crawl_sec, extract_sec = min(crawl_secs), min(extract_secs)
+    # annotate a large rep spread (sandbox stall or residual warmup in
+    # rep 1) instead of letting a single disturbed run stand as the number
+    for stage, runs in (("crawl_pages", crawl_secs), ("extract_typed_eav", extract_secs)):
+        if max(runs) > 1.5 * min(runs):
+            stall_notes[stage] = [round(r, 3) for r in runs]
+    queries["crawl_pages"] = round(crawl_sec, 3)
+    extras["crawl_pages_fetched"] = fetched
+    extras["crawl_pages_per_sec"] = round(fetched / crawl_sec, 1)
+    extras["crawl_rounds"] = n_rounds
+    extras["frontier_dedup_rate"] = round(1.0 - fetched / max(discovered, 1), 4)
+    queries["extract_typed_eav"] = round(extract_sec, 3)
+    extras["extract_pages_per_sec"] = round(fetched / extract_sec, 1)
+    if stall_notes:
+        extras["stage_rep_spread"] = stall_notes
 
     # ---------------- 2. headline driver queries ----------------
     bench_queries = [] if crawl_only else [
@@ -292,8 +316,7 @@ def main() -> None:
             # table) would otherwise leak executor storage across the suite
             spark.catalog.clearCache()
         queries[name] = round(min(runs), 3)
-    if bench_queries:
-        extras["timing"] = "queries=best_of_2_min; crawl/extract=single_run"
+    extras["timing"] = f"queries=best_of_2_min; crawl/extract=best_of_{reps}_min"
 
     total = round(sum(queries.values()), 3)
     print(
