@@ -54,9 +54,10 @@ def fetch_pages(
     epoch: int = 0,
     fmt: str = "html",
     host_rates: tuple[tuple[str, float], ...] = (),
+    span_transport: str = "json",
 ) -> DataFrame:
     """scheduled: output of politeness.schedule_round(...).fetch_now.
-    Returns the same rows + (status, spans, virtual_cost_sec).
+    Returns the same rows + (status, spans-or-body, virtual_cost_sec).
 
     Cookie flow: the (possibly stale) session token is broadcast; a 401
     response triggers an ON-WORKER re-fetch of the session endpoint +
@@ -66,20 +67,32 @@ def fetch_pages(
     fmt="json" hits the JSON-API endpoint instead (the reference's dormant
     S7 source, CrawledResourceDetailDataFromJsonAPIGraph.scala:15-46): the
     worker returns the RAW body string and the span parse happens in the
-    PLAN via from_json (parse_json_spans) — JVM-side, no Python."""
+    PLAN via from_json (parse_json_spans) — JVM-side, no Python.
+
+    span_transport (fmt="html" only) picks how parsed spans cross the
+    Arrow boundary: "json" (default) serializes them to ONE string per
+    page on the worker and reassembles list<struct> JVM-side via
+    from_json — measured 1.75-2.2x faster end-to-end than "arrow",
+    which hands pandas a list-of-dicts column whose object-by-object
+    list<struct> conversion dominates the whole fetch stage
+    (BENCH/BASELINE.md round-4 A/B). Outputs are byte-equal; callers
+    check needs_span_parse() to know whether to apply parse_json_spans."""
     spark = scheduled.sparkSession
     cfg_bc = spark.sparkContext.broadcast(site_cfg)
     token_bc = spark.sparkContext.broadcast(session_token)  # session/cookie analog
     rate = float(per_host_rate)
     rate_overrides = dict(host_rates)  # robots Crawl-delay per-host rates
     as_json = fmt == "json"
+    ship_json = as_json or span_transport == "json"
 
     in_schema = scheduled.schema
     out_schema = T.StructType(
-        list(in_schema.fields) + (JSON_FETCH_RESULT_FIELDS if as_json else FETCH_RESULT_FIELDS)
+        list(in_schema.fields) + (JSON_FETCH_RESULT_FIELDS if ship_json else FETCH_RESULT_FIELDS)
     )
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
         from ba_gepris_crawler_spark.operators.cookies import parse_set_cookie
         from ba_gepris_crawler_spark.sources.synthetic_site import (
             fetch_session_header,
@@ -100,6 +113,15 @@ def fetch_pages(
                 statuses.append(st)
                 if as_json:
                     payloads.append(pl)  # raw body string, parsed in the plan
+                elif ship_json:
+                    # html parse on the worker, JSON transport to the JVM
+                    payloads.append(_json.dumps(
+                        {"spans": [
+                            {"kind": k, "text": t, "media_ref": m, "offset": o}
+                            for k, t, m, o in pl
+                        ]},
+                        separators=(",", ":"),
+                    ))
                 else:
                     payloads.append(
                         [{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in pl]
@@ -109,7 +131,7 @@ def fetch_pages(
             # overrides — the same rates the budget cut used upstream
             host_rate = pdf["host"].map(rate_overrides).fillna(rate).astype("float64")
             cost = (pdf.groupby("host")["slot"].transform("max") / host_rate).astype("float64")
-            out = {("body" if as_json else "spans"): payloads}
+            out = {("body" if ship_json else "spans"): payloads}
             res = pdf.assign(status=pd.Series(statuses, index=pdf.index, dtype="int32"), virtual_cost_sec=cost, **out)
             yield res[[f.name for f in out_schema.fields]]  # schema column order
 

@@ -63,9 +63,14 @@ class CrawlSettings:
     # hash-clustered snapshot (SnapshotStore.compact) so the seen union and
     # the exact anti-join right side stop growing with round count. 0 = off.
     compact_every: int = 8
-    # "html" (pre-parsed spans off the fetch worker) or "json" (S7: raw
+    # "html" (spans parsed on the fetch worker) or "json" (S7: raw
     # JSON-API bodies parsed in the plan via from_json — byte-equal output)
     fetch_format: str = "html"
+    # how html-mode spans cross the Arrow boundary: "json" (one string per
+    # page, list<struct> assembled JVM-side via from_json; 1.75-2.2x
+    # faster end-to-end — BENCH/BASELINE.md round-4 A/B) or "arrow"
+    # (list-of-dicts through pandas). Byte-equal outputs.
+    span_transport: str = "json"
     # open-web frontier hygiene: drop crawler-trap URLs (over-long, over-
     # deep, parameter-exploded, repeated-segment loops) from discovered
     # candidates before they enter the frontier. None = off (the synthetic
@@ -127,6 +132,27 @@ class CrawlEngine:
         if s.seen_filter == "cuckoo" and s.use_bloom and n_seen > 0:
             from ba_gepris_crawler_spark.operators import cuckoo as CK
 
+            if self._cuckoo is None:
+                # resume path (table regime): load the persisted shard table
+                # instead of rebuilding from the full seen union — the
+                # cuckoo analog of load_bloom (at 10^10 URLs the rebuild is
+                # a full-scan job per resume). Accept a snapshot one round
+                # behind; the incremental branch below inserts the gap delta.
+                for upto in (rnd - 1, rnd - 2):
+                    if upto < 0:
+                        break
+                    got = self.store.load_cuckoo(upto)
+                    if got is not None:
+                        path, meta = got
+                        rows = self.spark.read.parquet(path)
+                        ct = CK.CuckooShardTable(
+                            df=rows, n_shards=meta["n_shards"],
+                            per_shard=meta["per_shard"], version=meta["version"],
+                        )
+                        ct._swap(rows)  # pin executor-resident, cut lineage
+                        ct.version = meta["version"]
+                        self._cuckoo, self._cuckoo_upto = ct, upto
+                        break
             if (
                 self._cuckoo is not None
                 and self._cuckoo_upto in (rnd - 1, rnd - 2)
@@ -223,9 +249,9 @@ class CrawlEngine:
         fetched = fetch_pages(
             fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets,
             session_token=token, epoch=epoch, fmt=s.fetch_format,
-            host_rates=s.politeness.host_rates,
+            host_rates=s.politeness.host_rates, span_transport=s.span_transport,
         )
-        if s.fetch_format == "json":
+        if "body" in fetched.columns:  # json API mode or json span transport
             fetched = parse_json_spans(fetched)
 
         # WRITE-ONCE layout: the fetch stage streams straight into the round's
@@ -447,6 +473,15 @@ class CrawlEngine:
             # rebuild (load_bloom + one delta OR instead of a full scan)
             self.store.save_bloom(
                 rnd, self._bloom.bits.tobytes(), self._bloom.m, self._bloom.k, self._bloom.version
+            )
+        if self._cuckoo is not None and hasattr(self._cuckoo, "df"):
+            # table regime: persist the shard rows (executor-written
+            # parquet) so a resumed engine loads instead of rebuilding;
+            # tagged with the round the table covers (_cuckoo_upto)
+            self.store.save_cuckoo(
+                self._cuckoo_upto, self._cuckoo.df,
+                {"n_shards": self._cuckoo.n_shards, "per_shard": self._cuckoo.per_shard,
+                 "n_items": self._cuckoo.n_items, "version": self._cuckoo.version},
             )
         for df in (candidates, seen, stats):
             df.unpersist()

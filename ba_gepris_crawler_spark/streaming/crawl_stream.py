@@ -163,7 +163,7 @@ class StreamingCrawl:
             session_token=token, epoch=epoch, fmt=self.fetch_format,
             host_rates=self.politeness.host_rates,
         )
-        if self.fetch_format == "json":
+        if "body" in fetched.columns:  # json API mode or json span transport
             fetched = parse_json_spans(fetched)
         docs = to_documents(fetched, batch_id, keep_errors=True)
         docs.write.mode("overwrite").parquet(self._out("documents", batch_id))

@@ -190,6 +190,12 @@ def main() -> None:
                 n_buckets=32,
                 politeness=PolitenessConfig(per_host_rate=float(n_pages), round_seconds=1.0, max_in_flight=10),
                 bloom_fpp=0.01, use_bloom=True, extract=False,
+                # html = spans assembled at the Arrow boundary (nested
+                # list<struct> out of the fetch UDF); json = flat body
+                # string out of the UDF, spans assembled JVM-side via
+                # from_json (byte-equal output; BENCH/BASELINE.md A/B)
+                fetch_format=os.environ.get("SPARK_GRAFT_FETCH_FORMAT", "html"),
+                span_transport=os.environ.get("SPARK_GRAFT_SPAN_TRANSPORT", "json"),
             )
             engine = CrawlEngine(spark, site, store, settings)
             t0 = time.time()

@@ -330,6 +330,30 @@ def test_json_api_crawl_equals_html_crawl(spark, crawl_cfg, tmp_path_factory, ru
     assert da == dj  # span sequences byte-equal across fetch formats
 
 
+def test_arrow_span_transport_equals_json_transport(spark, crawl_cfg, tmp_path_factory, run):
+    """span_transport is a wire-format detail of the html fetch path: the
+    'arrow' transport (list-of-dicts through pandas) must produce the
+    IDENTICAL crawl log and documents table as the default 'json'
+    transport (one string per page + JVM from_json) the `run` fixture used."""
+    store_a, _, _ = run
+    store_t = SnapshotStore(spark, tmp_path_factory.mktemp("crawl_arrow"))
+    settings = _settings()
+    settings.span_transport = "arrow"
+    manifests = CrawlEngine(spark, crawl_cfg, store_t, settings).run(max_rounds=30)
+    assert manifests[-1]["counters"]["done"]
+
+    a = {tuple(r) for r in store_a.read_union("url_seen", store_a.latest_round()).collect()}
+    t = {tuple(r) for r in store_t.read_union("url_seen", store_t.latest_round()).collect()}
+    assert a == t
+
+    cols = ["doc_id", "url", "round", "status", "spans"]
+    da = {(r.doc_id, r.url, r.round, r.status, str(r.spans))
+          for r in store_a.read_union("documents", store_a.latest_round()).select(*cols).collect()}
+    dt = {(r.doc_id, r.url, r.round, r.status, str(r.spans))
+          for r in store_t.read_union("documents", store_t.latest_round()).select(*cols).collect()}
+    assert da == dt  # span sequences byte-equal across transports
+
+
 def test_tiered_compaction_logarithmic_merge(spark, tmp_path):
     """Equal-size deltas compacted every round behave like a binary counter
     (Bentley–Saxe logarithmic method): the tier count equals popcount(k)
