@@ -133,6 +133,42 @@ class SnapshotStore:
             return None
         return bits_p.read_bytes(), meta
 
+    # -- cuckoo shard-table persistence (table regime only) --------------
+    def save_cuckoo(self, rnd: int, rows_df: DataFrame, meta: dict) -> None:
+        """Persist the executor-resident cuckoo shard table as of round
+        `rnd`. Unlike the bloom's driver-held bitmap, the shards are a
+        DataFrame and are written by the EXECUTORS (parquet, one row per
+        shard) — the driver never holds them. Manifest-first visibility:
+        data dir written, then the meta json atomically swapped to point
+        at it; superseded snapshot dirs are pruned only after the swap."""
+        import shutil as _shutil
+
+        d = self.root / "cuckoo"
+        d.mkdir(parents=True, exist_ok=True)
+        data = d / f"r{rnd}"
+        rows_df.write.mode("overwrite").parquet(str(data))
+        tmp = d / "latest.json.tmp"
+        tmp.write_text(json.dumps({"round": rnd, "path": f"r{rnd}", **meta}))
+        os.replace(tmp, d / "latest.json")
+        for p in d.iterdir():
+            if p.is_dir() and p.name != f"r{rnd}":
+                _shutil.rmtree(p, ignore_errors=True)
+
+    def load_cuckoo(self, rnd: int) -> tuple[str, dict] | None:
+        """(parquet path, meta) iff a snapshot tagged exactly round `rnd`
+        exists; None otherwise (caller rebuilds — the gate is admission-
+        only, correctness never depends on it)."""
+        meta_p = self.root / "cuckoo" / "latest.json"
+        if not meta_p.exists():
+            return None
+        meta = json.loads(meta_p.read_text())
+        if meta.get("round") != rnd:
+            return None
+        data = self.root / "cuckoo" / meta.get("path", "")
+        if not data.is_dir():
+            return None
+        return str(data), meta
+
     # -- deliberate rewind (App.scala:39-43 stage/round override analog) --
     def truncate_after(self, rnd: int) -> list[int]:
         """Un-commit every round AFTER `rnd` (and any compaction built on

@@ -265,6 +265,42 @@ def test_engine_crawl_with_distributed_cuckoo_equals_bloom(spark, tmp_path):
     assert len(seen["cuckoo"]) > 120
 
 
+def test_resume_loads_persisted_shard_table(spark, tmp_path, monkeypatch):
+    """A resumed engine must LOAD the persisted cuckoo shard table (plus
+    the gap delta) instead of rebuilding from the full seen union — the
+    cuckoo analog of the persisted bloom bitmap. Pinned by poisoning the
+    rebuild path on the resumed engine."""
+    from ba_gepris_crawler_spark.operators import cuckoo as CK
+    from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig
+    from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+    from ba_gepris_crawler_spark.plans.round_loop import CrawlEngine, CrawlSettings
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    site = SiteConfig(
+        hosts=("h00.gepris.example.org",), n_projects=120, n_persons=40,
+        n_institutions=10, hits_per_page=50, seed=42,
+    )
+    store = SnapshotStore(spark, tmp_path / "c")
+    settings = CrawlSettings(
+        n_buckets=8,
+        politeness=PolitenessConfig(per_host_rate=60, round_seconds=1.0, max_in_flight=10),
+        extract=False, seen_filter="cuckoo", bloom_expected_items=1 << 14,
+        cuckoo_mode="distributed",
+    )
+    CrawlEngine(spark, site, store, settings).run(max_rounds=3)
+    assert (tmp_path / "c" / "cuckoo" / "latest.json").exists()
+
+    def boom(*a, **kw):  # a resume that rebuilds would call this
+        raise AssertionError("resume rebuilt the cuckoo table instead of loading it")
+
+    monkeypatch.setattr(CK, "build_cuckoo_table", boom)
+    monkeypatch.setattr(CK, "build_cuckoo", boom)
+    eng2 = CrawlEngine(spark, site, store, settings)
+    ms = eng2.resume(max_rounds=4)
+    assert ms and any(m["counters"].get("cuckoo") for m in ms)
+    assert eng2._cuckoo is not None and hasattr(eng2._cuckoo, "df")
+
+
 def test_non_power_of_two_shards_no_false_negatives(spark):
     """Regression: lookup routing must use the same signed floor-mod as the
     build side's pmod — with n_shards=10 roughly half of all xxhash64
