@@ -160,7 +160,10 @@ def main() -> None:
             # sharpest scaling signal this one-machine sandbox can produce
             # (see BENCH/BASELINE.md).
             if os.environ.get("SPARK_GRAFT_FETCH_ONLY") == "1":
-                from ba_gepris_crawler_spark.operators.fetch import fetch_pages
+                from ba_gepris_crawler_spark.operators.fetch import (
+                    fetch_pages,
+                    parse_json_spans,
+                )
                 from ba_gepris_crawler_spark.operators.politeness import schedule_round
 
                 cfgp = PolitenessConfig(
@@ -171,9 +174,16 @@ def main() -> None:
                 fetch_now = fetch_now.localCheckpoint(eager=True)  # pre-materialize the schedule
                 n_sched = fetch_now.count()
                 t0 = time.time()
-                fetch_pages(fetch_now, site, cfgp.per_host_rate, 32).write.format(
-                    "noop"
-                ).mode("overwrite").save()
+                fetched = fetch_pages(
+                    fetch_now, site, cfgp.per_host_rate, 32,
+                    span_transport=os.environ.get("SPARK_GRAFT_SPAN_TRANSPORT", "json"),
+                )
+                if "body" in fetched.columns:
+                    # measure through SPAN MATERIALIZATION (same boundary as
+                    # the arrow transport measured in earlier rounds), not
+                    # just the raw string ship
+                    fetched = parse_json_spans(fetched)
+                fetched.write.format("noop").mode("overwrite").save()
                 fetch_sec = time.time() - t0
                 queries["fetch_only"] = round(fetch_sec, 3)
                 extras["fetch_pages"] = n_sched
