@@ -57,6 +57,14 @@ MANY_HOSTS_THRESHOLD = 2000
 # pays no extra shuffle either way.
 BUDGET_CASCADE_MAX = 64
 
+# Same crossover for robots rules: apply_robots compiles one filter per
+# ruled host (a when-cascade inside), so 10^5 robots'd hosts would mean
+# 10^5 chained Filter nodes — Catalyst plan size, not data, becomes the
+# bottleneck. Above this many ruled hosts (or under many_hosts) the rules
+# become a (host, sorted rule array) relation joined onto the frontier and
+# longest-match is evaluated by a single array-HOF expression.
+ROBOTS_CASCADE_MAX = 64
+
 
 @dataclass(frozen=True)
 class PolitenessConfig:
@@ -297,30 +305,101 @@ def politeness_from_robots(
     return replace(cfg, robots_rules=tuple(rules), host_rates=tuple(rates))
 
 
-def apply_robots(frontier: DataFrame, cfg: PolitenessConfig) -> DataFrame:
-    """Drop disallowed URLs. Both rule sets are tiny (per-host dimensions)
-    and are compiled into the plan as literals — the Catalyst equivalent of
-    broadcasting a robots cache.
+def apply_robots(
+    frontier: DataFrame,
+    cfg: PolitenessConfig,
+    many_hosts: bool = False,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Drop disallowed URLs.
 
-    - cfg.disallow: legacy any-match drops (explicit config regexes).
+    - cfg.disallow: legacy any-match drops (explicit config regexes; tiny
+      by construction — compiled into the plan as literal filters).
     - cfg.robots_rules: RFC-9309 longest-match — per host the rules are
-      sorted by (pattern length desc, Allow-first on ties) and compiled to
-      a when-cascade whose FIRST hit decides; no hit = allowed. This is
-      what lets an Allow carve a hole inside a Disallow prefix."""
+      sorted by (pattern length desc, Allow-first on ties) and the FIRST
+      hit decides; no hit = allowed. This is what lets an Allow carve a
+      hole inside a Disallow prefix.
+
+    SIZE-AWARE strategy for robots_rules (mirrors the offsets/budget
+    joins): at or below ROBOTS_CASCADE_MAX ruled hosts the rules compile
+    to per-host when-cascade filters (no join, no shuffle — the broadcast-
+    robots-cache shape). Above it — a 10^5-10^7-host open-web frontier
+    where every host has a robots.txt — that would be 10^5 chained Filter
+    nodes, so the rules become a (host, sorted-rule-array) relation and
+    longest-match is ONE array-HOF expression after a join: broadcast for
+    a small ruled-host universe under the cap with many_hosts=True, else
+    salted co-keyed shuffle on (host, crc32(url) % n_buckets) so a hot
+    host's frontier spreads over n_buckets tasks (the rules side is
+    metadata-sized: ruled_hosts x n_buckets rows; never a bare-host
+    Exchange on the data side). Decisions are identical across the three
+    paths (pinned by test_politeness)."""
     out = frontier
     for host, path_regex in cfg.disallow:
         out = out.filter(~((F.col("host") == host) & F.col("url").rlike(path_regex)))
-    if cfg.robots_rules:
-        by_host: dict[str, list[tuple[str, int, bool]]] = {}
-        for h, rx, spec, allow in cfg.robots_rules:
-            by_host.setdefault(h, []).append((rx, spec, allow))
+    if not cfg.robots_rules:
+        return out
+    by_host: dict[str, list[tuple[str, int, bool]]] = {}
+    for h, rx, spec, allow in cfg.robots_rules:
+        by_host.setdefault(h, []).append((rx, spec, allow))
+    if len(by_host) <= ROBOTS_CASCADE_MAX and not many_hosts:
         for h, rules in sorted(by_host.items()):
             ordered = sorted(rules, key=lambda r: (-r[1], not r[2]))
             decision: F.Column = F.lit(True)  # no matching rule -> allowed
             for rx, _spec, allow in reversed(ordered):
                 decision = F.when(F.col("url").rlike(rx), F.lit(allow)).otherwise(decision)
             out = out.filter((F.col("host") != h) | decision)
-    return out
+        return out
+    return _apply_robots_joined(out, cfg, many_hosts, n_buckets)
+
+
+def _apply_robots_joined(
+    frontier: DataFrame,
+    cfg: PolitenessConfig,
+    many_hosts: bool,
+    n_buckets: int,
+) -> DataFrame:
+    """Joined robots evaluation for large ruled-host universes (see
+    apply_robots). Per host the rules are packed into ONE array sorted by
+    (-specificity, Disallow-after-Allow) — the same precedence the cascade
+    compiles — and the decision is `get(filter(rules, r -> url rlike
+    r.rx), 0).allow` with null (no match / unruled host) meaning allowed.
+    The per-URL work is identical to the cascade's (each regex tried once,
+    first hit wins); only the plan shape changes from O(hosts) Filter
+    nodes to one join + one HOF."""
+    spark = frontier.sparkSession
+    rules = spark.createDataFrame(
+        list(cfg.robots_rules), "host string, rx string, spec int, allow boolean"
+    )
+    per_host = rules.groupBy("host").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("spec")).alias("nspec"),
+                    F.when(F.col("allow"), F.lit(0)).otherwise(F.lit(1)).alias("dis"),
+                    F.col("rx").alias("rx"),
+                    F.col("allow").alias("allow"),
+                )
+            )
+        ).alias("_rules")
+    )
+    if many_hosts:
+        # salt the metadata side x n_buckets so the data-side join key is
+        # (host, bucket) — a hot host's frontier never funnels into one task
+        per_host = per_host.withColumn(
+            "_rsalt", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1)))
+        )
+        joined = frontier.withColumn("_rsalt", salt_bucket("url", n_buckets)).join(
+            per_host, ["host", "_rsalt"], "left"
+        )
+    else:
+        joined = frontier.join(F.broadcast(per_host), "host", "left")
+    first = F.get(
+        F.filter(F.col("_rules"), lambda r: F.regexp_like(F.col("url"), r["rx"])),
+        F.lit(0),
+    )
+    decision = F.when(first.isNull(), F.lit(True)).otherwise(first["allow"])
+    # the join moves key columns first; restore the caller's column order
+    return joined.filter(decision).select(*frontier.columns)
 
 
 def salt_bucket(url_col: str = "url", n_buckets: int = 32) -> F.Column:
@@ -359,7 +438,7 @@ def schedule_round(
     person/institution catalog page outranks project detail pages — by
     design, catalogs widen the frontier fastest.
     """
-    f = apply_robots(frontier, cfg)
+    f = apply_robots(frontier, cfg, many_hosts=many_hosts, n_buckets=n_buckets)
     added_bucket = "host_bucket" not in f.columns
     if added_bucket:
         f = f.withColumn("host_bucket", salt_bucket("url", n_buckets))

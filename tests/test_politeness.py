@@ -205,6 +205,61 @@ def test_robots_allow_longest_match_and_dollar_anchor(spark):
         assert (u in kept) == want, u
 
 
+def test_robots_joined_variant_equals_cascade(spark):
+    """The size-aware robots strategies must decide identically: the
+    per-host when-cascade (small ruled universe), the broadcast-joined
+    array-HOF variant (many_hosts under the cap), and the salted co-keyed
+    join (many_hosts) — same frontier, same kept set. Exercises hole-
+    carving Allows, $-anchors, ties, and unruled hosts across >cap hosts
+    so the joined path is the one actually under test."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        ROBOTS_CASCADE_MAX,
+        apply_robots,
+        parse_robots_rules,
+    )
+
+    n_hosts = ROBOTS_CASCADE_MAX + 8
+    rules: list[tuple[str, str, int, bool]] = []
+    rows: list[tuple[str, str, bool]] = []  # (url, host, want_kept)
+    for i in range(n_hosts):
+        h = f"h{i}.example.org"
+        txt = (
+            "User-agent: *\n"
+            f"Disallow: /private{i}/\n"
+            f"Allow: /private{i}/press/\n"
+            "Disallow: /*.pdf$\n"
+        )
+        rules.extend(parse_robots_rules(h, txt))
+        rows.extend(
+            [
+                (f"https://{h}/private{i}/x", h, False),
+                (f"https://{h}/private{i}/press/r", h, True),
+                (f"https://{h}/doc.pdf", h, False),
+                (f"https://{h}/doc.pdf?v=1", h, True),
+                (f"https://{h}/open/{i}", h, True),
+            ]
+        )
+    rows.append(("https://unruled.org/private0/x", "unruled.org", True))
+    cfg = PolitenessConfig(robots_rules=tuple(rules))
+    df = spark.createDataFrame([(u, h) for u, h, _ in rows], "url string, host string")
+
+    want = {u for u, _h, keep in rows if keep}
+    # >cap ruled hosts -> joined variant picked automatically (broadcast)
+    assert {r.url for r in apply_robots(df, cfg).collect()} == want
+    # many_hosts -> salted co-keyed join; same decisions
+    got_salted = apply_robots(df, cfg, many_hosts=True, n_buckets=8)
+    assert {r.url for r in got_salted.collect()} == want
+    assert got_salted.columns == df.columns  # helper columns dropped
+    # force the cascade on a small slice and compare against the join
+    small = [t for t in rows if t[1] in ("h0.example.org", "unruled.org")]
+    small_rules = tuple(r for r in rules if r[0] == "h0.example.org")
+    small_cfg = PolitenessConfig(robots_rules=small_rules)
+    sdf = spark.createDataFrame([(u, h) for u, h, _ in small], "url string, host string")
+    cascade = {r.url for r in apply_robots(sdf, small_cfg).collect()}
+    joined = {r.url for r in apply_robots(sdf, small_cfg, many_hosts=True).collect()}
+    assert cascade == joined == {u for u, _h, keep in small if keep}
+
+
 def test_parse_crawl_delay_group_semantics():
     from ba_gepris_crawler_spark.operators.politeness import parse_crawl_delay
 
