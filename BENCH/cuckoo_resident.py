@@ -62,8 +62,13 @@ def run(mode: str, n: int) -> dict:
         [sys.executable, "-c", _CHILD, mode, str(n)],
         capture_output=True, text=True, cwd="/root/repo", timeout=1800,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"cuckoo bench child ({mode}, n={n}) failed rc={out.returncode}: "
+            + out.stderr[-2000:]
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -50,6 +50,7 @@ def _settings(args: argparse.Namespace) -> CrawlSettings:
         fetch_format=getattr(args, "fetch_format", "html"),
         seen_filter=getattr(args, "seen_filter", "bloom"),
         cuckoo_mode=getattr(args, "cuckoo_mode", "auto"),
+        cuckoo_shards=getattr(args, "cuckoo_shards", None),
         span_transport=getattr(args, "span_transport", "json"),
     )
 
@@ -88,6 +89,11 @@ def main(argv: list[str] | None = None) -> int:
             help="cuckoo shard regime: driver dict (small filters) or executor-"
                  "resident shard table (never collects the seen set); auto picks "
                  "by estimated table bytes",
+        )
+        c.add_argument(
+            "--cuckoo-shards", dest="cuckoo_shards", type=int, default=None,
+            help="cuckoo shard count (default: auto-sized so one shard's "
+                 "table stays <= 32 MiB at the expected seen-set size)",
         )
         if name == "resume-crawl":
             c.add_argument(
@@ -199,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
                     "fetch_format": settings.fetch_format,
                     "seen_filter": settings.seen_filter,
                     "cuckoo_mode": settings.cuckoo_mode,
+                    "cuckoo_shards": settings.cuckoo_shards,
                     "span_transport": settings.span_transport,
                 }
             )
@@ -227,6 +234,7 @@ def main(argv: list[str] | None = None) -> int:
                         fetch_format=cfg.get("fetch_format", settings.fetch_format),
                         seen_filter=cfg.get("seen_filter", settings.seen_filter),
                         cuckoo_mode=cfg.get("cuckoo_mode", settings.cuckoo_mode),
+                        cuckoo_shards=cfg.get("cuckoo_shards", settings.cuckoo_shards),
                         span_transport=cfg.get("span_transport", settings.span_transport),
                     )
                 except (ValueError, TypeError, KeyError) as e:

@@ -192,19 +192,50 @@ class CuckooFilterShards:
         return self.n_items / max(1, self.capacity)
 
 
+def _with_hash_cols(df: DataFrame, url_col: str) -> DataFrame:
+    """Append the gate's (_h1, _h2) hash columns, preserving all others.
+    THE single definition of the hash family (xxhash64 + the '\\x01cuckoo'
+    fingerprint salt): build, insert, delete, and both probe regimes all
+    route through here — the no-false-negative contract requires probes to
+    hash byte-identically to builds, so the expressions must never fork."""
+    return df.withColumn("_h1", F.xxhash64(F.col(url_col))).withColumn(
+        "_h2", F.xxhash64(F.concat(F.col(url_col), F.lit("\x01cuckoo")))
+    )
+
+
 def _hash_cols(df: DataFrame, url_col: str) -> DataFrame:
     # identical hash family to url_seen.py's bloom: xxhash64(url) and a
     # salted second hash for the fingerprint
-    return df.select(
-        F.xxhash64(F.col(url_col)).alias("_h1"),
-        F.xxhash64(F.concat(F.col(url_col), F.lit("\x01cuckoo"))).alias("_h2"),
-    )
+    return _with_hash_cols(df, url_col).select("_h1", "_h2")
+
+
+def _shard_col(n_shards: int) -> F.Column:
+    """Shard routing: SIGNED floor-mod (Spark pmod) of _h1 — the pandas
+    probe side mirrors it with np.mod on int64 (see split_by_cuckoo)."""
+    return F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int")
 
 
 def _shard_m(per_shard: int) -> int:
     """Bucket count sized_for would pick, without allocating the table."""
     need = max(8, int(per_shard / (_SLOTS * 0.95)) + 1)
     return 1 << (need - 1).bit_length()
+
+
+# One shard's table should stay well under Arrow's 2 GB binary-cell cap
+# (each shard crosses the cogroup boundary as ONE binary value) and small
+# enough that a probe/insert task's unpack+repack is cheap.
+_TARGET_SHARD_BYTES = 32 << 20
+
+
+def auto_shards(expected_items: int) -> int:
+    """Shard count sized to expected_items: doubles from 16 until one
+    shard's table is <= 32 MiB. 10^10 URLs -> 1024 shards of ~20 MB —
+    the regime the executor-resident table exists for; a fixed 16 would
+    put ~1 GB in a single Arrow cell per cogroup task."""
+    n = 16
+    while _shard_m(max(64, expected_items // n)) * _SLOTS * 2 > _TARGET_SHARD_BYTES:
+        n *= 2
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -219,6 +250,22 @@ def _persisted_ids(spark) -> set[int]:
     it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
     while it.hasNext():
         ids.add(it.next().getKey())
+    return ids
+
+
+def _new_checkpoint_ids(spark, before: set[int]) -> set[int]:
+    """Ids of persistent RDDs created by OUR localCheckpoint since
+    `before`. Filtering on isLocallyCheckpointed matters: the eager
+    checkpoint job may be the first to materialize an unrelated caller
+    cache (e.g. the engine's seen.cache()), which would land in a bare
+    before/after diff and get silently unpersisted on the next _swap —
+    freeing blocks this table does not own."""
+    ids: set[int] = set()
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if e.getKey() not in before and e.getValue().rdd().isLocallyCheckpointed():
+            ids.add(e.getKey())
     return ids
 
 
@@ -267,7 +314,7 @@ class CuckooShardTable:
         spark = new_rows.sparkSession
         before = _persisted_ids(spark)
         new_df = new_rows.localCheckpoint(eager=True)
-        new_ids = _persisted_ids(spark) - before
+        new_ids = _new_checkpoint_ids(spark, before)
         old_ids = self._rdd_ids
         self.df, self._rdd_ids = new_df, new_ids
         self.n_items = int(
@@ -279,9 +326,7 @@ class CuckooShardTable:
 
 
 def _sharded_hashes(df: DataFrame, url_col: str, n_shards: int) -> DataFrame:
-    return _hash_cols(df, url_col).withColumn(
-        "_shard", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int")
-    )
+    return _hash_cols(df, url_col).withColumn("_shard", _shard_col(n_shards))
 
 
 def _shard_from_row(row: pd.Series) -> CuckooShard:
@@ -312,13 +357,15 @@ def build_cuckoo_table(
     df: DataFrame,
     url_col: str = "url",
     expected_items: int = 1 << 17,
-    n_shards: int = 16,
+    n_shards: int | None = None,
     version: int = 0,
 ) -> CuckooShardTable:
     """Distributed build: shards are constructed INSIDE mapInPandas tasks
     (each shard's keys land in one partition of the `repartition(n_shards,
     "_shard")` exchange) and emitted as binary rows — the hashed seen set
     never transits the driver, so driver memory is flat in |seen|."""
+    if n_shards is None:
+        n_shards = auto_shards(expected_items)
     per_shard = max(64, expected_items // n_shards)
     hashed = _sharded_hashes(df, url_col, n_shards)
 
@@ -397,9 +444,9 @@ def _delete_table(ct: CuckooShardTable, gone: DataFrame, url_col: str) -> int:
 def _split_by_table(
     frontier: DataFrame, ct: CuckooShardTable, url_col: str
 ) -> tuple[DataFrame, DataFrame]:
-    hashed = frontier.withColumn("_h1", F.xxhash64(F.col(url_col))).withColumn(
-        "_h2", F.xxhash64(F.concat(F.col(url_col), F.lit("\x01cuckoo")))
-    ).withColumn("_shard", F.pmod(F.col("_h1"), F.lit(ct.n_shards)).cast("int"))
+    hashed = _with_hash_cols(frontier, url_col).withColumn(
+        "_shard", _shard_col(ct.n_shards)
+    )
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in hashed.schema.fields
     )
@@ -435,7 +482,7 @@ def build_cuckoo(
     df: DataFrame,
     url_col: str = "url",
     expected_items: int = 1 << 17,
-    n_shards: int = 16,
+    n_shards: int | None = None,
     version: int = 0,
     mode: str = "auto",
 ):
@@ -443,7 +490,11 @@ def build_cuckoo(
     dict (CuckooFilterShards — small-filter fast path), "distributed" the
     executor-resident CuckooShardTable, "auto" picks by estimated table
     bytes (> 64 MiB → distributed, mirroring url_seen.build_bloom's
-    collect/treeReduce split). Both regimes build BIT-IDENTICAL tables."""
+    collect/treeReduce split). n_shards=None auto-sizes (auto_shards) so
+    one shard stays <= 32 MiB at any expected_items. Both regimes build
+    BIT-IDENTICAL tables for the same n_shards."""
+    if n_shards is None:
+        n_shards = auto_shards(expected_items)
     per_shard = max(64, expected_items // n_shards)
     est_bytes = n_shards * _shard_m(per_shard) * _SLOTS * 2
     if mode == "distributed" or (mode == "auto" and est_bytes > _TABLE_REGIME_BYTES):
@@ -451,9 +502,7 @@ def build_cuckoo(
             df, url_col=url_col, expected_items=expected_items,
             n_shards=n_shards, version=version,
         )
-    hashed = _hash_cols(df, url_col).withColumn(
-        "_shard", F.pmod(F.col("_h1"), F.lit(n_shards)).cast("int")
-    )
+    hashed = _sharded_hashes(df, url_col, n_shards)
 
     def build_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[int, list[pd.DataFrame]] = {}
@@ -492,9 +541,7 @@ def insert_urls(cf, delta: DataFrame, url_col: str = "url"):
     if isinstance(cf, CuckooShardTable):
         return _insert_table(cf, delta, url_col)
     rows = (
-        _hash_cols(delta, url_col)
-        .withColumn("_shard", F.pmod(F.col("_h1"), F.lit(cf.n_shards)).cast("int"))
-        .collect()
+        _sharded_hashes(delta, url_col, cf.n_shards).collect()
     )
     by_shard: dict[int, list[tuple[int, int]]] = {}
     for r in rows:
@@ -512,9 +559,7 @@ def delete_urls(cf, gone: DataFrame, url_col: str = "url") -> int:
     if isinstance(cf, CuckooShardTable):
         return _delete_table(cf, gone, url_col)
     rows = (
-        _hash_cols(gone, url_col)
-        .withColumn("_shard", F.pmod(F.col("_h1"), F.lit(cf.n_shards)).cast("int"))
-        .collect()
+        _sharded_hashes(gone, url_col, cf.n_shards).collect()
     )
     removed = 0
     for r in rows:
@@ -540,9 +585,7 @@ def split_by_cuckoo(
     }
     bc = spark.sparkContext.broadcast((payload, cf.n_shards))
 
-    hashed = frontier.withColumn("_h1", F.xxhash64(F.col(url_col))).withColumn(
-        "_h2", F.xxhash64(F.concat(F.col(url_col), F.lit("\x01cuckoo")))
-    )
+    hashed = _with_hash_cols(frontier, url_col)
     in_schema = hashed.schema
     out_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema.fields)
 

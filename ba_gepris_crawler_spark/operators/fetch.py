@@ -76,7 +76,8 @@ def fetch_pages(
     which hands pandas a list-of-dicts column whose object-by-object
     list<struct> conversion dominates the whole fetch stage
     (BENCH/BASELINE.md round-4 A/B). Outputs are byte-equal; callers
-    check needs_span_parse() to know whether to apply parse_json_spans."""
+    check needs_span_parse(fetched) to know whether to apply
+    parse_json_spans before treating the result as documents."""
     spark = scheduled.sparkSession
     cfg_bc = spark.sparkContext.broadcast(site_cfg)
     token_bc = spark.sparkContext.broadcast(session_token)  # session/cookie analog
@@ -137,6 +138,14 @@ def fetch_pages(
 
     # Salted-bucket repartition: spreads any single host over the cluster.
     return scheduled.repartition(n_buckets, "host_bucket").mapInPandas(do_fetch, schema=out_schema)
+
+
+def needs_span_parse(fetched: DataFrame) -> bool:
+    """True iff a fetch_pages result still carries a raw `body` column
+    (fmt="json" or span_transport="json") and must go through
+    parse_json_spans before to_documents — the documented caller protocol
+    for both fetch formats and both span transports."""
+    return "body" in fetched.columns
 
 
 def parse_json_spans(fetched: DataFrame) -> DataFrame:

@@ -203,34 +203,17 @@ def parse_robots(host: str, robots_txt: str, user_agent: str = "*") -> tuple[tup
     (skipped). '*' wildcards in paths become '.*'; the prefix is anchored.
     Like the reference's one-time cookie fetch, the robots fetch+parse is
     a driver-side, once-per-host operation whose result is compiled into
-    the plan (the broadcast-robots-cache analog)."""
-    rules: list[tuple[str, str]] = []
-    group_agents: list[str] = []
-    in_group_body = False
-    for raw in robots_txt.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line:
-            continue
-        key, _, value = line.partition(":")
-        key = key.strip().lower()
-        value = value.strip()
-        if key == "user-agent":
-            if in_group_body:
-                group_agents = []
-                in_group_body = False
-            group_agents.append(value.lower())
-        elif key == "disallow":
-            in_group_body = True
-            if not value:
-                continue
-            if "*" in {a for a in group_agents} or user_agent.lower() in group_agents:
-                # apply_robots matches the full URL; accept bare-path
-                # inputs too (an optional scheme://host prefix). '*' and
-                # trailing '$' wildcards per _path_pattern_to_regex.
-                rules.append((host, _path_pattern_to_regex(value)))
-        else:
-            in_group_body = True  # crawl-delay etc.: group body continues
-    return tuple(rules)
+    the plan (the broadcast-robots-cache analog).
+
+    Exactly the is_allow=False projection of parse_robots_rules — ONE
+    group-semantics state machine exists; keep it that way (a tweak
+    applied to only one parser would silently diverge the legacy
+    disallow path from the rules path)."""
+    return tuple(
+        (h, rx)
+        for h, rx, _spec, allow in parse_robots_rules(host, robots_txt, user_agent)
+        if not allow
+    )
 
 
 def parse_crawl_delay(robots_txt: str, user_agent: str = "*") -> float | None:

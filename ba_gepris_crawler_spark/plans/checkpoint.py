@@ -145,13 +145,20 @@ class SnapshotStore:
 
         d = self.root / "cuckoo"
         d.mkdir(parents=True, exist_ok=True)
-        data = d / f"r{rnd}"
-        rows_df.write.mode("overwrite").parquet(str(data))
+        # NEVER overwrite the dir latest.json currently points at: a
+        # rewound crawl (resume --from-round) re-saves the same round tag,
+        # and an in-place overwrite that crashes mid-write would leave the
+        # manifest referencing a half-written dir. Fresh generation dir,
+        # then the atomic manifest swap, then prune superseded dirs.
+        gen = 0
+        while (data := d / f"r{rnd}-g{gen}").exists():
+            gen += 1
+        rows_df.write.mode("error").parquet(str(data))
         tmp = d / "latest.json.tmp"
-        tmp.write_text(json.dumps({"round": rnd, "path": f"r{rnd}", **meta}))
+        tmp.write_text(json.dumps({"round": rnd, "path": data.name, **meta}))
         os.replace(tmp, d / "latest.json")
         for p in d.iterdir():
-            if p.is_dir() and p.name != f"r{rnd}":
+            if p.is_dir() and p.name != data.name:
                 _shutil.rmtree(p, ignore_errors=True)
 
     def load_cuckoo(self, rnd: int) -> tuple[str, dict] | None:
@@ -165,7 +172,10 @@ class SnapshotStore:
         if meta.get("round") != rnd:
             return None
         data = self.root / "cuckoo" / meta.get("path", "")
-        if not data.is_dir():
+        # _SUCCESS guards a torn write (legacy in-place snapshots could be
+        # half-written); the gate is admission-only, so a missing/corrupt
+        # snapshot means rebuild, never a failed crawl
+        if not data.is_dir() or not (data / "_SUCCESS").exists():
             return None
         return str(data), meta
 

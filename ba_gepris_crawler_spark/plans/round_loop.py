@@ -28,7 +28,12 @@ from ba_gepris_crawler_spark.functions import extraction as X
 from ba_gepris_crawler_spark.operators import frontier as FR
 from ba_gepris_crawler_spark.operators.cookies import CookieJar
 from ba_gepris_crawler_spark.operators import url_seen as US
-from ba_gepris_crawler_spark.operators.fetch import fetch_pages, parse_json_spans, to_documents
+from ba_gepris_crawler_spark.operators.fetch import (
+    fetch_pages,
+    needs_span_parse,
+    parse_json_spans,
+    to_documents,
+)
 from ba_gepris_crawler_spark.operators.politeness import (
     MANY_HOSTS_THRESHOLD,
     PolitenessConfig,
@@ -58,6 +63,12 @@ class CrawlSettings:
     # regimes build bit-identical shards; "distributed" never collects
     # the hashed seen set (operators/cuckoo.py:CuckooShardTable).
     cuckoo_mode: str = "auto"
+    # shard count for the cuckoo gate. None = auto-size (operators/cuckoo.
+    # auto_shards): doubles from 16 until one shard's table is <= 32 MiB,
+    # so a 10^10-URL seen set gets ~2^10 shards of ~20 MB instead of 16
+    # shards whose ~1 GB binary rows would approach Arrow's 2 GB cell cap
+    # in the cogroup probe.
+    cuckoo_shards: int | None = None
     extract: bool = True
     # every K committed rounds, merge url_seen delta dirs into one
     # hash-clustered snapshot (SnapshotStore.compact) so the seen union and
@@ -132,24 +143,31 @@ class CrawlEngine:
         if s.seen_filter == "cuckoo" and s.use_bloom and n_seen > 0:
             from ba_gepris_crawler_spark.operators import cuckoo as CK
 
-            if self._cuckoo is None:
+            if self._cuckoo is None and s.cuckoo_mode != "driver":
                 # resume path (table regime): load the persisted shard table
                 # instead of rebuilding from the full seen union — the
                 # cuckoo analog of load_bloom (at 10^10 URLs the rebuild is
                 # a full-scan job per resume). Accept a snapshot one round
                 # behind; the incremental branch below inserts the gap delta.
+                # mode="driver" skips the load by contract: on-disk state
+                # must not override an explicit regime choice. A snapshot
+                # that fails to read (torn legacy write) falls through to
+                # the rebuild below — the gate is admission-only.
                 for upto in (rnd - 1, rnd - 2):
                     if upto < 0:
                         break
                     got = self.store.load_cuckoo(upto)
                     if got is not None:
                         path, meta = got
-                        rows = self.spark.read.parquet(path)
-                        ct = CK.CuckooShardTable(
-                            df=rows, n_shards=meta["n_shards"],
-                            per_shard=meta["per_shard"], version=meta["version"],
-                        )
-                        ct._swap(rows)  # pin executor-resident, cut lineage
+                        try:
+                            rows = self.spark.read.parquet(path)
+                            ct = CK.CuckooShardTable(
+                                df=rows, n_shards=meta["n_shards"],
+                                per_shard=meta["per_shard"], version=meta["version"],
+                            )
+                            ct._swap(rows)  # pin executor-resident, cut lineage
+                        except Exception:
+                            break  # corrupt snapshot -> full rebuild
                         ct.version = meta["version"]
                         self._cuckoo, self._cuckoo_upto = ct, upto
                         break
@@ -180,7 +198,7 @@ class CrawlEngine:
                     self._cuckoo.free()
                 cuckoo = CK.build_cuckoo(
                     seen, expected_items=max(n_seen * 4, s.bloom_expected_items),
-                    version=rnd, mode=s.cuckoo_mode,
+                    version=rnd, mode=s.cuckoo_mode, n_shards=s.cuckoo_shards,
                 )
             self._cuckoo, self._cuckoo_upto = cuckoo, rnd - 1
             splitter = lambda f: CK.split_by_cuckoo(f, cuckoo)  # noqa: E731
@@ -251,7 +269,7 @@ class CrawlEngine:
             session_token=token, epoch=epoch, fmt=s.fetch_format,
             host_rates=s.politeness.host_rates, span_transport=s.span_transport,
         )
-        if "body" in fetched.columns:  # json API mode or json span transport
+        if needs_span_parse(fetched):  # json API mode or json span transport
             fetched = parse_json_spans(fetched)
 
         # WRITE-ONCE layout: the fetch stage streams straight into the round's
@@ -457,7 +475,8 @@ class CrawlEngine:
 
             self._cuckoo = CK.build_cuckoo(
                 self.store.read_state("url_seen", rnd),
-                expected_items=s.bloom_expected_items, version=0, mode=s.cuckoo_mode,
+                expected_items=s.bloom_expected_items, version=0,
+                mode=s.cuckoo_mode, n_shards=s.cuckoo_shards,
             )
             self._cuckoo_upto = 0
         if bloom is not None:

@@ -162,6 +162,7 @@ def main() -> None:
             if os.environ.get("SPARK_GRAFT_FETCH_ONLY") == "1":
                 from ba_gepris_crawler_spark.operators.fetch import (
                     fetch_pages,
+                    needs_span_parse,
                     parse_json_spans,
                 )
                 from ba_gepris_crawler_spark.operators.politeness import schedule_round
@@ -178,7 +179,7 @@ def main() -> None:
                     fetch_now, site, cfgp.per_host_rate, 32,
                     span_transport=os.environ.get("SPARK_GRAFT_SPAN_TRANSPORT", "json"),
                 )
-                if "body" in fetched.columns:
+                if needs_span_parse(fetched):
                     # measure through SPAN MATERIALIZATION (same boundary as
                     # the arrow transport measured in earlier rounds), not
                     # just the raw string ship

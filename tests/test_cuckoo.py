@@ -6,6 +6,8 @@ determinism of the build."""
 
 from __future__ import annotations
 
+import pathlib
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -309,3 +311,92 @@ def test_non_power_of_two_shards_no_false_negatives(spark):
     new, maybe = split_by_cuckoo(_urls(spark, 0, 8_000, tag="npot"), cf10)
     assert new.count() == 0  # every seen url must hit (no false negatives)
     assert maybe.count() == 8_000
+
+
+def test_table_ops_do_not_free_caller_caches(spark):
+    """Regression (r4 review): _swap identified its checkpoint by a bare
+    before/after diff of getPersistentRDDs(), so when the eager checkpoint
+    job was the FIRST to materialize an unrelated caller cache (the
+    engine's seen.cache()), that cache's RDD landed in _rdd_ids and the
+    next insert/delete/free silently unpersisted blocks the table does
+    not own."""
+    from ba_gepris_crawler_spark.operators.cuckoo import _persisted_ids
+
+    before = _persisted_ids(spark)
+    urls = _urls(spark, 0, 5_000, tag="own").cache()  # NOT yet materialized
+    ct = build_cuckoo_table(urls, expected_items=8_000, n_shards=4)
+    # the build job was the first to materialize urls' cache
+    cache_ids = {i for i in _persisted_ids(spark) - before if i not in (ct._rdd_ids or set())}
+    assert cache_ids, "expected the build to materialize the caller cache"
+    insert_urls(ct, _urls(spark, 5_000, 5_100, tag="own"))
+    delete_urls(ct, _urls(spark, 0, 50, tag="own"))
+    ct.free()
+    assert cache_ids <= _persisted_ids(spark), "table ops freed a caller cache"
+    urls.unpersist()
+
+
+def test_save_cuckoo_same_round_never_overwrites_live_dir(spark, tmp_path):
+    """Regression (r4 review): a rewound crawl (--from-round) re-saves the
+    same round tag; writing in place would delete the very dir latest.json
+    points at mid-write. Each save must land in a fresh generation dir,
+    and a torn dir (no _SUCCESS) must read as absent, not crash resume."""
+    from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+
+    store = SnapshotStore(spark, tmp_path / "s")
+    ct = build_cuckoo_table(_urls(spark, 0, 1_000, tag="sv"), expected_items=2_000, n_shards=4)
+    meta = {"n_shards": ct.n_shards, "per_shard": ct.per_shard,
+            "n_items": ct.n_items, "version": ct.version}
+    store.save_cuckoo(3, ct.df, meta)
+    p1, _ = store.load_cuckoo(3)
+    store.save_cuckoo(3, ct.df, meta)  # rewind re-save, same tag
+    p2, m2 = store.load_cuckoo(3)
+    assert p1 != p2, "re-save overwrote the live snapshot dir in place"
+    assert spark.read.parquet(p2).count() == ct.df.count()
+    assert m2["n_shards"] == ct.n_shards
+    ct.free()
+    (pathlib.Path(p2) / "_SUCCESS").unlink()  # simulate a torn write
+    assert store.load_cuckoo(3) is None
+
+
+def test_auto_shards_sizing():
+    """n_shards=None auto-sizes so one shard's table stays <= 32 MiB: the
+    sandbox scale keeps 16 shards; the 10^10-URL regime the docstring
+    targets gets ~2^10 shards (~20 MB each) instead of 16 x ~1 GB Arrow
+    cells."""
+    from ba_gepris_crawler_spark.operators.cuckoo import _SLOTS, _shard_m, auto_shards
+
+    assert auto_shards(1 << 17) == 16
+    n = auto_shards(10**10)
+    assert n >= 1024
+    assert _shard_m(max(64, 10**10 // n)) * _SLOTS * 2 <= 32 << 20
+
+
+def test_resume_with_driver_mode_ignores_persisted_table(spark, tmp_path):
+    """cuckoo_mode='driver' forces the collected-dict regime by contract;
+    a persisted shard table on disk (from an earlier distributed crawl)
+    must not override the explicit mode on resume."""
+    from ba_gepris_crawler_spark.operators.cuckoo import CuckooFilterShards
+    from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig
+    from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+    from ba_gepris_crawler_spark.plans.round_loop import CrawlEngine, CrawlSettings
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    site = SiteConfig(
+        hosts=("h00.gepris.example.org",), n_projects=120, n_persons=40,
+        n_institutions=10, hits_per_page=50, seed=42,
+    )
+    store = SnapshotStore(spark, tmp_path / "c")
+    settings = CrawlSettings(
+        n_buckets=8,
+        politeness=PolitenessConfig(per_host_rate=60, round_seconds=1.0, max_in_flight=10),
+        extract=False, seen_filter="cuckoo", bloom_expected_items=1 << 14,
+        cuckoo_mode="distributed",
+    )
+    CrawlEngine(spark, site, store, settings).run(max_rounds=3)
+    assert (tmp_path / "c" / "cuckoo" / "latest.json").exists()
+    from dataclasses import replace
+
+    eng2 = CrawlEngine(spark, site, store, replace(settings, cuckoo_mode="driver"))
+    ms = eng2.resume(max_rounds=4)
+    assert ms and any(m["counters"].get("cuckoo") for m in ms)
+    assert isinstance(eng2._cuckoo, CuckooFilterShards), "on-disk table overrode cuckoo_mode='driver'"
