@@ -332,16 +332,96 @@ def apply_robots(
                 decision = F.when(F.col("url").rlike(rx), F.lit(allow)).otherwise(decision)
             out = out.filter((F.col("host") != h) | decision)
         return out
-    return _apply_robots_joined(out, cfg, many_hosts, n_buckets)
+    rules = frontier.sparkSession.createDataFrame(
+        list(cfg.robots_rules), ROBOTS_RULES_SCHEMA
+    )
+    return apply_robots_rules(out, rules, many_hosts=many_hosts, n_buckets=n_buckets)
 
 
-def _apply_robots_joined(
-    frontier: DataFrame,
-    cfg: PolitenessConfig,
-    many_hosts: bool,
-    n_buckets: int,
+# rule rows as a RELATION — the web-scale robots shape: at 10^6+ hosts
+# neither the robots bodies nor their parsed rules fit driver literals,
+# so they live as DataFrames end to end (parse_robots_rules_distributed
+# -> apply_robots_rules / crawl_delay_budgets -> schedule_round).
+ROBOTS_RULES_SCHEMA = "host string, rx string, spec int, allow boolean"
+
+
+def parse_robots_rules_distributed(
+    robots: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
 ) -> DataFrame:
-    """Joined robots evaluation for large ruled-host universes (see
+    """Distributed robots parse: (host, robots_txt) rows -> RFC-9309 rule
+    rows, Arrow-batched mapInPandas calling THE parse_robots_rules state
+    machine per body — one parser, two transports. The bodies (fetched by
+    the crawl itself at open-web scale) and the resulting rules never
+    transit the driver; feed the output to apply_robots_rules."""
+    import pandas as pd
+
+    ua = user_agent
+
+    def parse(batches):
+        for pdf in batches:
+            out: list[tuple[str, str, int, bool]] = []
+            for h, txt in zip(pdf[host_col], pdf[txt_col]):
+                out.extend(parse_robots_rules(h, txt or "", ua))
+            if out:
+                yield pd.DataFrame(out, columns=["host", "rx", "spec", "allow"])
+            else:
+                yield pd.DataFrame(
+                    {
+                        "host": pd.Series(dtype=object),
+                        "rx": pd.Series(dtype=object),
+                        "spec": pd.Series(dtype="int32"),
+                        "allow": pd.Series(dtype=bool),
+                    }
+                )
+
+    return robots.mapInPandas(parse, schema=ROBOTS_RULES_SCHEMA)
+
+
+def crawl_delay_budgets(
+    robots: DataFrame,
+    cfg: PolitenessConfig,
+    user_agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Distributed Crawl-delay parse: (host, robots_txt) rows -> (host,
+    budget int) rows for schedule_round's budgets_df — the web-scale
+    replacement for politeness_from_robots' driver-side host_rates tuples
+    (10^6 robots'd hosts cannot be config literals). Same group semantics
+    (parse_crawl_delay); hosts without an applicable directive emit no
+    row and fall back to cfg's default budget."""
+    import pandas as pd
+
+    ua, rs = user_agent, cfg.round_seconds
+
+    def parse(batches):
+        for pdf in batches:
+            hosts: list[str] = []
+            budgets: list[int] = []
+            for h, txt in zip(pdf[host_col], pdf[txt_col]):
+                delay = parse_crawl_delay(txt or "", ua)
+                if delay is not None:
+                    hosts.append(h)
+                    budgets.append(max(1, int((1.0 / delay) * rs)))
+            yield pd.DataFrame(
+                {"host": pd.Series(hosts, dtype=object),
+                 "budget": pd.Series(budgets, dtype="int32")}
+            )
+
+    return robots.mapInPandas(parse, schema="host string, budget int")
+
+
+def apply_robots_rules(
+    frontier: DataFrame,
+    rules: DataFrame,
+    many_hosts: bool = False,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Joined robots evaluation over a rules RELATION (ROBOTS_RULES_SCHEMA
+    rows — from parse_robots_rules_distributed, or cfg literals via
     apply_robots). Per host the rules are packed into ONE array sorted by
     (-specificity, Disallow-after-Allow) — the same precedence the cascade
     compiles — and the decision is `get(filter(rules, r -> url rlike
@@ -349,10 +429,6 @@ def _apply_robots_joined(
     The per-URL work is identical to the cascade's (each regex tried once,
     first hit wins); only the plan shape changes from O(hosts) Filter
     nodes to one join + one HOF."""
-    spark = frontier.sparkSession
-    rules = spark.createDataFrame(
-        list(cfg.robots_rules), "host string, rx string, spec int, allow boolean"
-    )
     per_host = rules.groupBy("host").agg(
         F.sort_array(
             F.collect_list(
@@ -398,8 +474,18 @@ def schedule_round(
     cfg: PolitenessConfig,
     n_buckets: int = 32,
     many_hosts: bool = False,
+    budgets_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the deduplicated frontier into (fetch_now, deferred).
+
+    budgets_df: optional (host, budget int) relation of per-host budgets —
+    the web-scale form of robots Crawl-delay overrides (crawl_delay_
+    budgets), for host universes where driver-side cfg.host_rates tuples
+    cannot hold. Precedence matches politeness_from_robots: an explicit
+    cfg.host_rates entry outranks a budgets_df row; hosts in neither use
+    cfg.per_host_budget. The relation rides the offsets join (size-aware:
+    broadcast, or co-keyed shuffle under many_hosts), so the data side
+    pays no extra shuffle.
 
     fetch_now rows carry:
       host_rank   - deterministic per-host fetch order (1-based) under the
@@ -469,6 +555,9 @@ def schedule_round(
         off = off.join(
             budgets if many_hosts else F.broadcast(budgets), "host", "left"
         )
+    if budgets_df is not None:
+        ext = budgets_df.select("host", F.col("budget").cast("int").alias("_budget_df"))
+        off = off.join(ext if many_hosts else F.broadcast(ext), "host", "left")
     # Level 1: rank within the salted partition — the only data-sized
     # shuffle, keyed (host, host_bucket) so a hot host spreads over B tasks.
     w = Window.partitionBy("host", "host_bucket").orderBy("crawl_depth", "priority", "url")
@@ -491,12 +580,29 @@ def schedule_round(
         .withColumn("host_rank", (F.col("grp_off") + F.col("_lrank") - F.col("lrank_before")).cast("int"))
         .drop("_lrank", "grp_off", "lrank_before")
     )
-    # Per-host token-bucket cut: budget is either the literal when-cascade
-    # (few overrides; no join, no shuffle) or the _budget column the
-    # offsets join carried in — either way partition-count independent.
+    # Per-host token-bucket cut: budget is the literal when-cascade (few
+    # overrides; no join, no shuffle), the _budget column the offsets join
+    # carried in, and/or the external budgets_df column — resolved with
+    # cfg-outranks-external precedence; partition-count independent.
+    helper_cols: list[str] = []
+    parts: list[F.Column] = []
     if budget_joined:
-        budget = F.coalesce(F.col("_budget"), F.lit(cfg.per_host_budget))
-        f = f.withColumn("_budget_resolved", budget).drop("_budget")
+        parts.append(F.col("_budget"))
+        helper_cols.append("_budget")
+    elif cfg.host_rates and budgets_df is not None:
+        # override-only cascade (null for unlisted hosts) so explicit
+        # cfg rates outrank budgets_df without masking its rows
+        cas: F.Column = F.lit(None).cast("int")
+        for h, _r in cfg.host_rates:
+            cas = F.when(F.col("host") == h, F.lit(cfg.budget_for(h))).otherwise(cas)
+        parts.append(cas)
+    if budgets_df is not None:
+        parts.append(F.col("_budget_df"))
+        helper_cols.append("_budget_df")
+    if parts:
+        budget = F.coalesce(*parts, F.lit(cfg.per_host_budget))
+        f = f.withColumn("_budget_resolved", budget).drop(*helper_cols)
+        helper_cols = ["_budget_resolved"]
         budget = F.col("_budget_resolved")
     else:
         budget = cfg.budget_col("host")
@@ -504,9 +610,9 @@ def schedule_round(
         "slot", F.ceil(F.col("host_rank") / cfg.max_in_flight).cast("int")
     )
     deferred = f.filter(F.col("host_rank") > budget).drop("host_rank")
-    if budget_joined:
-        fetch_now = fetch_now.drop("_budget_resolved")
-        deferred = deferred.drop("_budget_resolved")
+    if parts:
+        fetch_now = fetch_now.drop(*helper_cols)
+        deferred = deferred.drop(*helper_cols)
     if added_bucket:
         deferred = deferred.drop("host_bucket")
     return fetch_now, deferred

@@ -2205,6 +2205,66 @@ def crawl_robots_allow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "crawl_robots_distributed_parse",
+    """
+    WITH f AS (SELECT doc_id,
+      'h' || CAST(doc_id % 3 AS VARCHAR) || '.example.org' AS host,
+      CAST(doc_id % 3 AS VARCHAR) AS i,
+      CASE WHEN doc_id % 5 = 0 THEN '/private' || CAST(doc_id % 3 AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 1 THEN '/private' || CAST(doc_id % 3 AS VARCHAR) || '/press/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 2 THEN '/docs/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+           WHEN doc_id % 5 = 3 THEN '/docs/f' || CAST(doc_id AS VARCHAR) || '.pdf?x=1'
+           ELSE '/public/' || CAST(doc_id AS VARCHAR) END AS path
+      FROM documents)
+    SELECT doc_id, host, 'https://' || host || path AS url FROM f
+    WHERE NOT ((path LIKE '/private' || i || '/%' AND path NOT LIKE '/private' || i || '/press/%')
+               OR path LIKE '%.pdf')
+    ORDER BY doc_id
+    """,
+)
+def crawl_robots_distributed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scale robots transport end to end: robots.txt BODIES as a
+    DataFrame -> parse_robots_rules_distributed (Arrow-batched mapInPandas
+    over the same RFC-9309 state machine the driver path uses) ->
+    apply_robots_rules (per-host sorted rule arrays joined onto the
+    frontier, longest-match via one array HOF). Nothing — bodies, rules,
+    or decisions — transits the driver, the regime for 10^6+ robots'd
+    hosts where the cfg-literal path (crawl_robots_allow_filter) cannot
+    hold. Each of 3 hosts Disallows /private{i}/ with an Allow carving
+    /private{i}/press/ and a '/*.pdf$' suffix block; the oracle replays
+    the keep-set with LIKE algebra."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        apply_robots_rules,
+        parse_robots_rules_distributed,
+    )
+
+    robots = spark.range(3).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private"), F.col("id").cast("string"),
+            F.lit("/\nAllow: /private"), F.col("id").cast("string"),
+            F.lit("/press/\nDisallow: /*.pdf$\n"),
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots_rules_distributed(robots)
+    i = (F.col("doc_id") % 3).cast("string")
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private"), i, F.lit("/"), did))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private"), i, F.lit("/press/"), did))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/docs/f"), did, F.lit(".pdf")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/docs/f"), did, F.lit(".pdf?x=1")))
+        .otherwise(F.concat(F.lit("/public/"), did))
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), i, F.lit(".example.org")).alias("host"),
+        F.concat(F.lit("https://h"), i, F.lit(".example.org"), path).alias("url"),
+    )
+    return apply_robots_rules(d, rules).select("doc_id", "host", "url").orderBy("doc_id")
+
+
+@_q(
     "crawl_robots_txt_parse",
     """
     WITH f AS (SELECT doc_id,
@@ -2582,6 +2642,7 @@ def crawl_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as regression cover). New queries should be appended to _HEAD_FIRST until
 # they have a green driver row.
 _HEAD_FIRST = [
+    "crawl_robots_distributed_parse",
     "crawl_robots_allow_filter",
     "tpch_monthly_orders",
     "rel_string_functions",

@@ -408,3 +408,113 @@ def test_empty_frontier(spark):
     assert fetch_now.count() == 0
     assert deferred.count() == 0
     assert "host_rank" in fetch_now.columns and "slot" in fetch_now.columns
+
+
+def test_distributed_robots_pipeline_equals_driver_path(spark):
+    """Web-scale robots transport: (host, robots_txt) rows parsed with
+    parse_robots_rules_distributed must yield exactly the driver parser's
+    rules, and apply_robots_rules over that relation must keep the same
+    URL set as apply_robots over the politeness_from_robots config —
+    bodies and rules never transiting the driver."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        apply_robots,
+        apply_robots_rules,
+        parse_robots_rules,
+        parse_robots_rules_distributed,
+        politeness_from_robots,
+    )
+
+    bodies = {
+        f"h{i}.example.org": (
+            "User-agent: *\n"
+            f"Disallow: /private{i}/\n"
+            f"Allow: /private{i}/press/\n"
+            "Disallow: /*.pdf$\n"
+        )
+        for i in range(40)
+    }
+    bodies["empty.example.org"] = "# comments only\n"
+    robots = spark.createDataFrame(
+        list(bodies.items()), "host string, robots_txt string"
+    )
+    got = {
+        tuple(r) for r in parse_robots_rules_distributed(robots).collect()
+    }
+    want = {
+        t for h, txt in bodies.items() for t in parse_robots_rules(h, txt)
+    }
+    assert got == want and len(got) == 40 * 3
+
+    rows = []
+    for i in range(40):
+        h = f"h{i}.example.org"
+        rows += [
+            (f"https://{h}/private{i}/x", h, False),
+            (f"https://{h}/private{i}/press/r", h, True),
+            (f"https://{h}/doc.pdf", h, False),
+            (f"https://{h}/open/{i}", h, True),
+        ]
+    fr = spark.createDataFrame([(u, h) for u, h, _ in rows], "url string, host string")
+    want_kept = {u for u, _h, keep in rows if keep}
+    kept_rel = {r.url for r in apply_robots_rules(fr, parse_robots_rules_distributed(robots)).collect()}
+    assert kept_rel == want_kept
+    cfg = politeness_from_robots(PolitenessConfig(), bodies)
+    kept_cfg = {r.url for r in apply_robots(fr, cfg).collect()}
+    assert kept_cfg == kept_rel
+    # salted co-keyed variant too
+    kept_salted = {
+        r.url
+        for r in apply_robots_rules(
+            fr, parse_robots_rules_distributed(robots), many_hosts=True, n_buckets=8
+        ).collect()
+    }
+    assert kept_salted == want_kept
+
+
+def test_schedule_round_budgets_df_and_precedence(spark):
+    """crawl_delay_budgets -> schedule_round(budgets_df=...): the relation
+    form of robots Crawl-delay must cut per-host budgets exactly like the
+    cfg cascade, and an explicit cfg.host_rates entry must outrank the
+    budgets_df row for the same host (politeness_from_robots precedence)."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        crawl_delay_budgets,
+        politeness_from_robots,
+        schedule_round,
+    )
+
+    bodies = {
+        "slow.org": "User-agent: *\nCrawl-delay: 0.5\n",   # budget 20 at rs=10
+        "fast.org": "User-agent: *\nCrawl-delay: 0.1\n",   # budget 100 (uncut)
+        "plain.org": "User-agent: *\nDisallow:\n",          # no delay -> default
+    }
+    robots = spark.createDataFrame(list(bodies.items()), "host string, robots_txt string")
+    cfg = PolitenessConfig(per_host_rate=5.0, round_seconds=10.0, max_in_flight=10)
+    budgets = crawl_delay_budgets(robots, cfg)
+    assert {(r.host, r.budget) for r in budgets.collect()} == {("slow.org", 20), ("fast.org", 100)}
+
+    rows = [
+        (f"https://{h}/p/{i}", h, 0, 1)
+        for h in ("slow.org", "fast.org", "plain.org")
+        for i in range(80)
+    ]
+    fr = spark.createDataFrame(rows, "url string, host string, crawl_depth int, priority int")
+    now, deferred = schedule_round(fr, cfg, n_buckets=4, budgets_df=budgets)
+    by_host = {r.host: r.n for r in now.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    # slow: df budget 20; fast: 80 (uncut, budget 100); plain: default 50
+    assert by_host == {"slow.org": 20, "fast.org": 80, "plain.org": 50}
+    assert deferred.count() == 80 * 3 - (20 + 80 + 50)
+
+    # identical decisions to the driver-side cfg path on the same bodies
+    cfg_folded = politeness_from_robots(cfg, bodies)
+    now_cfg, _ = schedule_round(fr, cfg_folded, n_buckets=4)
+    assert sorted((r.url, r.host_rank) for r in now_cfg.select("url", "host_rank").collect()) == \
+        sorted((r.url, r.host_rank) for r in now.select("url", "host_rank").collect())
+
+    # explicit cfg override outranks the budgets_df row for the same host
+    cfg_override = PolitenessConfig(
+        per_host_rate=5.0, round_seconds=10.0, max_in_flight=10,
+        host_rates=(("slow.org", 1.0),),  # budget 10, not the df's 20
+    )
+    now_ov, _ = schedule_round(fr, cfg_override, n_buckets=4, budgets_df=budgets)
+    by_host_ov = {r.host: r.n for r in now_ov.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert by_host_ov == {"slow.org": 10, "fast.org": 80, "plain.org": 50}
