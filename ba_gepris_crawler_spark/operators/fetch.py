@@ -129,8 +129,15 @@ def fetch_pages(
                     )
             # virtual politeness cost: each slot-wave of a host costs
             # 1/rate, where rate honors the robots Crawl-delay per-host
-            # overrides — the same rates the budget cut used upstream
-            host_rate = pdf["host"].map(rate_overrides).fillna(rate).astype("float64")
+            # overrides — the same rates the budget cut used upstream.
+            # A `host_rate` column (planted by schedule_round when per-host
+            # budgets arrive as a RELATION, budgets_df) wins over the
+            # driver-dict overrides: at 10^6 robots'd hosts the rates are
+            # data, not config literals
+            if "host_rate" in pdf.columns:
+                host_rate = pdf["host_rate"].fillna(rate).astype("float64")
+            else:
+                host_rate = pdf["host"].map(rate_overrides).fillna(rate).astype("float64")
             cost = (pdf.groupby("host")["slot"].transform("max") / host_rate).astype("float64")
             out = {("body" if ship_json else "spans"): payloads}
             res = pdf.assign(status=pd.Series(statuses, index=pdf.index, dtype="int32"), virtual_cost_sec=cost, **out)

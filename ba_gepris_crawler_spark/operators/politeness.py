@@ -36,6 +36,7 @@ count 1 — SURVEY.md §2.8). Generalization mandated by the north rule:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -64,6 +65,21 @@ BUDGET_CASCADE_MAX = 64
 # become a (host, sorted rule array) relation joined onto the frontier and
 # longest-match is evaluated by a single array-HOF expression.
 ROBOTS_CASCADE_MAX = 64
+
+# Budgets are carried in int32 columns (offsets join, budgets_df); a
+# hostile robots.txt ("Crawl-delay: 1e-9") must clamp, not overflow.
+_INT32_MAX = 2**31 - 1
+
+
+def _budget_from_rate(rate: float, round_seconds: float) -> int:
+    """pages/sec x seconds -> int32-safe token-bucket budget. Clamps to
+    [1, INT32_MAX] so web-derived rates (1/Crawl-delay of an untrusted
+    body can be huge or inf) can never overflow the int32 budget columns
+    or raise mid-job."""
+    budget = rate * round_seconds
+    if budget >= _INT32_MAX:
+        return _INT32_MAX
+    return max(1, int(budget))
 
 
 @dataclass(frozen=True)
@@ -106,7 +122,7 @@ class PolitenessConfig:
 
     @property
     def per_host_budget(self) -> int:
-        return max(1, int(self.per_host_rate * self.round_seconds))
+        return _budget_from_rate(self.per_host_rate, self.round_seconds)
 
     def rate_for(self, host: str) -> float:
         for h, r in self.host_rates:
@@ -116,15 +132,27 @@ class PolitenessConfig:
 
     def budget_for(self, host: str) -> int:
         """Token-bucket page budget for ONE round of `host`."""
-        return max(1, int(self.rate_for(host) * self.round_seconds))
+        return _budget_from_rate(self.rate_for(host), self.round_seconds)
 
-    def budget_col(self, host_col: str = "host") -> F.Column:
+    def budget_col(self, host_col: str = "host", base: F.Column | None = None) -> F.Column:
         """The per-host budget as a literal when-cascade over the (tiny)
         host_rates dimension — the Catalyst equivalent of broadcasting the
-        robots crawl-delay cache; no join, no shuffle."""
-        c: F.Column = F.lit(self.per_host_budget)
+        robots crawl-delay cache; no join, no shuffle. `base` overrides
+        the no-override branch (schedule_round passes a null literal to
+        build an override-ONLY cascade that coalesces ahead of a joined
+        budgets_df column without masking its rows)."""
+        c: F.Column = F.lit(self.per_host_budget) if base is None else base
         for h, _r in self.host_rates:
             c = F.when(F.col(host_col) == h, F.lit(self.budget_for(h))).otherwise(c)
+        return c
+
+    def rate_col(self, host_col: str = "host", base: F.Column | None = None) -> F.Column:
+        """Same cascade for the RATE (pages/sec) — fetch_pages' virtual
+        cost uses rates, the scheduler uses budgets; one source of truth
+        for both when schedule_round resolves them as columns."""
+        c: F.Column = F.lit(self.per_host_rate) if base is None else base
+        for h, r in self.host_rates:
+            c = F.when(F.col(host_col) == h, F.lit(float(r))).otherwise(c)
         return c
 
 
@@ -246,7 +274,10 @@ def parse_crawl_delay(robots_txt: str, user_agent: str = "*") -> float | None:
                 delay = float(value)
             except ValueError:
                 continue
-            if delay <= 0:
+            # web input: "Crawl-delay: nan"/"inf" parse as floats but are
+            # not delays — nan even passes a `delay <= 0` guard (False)
+            # and would crash int() downstream; treat like malformed
+            if not math.isfinite(delay) or delay <= 0:
                 continue
             if user_agent.lower() != "*" and user_agent.lower() in group_agents:
                 specific = delay
@@ -365,17 +396,13 @@ def parse_robots_rules_distributed(
             out: list[tuple[str, str, int, bool]] = []
             for h, txt in zip(pdf[host_col], pdf[txt_col]):
                 out.extend(parse_robots_rules(h, txt or "", ua))
-            if out:
-                yield pd.DataFrame(out, columns=["host", "rx", "spec", "allow"])
-            else:
-                yield pd.DataFrame(
-                    {
-                        "host": pd.Series(dtype=object),
-                        "rx": pd.Series(dtype=object),
-                        "spec": pd.Series(dtype="int32"),
-                        "allow": pd.Series(dtype=bool),
-                    }
-                )
+            # ONE construction for empty and non-empty batches — the
+            # astype map is the only dtype statement, so the two branches
+            # cannot drift apart (an all-object empty frame would only
+            # fail on the partition that happened to have no rules)
+            yield pd.DataFrame(out, columns=["host", "rx", "spec", "allow"]).astype(
+                {"spec": "int32", "allow": bool}
+            )
 
     return robots.mapInPandas(parse, schema=ROBOTS_RULES_SCHEMA)
 
@@ -388,11 +415,16 @@ def crawl_delay_budgets(
     txt_col: str = "robots_txt",
 ) -> DataFrame:
     """Distributed Crawl-delay parse: (host, robots_txt) rows -> (host,
-    budget int) rows for schedule_round's budgets_df — the web-scale
-    replacement for politeness_from_robots' driver-side host_rates tuples
-    (10^6 robots'd hosts cannot be config literals). Same group semantics
-    (parse_crawl_delay); hosts without an applicable directive emit no
-    row and fall back to cfg's default budget."""
+    budget int, rate double) rows for schedule_round's budgets_df — the
+    web-scale replacement for politeness_from_robots' driver-side
+    host_rates tuples (10^6 robots'd hosts cannot be config literals),
+    covering BOTH of that path's consumers: `budget` drives the
+    scheduler's token-bucket cut and `rate` (pages/sec = 1/delay) rides
+    fetch_now as the `host_rate` column fetch_pages prices virtual cost
+    from. Same group semantics (parse_crawl_delay); hosts without an
+    applicable directive emit no row and fall back to cfg's defaults.
+    Budgets clamp to int32 (a hostile 'Crawl-delay: 1e-9' among 10^6
+    bodies must not kill the job with an int32 overflow)."""
     import pandas as pd
 
     ua, rs = user_agent, cfg.round_seconds
@@ -401,17 +433,21 @@ def crawl_delay_budgets(
         for pdf in batches:
             hosts: list[str] = []
             budgets: list[int] = []
+            rates: list[float] = []
             for h, txt in zip(pdf[host_col], pdf[txt_col]):
                 delay = parse_crawl_delay(txt or "", ua)
                 if delay is not None:
+                    rate = 1.0 / delay
                     hosts.append(h)
-                    budgets.append(max(1, int((1.0 / delay) * rs)))
+                    budgets.append(_budget_from_rate(rate, rs))
+                    rates.append(min(rate, float(_INT32_MAX)))
             yield pd.DataFrame(
                 {"host": pd.Series(hosts, dtype=object),
-                 "budget": pd.Series(budgets, dtype="int32")}
+                 "budget": pd.Series(budgets, dtype="int32"),
+                 "rate": pd.Series(rates, dtype="float64")}
             )
 
-    return robots.mapInPandas(parse, schema="host string, budget int")
+    return robots.mapInPandas(parse, schema="host string, budget int, rate double")
 
 
 def apply_robots_rules(
@@ -478,14 +514,18 @@ def schedule_round(
 ) -> tuple[DataFrame, DataFrame]:
     """Split the deduplicated frontier into (fetch_now, deferred).
 
-    budgets_df: optional (host, budget int) relation of per-host budgets —
-    the web-scale form of robots Crawl-delay overrides (crawl_delay_
-    budgets), for host universes where driver-side cfg.host_rates tuples
-    cannot hold. Precedence matches politeness_from_robots: an explicit
-    cfg.host_rates entry outranks a budgets_df row; hosts in neither use
-    cfg.per_host_budget. The relation rides the offsets join (size-aware:
-    broadcast, or co-keyed shuffle under many_hosts), so the data side
-    pays no extra shuffle.
+    budgets_df: optional (host, budget int[, rate double]) relation of
+    per-host budgets — the web-scale form of robots Crawl-delay overrides
+    (crawl_delay_budgets), for host universes where driver-side
+    cfg.host_rates tuples cannot hold. Precedence matches
+    politeness_from_robots: an explicit cfg.host_rates entry outranks a
+    budgets_df row; hosts in neither use cfg.per_host_budget. Duplicate
+    host rows are deduplicated (most-conservative wins) before joining.
+    The relation rides the offsets join (size-aware: broadcast, or
+    co-keyed shuffle under many_hosts), so the data side pays no extra
+    shuffle. When present, fetch_now additionally carries the resolved
+    pages/sec as `host_rate` — fetch_pages prices virtual cost from that
+    column, so the relation replaces BOTH consumers of host_rates.
 
     fetch_now rows carry:
       host_rank   - deterministic per-host fetch order (1-based) under the
@@ -549,14 +589,25 @@ def schedule_round(
     budget_joined = len(cfg.host_rates) > BUDGET_CASCADE_MAX
     if budget_joined:
         budgets = f.sparkSession.createDataFrame(
-            [(h, cfg.budget_for(h)) for h, _r in cfg.host_rates],
-            "host string, _budget int",
+            [(h, cfg.budget_for(h), float(cfg.rate_for(h))) for h, _r in cfg.host_rates],
+            "host string, _budget int, _rate double",
         )
         off = off.join(
             budgets if many_hosts else F.broadcast(budgets), "host", "left"
         )
+    has_ext_rate = budgets_df is not None and "rate" in budgets_df.columns
     if budgets_df is not None:
-        ext = budgets_df.select("host", F.col("budget").cast("int").alias("_budget_df"))
+        # dedup by host BEFORE the join: crawl_delay_budgets emits one row
+        # per input robots row, so a bodies relation accumulated across
+        # re-fetch rounds/redirects can carry a host twice — joined
+        # un-deduped, each duplicate would MULTIPLY that host's frontier
+        # rows through the offsets join. Most-conservative wins (smallest
+        # budget / slowest rate), the relation analog of cfg's
+        # first-occurrence-wins host_rates dedup.
+        agg = [F.min(F.col("budget").cast("int")).alias("_budget_df")]
+        if has_ext_rate:
+            agg.append(F.min(F.col("rate").cast("double")).alias("_rate_df"))
+        ext = budgets_df.groupBy("host").agg(*agg)
         off = off.join(ext if many_hosts else F.broadcast(ext), "host", "left")
     # Level 1: rank within the salted partition — the only data-sized
     # shuffle, keyed (host, host_bucket) so a hot host spreads over B tasks.
@@ -586,22 +637,41 @@ def schedule_round(
     # cfg-outranks-external precedence; partition-count independent.
     helper_cols: list[str] = []
     parts: list[F.Column] = []
+    rate_parts: list[F.Column] = []
     if budget_joined:
         parts.append(F.col("_budget"))
-        helper_cols.append("_budget")
+        rate_parts.append(F.col("_rate"))
+        helper_cols += ["_budget", "_rate"]
     elif cfg.host_rates and budgets_df is not None:
-        # override-only cascade (null for unlisted hosts) so explicit
-        # cfg rates outrank budgets_df without masking its rows
-        cas: F.Column = F.lit(None).cast("int")
-        for h, _r in cfg.host_rates:
-            cas = F.when(F.col("host") == h, F.lit(cfg.budget_for(h))).otherwise(cas)
-        parts.append(cas)
+        # override-only cascades (null for unlisted hosts) so explicit
+        # cfg rates outrank budgets_df without masking its rows — the
+        # SAME cascade builders the cfg-only path compiles (budget_col /
+        # rate_col with a null base), so the two paths cannot drift
+        parts.append(cfg.budget_col("host", base=F.lit(None).cast("int")))
+        rate_parts.append(cfg.rate_col("host", base=F.lit(None).cast("double")))
     if budgets_df is not None:
         parts.append(F.col("_budget_df"))
         helper_cols.append("_budget_df")
+        if has_ext_rate:
+            rate_parts.append(F.col("_rate_df"))
+            helper_cols.append("_rate_df")
+        else:
+            # budget-only relation: recover pages/sec from the budget
+            rate_parts.append(
+                F.col("_budget_df").cast("double") / F.lit(float(cfg.round_seconds))
+            )
     if parts:
         budget = F.coalesce(*parts, F.lit(cfg.per_host_budget))
-        f = f.withColumn("_budget_resolved", budget).drop(*helper_cols)
+        f = f.withColumn("_budget_resolved", budget)
+        if budgets_df is not None:
+            # resolved pages/sec rides fetch_now as `host_rate`, which
+            # fetch_pages prefers over its driver-dict overrides — so a
+            # budgets relation replaces BOTH host_rates consumers (the
+            # scheduler's budget cut AND the fetch virtual-cost model)
+            f = f.withColumn(
+                "host_rate", F.coalesce(*rate_parts, F.lit(float(cfg.per_host_rate)))
+            )
+        f = f.drop(*helper_cols)
         helper_cols = ["_budget_resolved"]
         budget = F.col("_budget_resolved")
     else:
@@ -613,6 +683,10 @@ def schedule_round(
     if parts:
         fetch_now = fetch_now.drop(*helper_cols)
         deferred = deferred.drop(*helper_cols)
+        if budgets_df is not None:
+            # deferred rows rejoin the frontier; the resolved rate is a
+            # fetch-stage concern only
+            deferred = deferred.drop("host_rate")
     if added_bucket:
         deferred = deferred.drop("host_bucket")
     return fetch_now, deferred

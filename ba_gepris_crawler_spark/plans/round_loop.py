@@ -100,6 +100,14 @@ class CrawlEngine:
         self._bloom_round: int = -10
         self._cuckoo = None  # incremental cuckoo shards (seen_filter="cuckoo")
         self._cuckoo_upto: int = -10  # highest round whose delta is inserted
+        # Optional per-host budgets RELATION (host, budget int[, rate
+        # double]) — the web-scale form of robots Crawl-delay politeness
+        # (operators/politeness.crawl_delay_budgets over fetched bodies).
+        # A DataFrame, so it lives outside the serialized CrawlSettings
+        # (config replay stays pure literals); callers that fetch robots
+        # as data set it once and every round's scheduler + fetch-cost
+        # model honor it. cfg.host_rates entries still outrank its rows.
+        self.budgets_df: DataFrame | None = None
         # session cookie cache (one Set-Cookie fetch+parse per epoch;
         # reference: CookieFlowGraph.scala:30-58)
         self._jar = CookieJar()
@@ -259,7 +267,8 @@ class CrawlEngine:
         # (crossover rationale lives with the constant in politeness.py)
         many_hosts = len(self.site.hosts) > MANY_HOSTS_THRESHOLD
         fetch_now, deferred = schedule_round(
-            candidates, s.politeness, s.n_buckets, many_hosts=many_hosts
+            candidates, s.politeness, s.n_buckets, many_hosts=many_hosts,
+            budgets_df=self.budgets_df,
         )
         # session cookie: refreshed once per epoch, broadcast into the fetch
         epoch = rnd // self.site.session_rounds if self.site.session_rounds else 0

@@ -569,3 +569,50 @@ def test_tiered_compaction_legacy_manifest_never_merges(spark, tmp_path):
     assert m2["tier_rows"] == [None, per]
     got = {r.doc_id for r in store.read_union("documents", 1).collect()}
     assert got == {f"d{i}" for i in range(2 * per)}
+
+
+def test_engine_budgets_df_relation_equals_cfg_path(spark, tmp_path_factory):
+    """Review r4: the budgets RELATION must be reachable from the engine
+    (engine.budgets_df), and a crawl throttled by crawl_delay_budgets rows
+    must produce the identical url_seen trace as the same delay folded
+    into cfg via politeness_from_robots (the driver-side path)."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        crawl_delay_budgets,
+        politeness_from_robots,
+    )
+
+    cfg = SiteConfig(
+        hosts=("slow.example.org", "fast.example.org"),
+        n_projects=16, n_persons=8, n_institutions=4,
+        hits_per_page=7, seed=33,
+    )
+    bodies = {"slow.example.org": "User-agent: *\nCrawl-delay: 0.125\n"}  # budget 8
+    base = PolitenessConfig(per_host_rate=30, round_seconds=1.0, max_in_flight=5)
+
+    # relation path: budgets as a DataFrame on the engine
+    store_rel = SnapshotStore(spark, tmp_path_factory.mktemp("bud_rel"))
+    eng = CrawlEngine(spark, cfg, store_rel, CrawlSettings(
+        n_buckets=8, politeness=base, extract=False))
+    robots = spark.createDataFrame(list(bodies.items()), "host string, robots_txt string")
+    eng.budgets_df = crawl_delay_budgets(robots, base)
+    manifests = eng.run(max_rounds=40)
+    assert manifests[-1]["counters"]["done"]
+
+    # cfg path: same delay as a host_rates literal
+    store_cfg = SnapshotStore(spark, tmp_path_factory.mktemp("bud_cfg"))
+    pol = politeness_from_robots(base, bodies)
+    CrawlEngine(spark, cfg, store_cfg, CrawlSettings(
+        n_buckets=8, politeness=pol, extract=False)).run(max_rounds=40)
+
+    trace_rel = sorted(
+        (r.url, r.round) for r in
+        store_rel.read_union("url_seen", store_rel.latest_round()).collect())
+    trace_cfg = sorted(
+        (r.url, r.round) for r in
+        store_cfg.read_union("url_seen", store_cfg.latest_round()).collect())
+    assert trace_rel == trace_cfg and len(trace_rel) > 0
+    # the slow host was actually throttled to the relation budget
+    per = store_rel.read_union("url_seen", store_rel.latest_round()) \
+        .groupBy("round", "host").count().collect()
+    assert any(r["host"] == "slow.example.org" and r["count"] == 8 for r in per)
+    assert all(r["count"] <= 8 for r in per if r["host"] == "slow.example.org")

@@ -518,3 +518,108 @@ def test_schedule_round_budgets_df_and_precedence(spark):
     now_ov, _ = schedule_round(fr, cfg_override, n_buckets=4, budgets_df=budgets)
     by_host_ov = {r.host: r.n for r in now_ov.groupBy("host").agg(F.count("*").alias("n")).collect()}
     assert by_host_ov == {"slow.org": 10, "fast.org": 80, "plain.org": 50}
+
+
+def test_budgets_df_duplicate_hosts_do_not_multiply_rows(spark):
+    """Review r4: budgets_df is one row per input robots row, so a bodies
+    relation accumulated across re-fetch rounds can carry a host twice.
+    The join must dedup by host (most-conservative wins) — un-deduped,
+    each duplicate would MULTIPLY that host's frontier rows through the
+    offsets join (duplicate fetches downstream)."""
+    from ba_gepris_crawler_spark.operators.politeness import schedule_round
+
+    cfg = PolitenessConfig(per_host_rate=10.0, round_seconds=60.0, max_in_flight=10)
+    fr = spark.createDataFrame(
+        [(f"https://dup.org/p/{i}", "dup.org", 0, 1) for i in range(10)]
+        + [(f"https://other.org/p/{i}", "other.org", 0, 1) for i in range(10)],
+        "url string, host string, crawl_depth int, priority int",
+    )
+    dup_budgets = spark.createDataFrame(
+        [("dup.org", 3, 0.05), ("dup.org", 7, 0.2)],
+        "host string, budget int, rate double",
+    )
+    now, deferred = schedule_round(fr, cfg, n_buckets=4, budgets_df=dup_budgets)
+    assert now.count() + deferred.count() == 20  # no multiplication anywhere
+    # every URL appears exactly once across the split
+    union = now.select("url").union(deferred.select("url"))
+    assert union.distinct().count() == 20
+    by_host = {r.host: r.n for r in now.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert by_host == {"dup.org": 3, "other.org": 10}  # min budget wins
+    rates = {r.host: r.host_rate for r in now.select("host", "host_rate").distinct().collect()}
+    assert rates == {"dup.org": 0.05, "other.org": 10.0}  # min rate wins
+    assert "host_rate" not in deferred.columns  # fetch-stage concern only
+
+
+def test_crawl_delay_budgets_hostile_values_clamp_not_crash(spark):
+    """Review r4: one hostile robots.txt among 10^6 must not kill the job.
+    'Crawl-delay: 1e-9' -> int32-clamped budget (not an Arrow overflow
+    error); 'nan'/'inf' -> ignored like malformed (nan even passes a
+    `delay <= 0` guard). Applies to the driver parser too."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        _INT32_MAX,
+        crawl_delay_budgets,
+        parse_crawl_delay,
+    )
+
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: nan\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: inf\n") is None
+    cfg = PolitenessConfig(per_host_rate=10.0, round_seconds=60.0)
+    robots = spark.createDataFrame(
+        [
+            ("h-tiny.org", "User-agent: *\nCrawl-delay: 1e-9\n"),
+            ("h-nan.org", "User-agent: *\nCrawl-delay: nan\n"),
+            ("h-inf.org", "User-agent: *\nCrawl-delay: inf\n"),
+            ("h-norm.org", "User-agent: *\nCrawl-delay: 0.5\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rows = {r.host: (r.budget, r.rate) for r in crawl_delay_budgets(robots, cfg).collect()}
+    assert rows["h-tiny.org"][0] == _INT32_MAX
+    assert rows["h-norm.org"] == (120, 2.0)
+    assert set(rows) == {"h-tiny.org", "h-norm.org"}
+    # the driver-side config path survives the same hostile rate
+    hostile = PolitenessConfig(host_rates=(("h.org", 1e12),), round_seconds=60.0)
+    assert hostile.budget_for("h.org") == _INT32_MAX
+
+
+def test_budgets_df_feeds_fetch_virtual_cost(spark):
+    """Review r4: the budgets relation must replace BOTH host_rates
+    consumers — the scheduler's budget cut AND fetch_pages' virtual-cost
+    pricing. fetch_now carries the resolved `host_rate`, and fetch_pages
+    prices identically to the driver-dict cfg path on the same delays."""
+    from ba_gepris_crawler_spark.operators.fetch import fetch_pages
+    from ba_gepris_crawler_spark.operators.politeness import (
+        crawl_delay_budgets,
+        politeness_from_robots,
+        schedule_round,
+    )
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    bodies = {"slow.example.org": "User-agent: *\nCrawl-delay: 0.5\n"}
+    cfg = PolitenessConfig(per_host_rate=5.0, round_seconds=10.0, max_in_flight=10)
+    site = SiteConfig(hosts=("slow.example.org", "fast.example.org"))
+    fr = spark.createDataFrame(
+        [(f"https://{h}/p/{i}", h, 0, 1, "project", str(i))
+         for h in site.hosts for i in range(12)],
+        "url string, host string, crawl_depth int, priority int, "
+        "resource_type string, resource_id string",
+    )
+    robots = spark.createDataFrame(list(bodies.items()), "host string, robots_txt string")
+    now_rel, _ = schedule_round(fr, cfg, n_buckets=4,
+                                budgets_df=crawl_delay_budgets(robots, cfg))
+    assert "host_rate" in now_rel.columns
+    cost_rel = {
+        (r.host, r.slot): r.virtual_cost_sec
+        for r in fetch_pages(now_rel, site, cfg.per_host_rate, n_buckets=4)
+        .select("host", "slot", "virtual_cost_sec").distinct().collect()
+    }
+    cfg_folded = politeness_from_robots(cfg, bodies)
+    now_cfg, _ = schedule_round(fr, cfg_folded, n_buckets=4)
+    cost_cfg = {
+        (r.host, r.slot): r.virtual_cost_sec
+        for r in fetch_pages(now_cfg, site, cfg.per_host_rate, n_buckets=4,
+                             host_rates=cfg_folded.host_rates)
+        .select("host", "slot", "virtual_cost_sec").distinct().collect()
+    }
+    assert cost_rel == cost_cfg
+    assert any(h == "slow.example.org" for h, _s in cost_rel)
