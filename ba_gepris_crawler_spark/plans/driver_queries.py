@@ -2376,6 +2376,80 @@ def crawl_crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "crawl_budget_relation_cut",
+    """
+    WITH f AS (SELECT doc_id, 'h' || CAST(doc_id % 3 AS VARCHAR) AS host,
+                      CAST(doc_id % 4 AS INT) AS host_bucket FROM documents),
+    r AS (SELECT host, doc_id,
+                 row_number() OVER (PARTITION BY host
+                     ORDER BY host_bucket, lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS rnk
+          FROM f),
+    b AS (SELECT host,
+                 CASE host WHEN 'h0' THEN 2 WHEN 'h1' THEN 4 ELSE 20 END AS budget,
+                 CASE host WHEN 'h0' THEN 2.0 WHEN 'h1' THEN 4.0 ELSE 20.0 END AS rate,
+                 rnk FROM r)
+    SELECT host, CAST(max(rate) AS DOUBLE) AS host_rate,
+           CAST(sum(CASE WHEN rnk <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_fetch_now,
+           CAST(sum(CASE WHEN rnk > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred
+    FROM b GROUP BY host ORDER BY host
+    """,
+)
+def crawl_budget_relation_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The budgets RELATION end to end through the REAL modules
+    (politeness.crawl_delay_budgets -> schedule_round(budgets_df=...)) —
+    the web-scale form of Crawl-delay politeness where per-host budgets
+    are data, not config literals. Pins the relation's hardening: h0
+    appears TWICE in the robots relation (0.5s and 0.125s delays; the
+    host dedup keeps the most conservative -> budget 2, rate 2/s), h2
+    serves a hostile 'Crawl-delay: nan' (ignored like malformed -> the
+    default budget 20), and the resolved pages/sec rides fetch_now as
+    `host_rate` — the column fetch_pages prices virtual cost from. The
+    oracle replays the per-host rank + CASE budget cut with the deduped
+    budgets."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        PolitenessConfig,
+        crawl_delay_budgets,
+        schedule_round,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string")).alias("host"),
+        F.lit(0).cast("int").alias("crawl_depth"),
+        F.lit(0).cast("int").alias("priority"),
+        (F.col("doc_id") % 4).cast("int").alias("host_bucket"),
+    )
+    base = PolitenessConfig(per_host_rate=20, round_seconds=1.0, max_in_flight=5)
+    robots = spark.createDataFrame(
+        [
+            ("h0", "User-agent: *\nCrawl-delay: 0.5\n"),
+            ("h0", "User-agent: *\nCrawl-delay: 0.125\n"),  # dup host: conservative wins
+            ("h1", "User-agent: *\nCrawl-delay: 0.25\n"),
+            ("h2", "User-agent: *\nCrawl-delay: nan\n"),  # hostile: ignored -> default
+        ],
+        "host string, robots_txt string",
+    )
+    fetch_now, deferred = schedule_round(
+        d, base, n_buckets=4, budgets_df=crawl_delay_budgets(robots, base)
+    )
+    fn = fetch_now.groupBy("host").agg(
+        F.max("host_rate").alias("host_rate"),
+        F.count(F.lit(1)).alias("n_fetch_now"),
+    )
+    dn = deferred.groupBy("host").agg(F.count(F.lit(1)).alias("n_deferred"))
+    return (
+        fn.join(dn, "host", "full")
+        .select(
+            "host",
+            "host_rate",
+            F.coalesce("n_fetch_now", F.lit(0)).alias("n_fetch_now"),
+            F.coalesce("n_deferred", F.lit(0)).alias("n_deferred"),
+        )
+        .orderBy("host")
+    )
+
+
+@_q(
     "emb_ivf_probe_topk",
     f"""
     WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
@@ -2642,6 +2716,7 @@ def crawl_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as regression cover). New queries should be appended to _HEAD_FIRST until
 # they have a green driver row.
 _HEAD_FIRST = [
+    "crawl_budget_relation_cut",
     "crawl_robots_distributed_parse",
     "crawl_robots_allow_filter",
     "tpch_monthly_orders",
