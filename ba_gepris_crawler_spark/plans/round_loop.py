@@ -107,6 +107,9 @@ class CrawlEngine:
         # (config replay stays pure literals); callers that fetch robots
         # as data set it once and every round's scheduler + fetch-cost
         # model honor it. cfg.host_rates entries still outrank its rows.
+        # Multi-round crawls should hand over a persisted/localCheckpointed
+        # frame — an unpersisted crawl_delay_budgets plan re-parses every
+        # robots body each round.
         self.budgets_df: DataFrame | None = None
         # session cookie cache (one Set-Cookie fetch+parse per epoch;
         # reference: CookieFlowGraph.scala:30-58)
