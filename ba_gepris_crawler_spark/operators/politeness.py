@@ -75,7 +75,12 @@ def _budget_from_rate(rate: float, round_seconds: float) -> int:
     """pages/sec x seconds -> int32-safe token-bucket budget. Clamps to
     [1, INT32_MAX] so web-derived rates (1/Crawl-delay of an untrusted
     body can be huge or inf) can never overflow the int32 budget columns
-    or raise mid-job."""
+    or raise mid-job. NaN is rejected loudly at plan-build time — the
+    comparison guards below are all False for NaN and int(nan) would
+    raise a confusing error deep in the plan (callers already filter it:
+    parse_crawl_delay and PolitenessConfig.__post_init__)."""
+    if math.isnan(rate):
+        raise ValueError("rate must be a finite number, got nan")
     budget = rate * round_seconds
     if budget >= _INT32_MAX:
         return _INT32_MAX
@@ -101,12 +106,14 @@ class PolitenessConfig:
     def __post_init__(self) -> None:
         # rates are divisors downstream (budget cut, fetch virtual cost):
         # a hand-written 0/negative override would clamp to budget 1 here
-        # but produce an inf virtual_cost_sec in fetch_pages — reject once
-        if self.per_host_rate <= 0:
-            raise ValueError(f"per_host_rate must be > 0, got {self.per_host_rate}")
+        # but produce an inf virtual_cost_sec in fetch_pages — reject once.
+        # NaN passes a bare `<= 0` guard (comparison False), so require
+        # finite explicitly
+        if not math.isfinite(self.per_host_rate) or self.per_host_rate <= 0:
+            raise ValueError(f"per_host_rate must be a finite number > 0, got {self.per_host_rate}")
         for h, r in self.host_rates:
-            if r <= 0:
-                raise ValueError(f"host_rates[{h!r}] must be > 0, got {r}")
+            if not math.isfinite(r) or r <= 0:
+                raise ValueError(f"host_rates[{h!r}] must be a finite number > 0, got {r}")
         # normalize host_rates to one entry per host, FIRST occurrence wins
         # (defined precedence: explicit overrides precede robots-derived
         # appends). Without this, rate_for/budget_for (first match) and
@@ -314,7 +321,9 @@ def politeness_from_robots(
         # an explicit config override outranks the robots Crawl-delay;
         # repeated calls are idempotent (no duplicate accumulation)
         if delay is not None and host not in overridden:
-            rates.append((host, 1.0 / delay))
+            # a subnormal-tiny delay makes 1/delay inf — clamp so the
+            # resulting config passes its own finite-rate validation
+            rates.append((host, min(1.0 / delay, float(_INT32_MAX))))
             overridden.add(host)
     return replace(cfg, robots_rules=tuple(rules), host_rates=tuple(rates))
 
@@ -604,9 +613,22 @@ def schedule_round(
         # rows through the offsets join. Most-conservative wins (smallest
         # budget / slowest rate), the relation analog of cfg's
         # first-occurrence-wins host_rates dedup.
-        agg = [F.min(F.col("budget").cast("int")).alias("_budget_df")]
+        # clamp at the boundary: schedule_round accepts ARBITRARY relations,
+        # so restore the cfg-path invariant budget in [1, INT32_MAX] here —
+        # a zero/negative row (or a long value a non-ANSI cast('int') would
+        # wrap negative) must not starve its host forever, and a
+        # non-positive/NaN rate falls back to the default rate (null)
+        budget_clamped = F.greatest(
+            F.lit(1).cast("long"),
+            F.least(F.col("budget").cast("long"), F.lit(_INT32_MAX).cast("long")),
+        )
+        agg = [F.min(budget_clamped).cast("int").alias("_budget_df")]
         if has_ext_rate:
-            agg.append(F.min(F.col("rate").cast("double")).alias("_rate_df"))
+            rate_valid = F.when(
+                F.col("rate").cast("double") > 0,
+                F.least(F.col("rate").cast("double"), F.lit(float(_INT32_MAX))),
+            )
+            agg.append(F.min(rate_valid).alias("_rate_df"))
         ext = budgets_df.groupBy("host").agg(*agg)
         off = off.join(ext if many_hosts else F.broadcast(ext), "host", "left")
     # Level 1: rank within the salted partition — the only data-sized

@@ -107,10 +107,13 @@ class CrawlEngine:
         # (config replay stays pure literals); callers that fetch robots
         # as data set it once and every round's scheduler + fetch-cost
         # model honor it. cfg.host_rates entries still outrank its rows.
-        # Multi-round crawls should hand over a persisted/localCheckpointed
-        # frame — an unpersisted crawl_delay_budgets plan re-parses every
-        # robots body each round.
+        # The engine localCheckpoints it on first use (else every round
+        # would re-parse every robots body through the mapInPandas plan),
+        # records its use in the manifest counters, and resume() refuses
+        # to continue without it (the relation is data the manifest cannot
+        # replay — silently dropping it would change politeness mid-crawl).
         self.budgets_df: DataFrame | None = None
+        self._budgets_ckpt = False
         # session cookie cache (one Set-Cookie fetch+parse per epoch;
         # reference: CookieFlowGraph.scala:30-58)
         self._jar = CookieJar()
@@ -258,7 +261,8 @@ class CrawlEngine:
         if n_candidates == 0:
             tables = {"frontier": self.store.write_table("frontier", rnd, candidates)}
             manifest = self.store.commit(rnd, tables, {"fetched": 0, "errors": 0, "done": True,
-                                                       "seen_total": n_seen, "candidates": 0})
+                                                       "seen_total": n_seen, "candidates": 0,
+                                                       "budgets_df": self.budgets_df is not None})
             for df in (candidates, seen):  # the early return must not leak caches
                 df.unpersist()
             return manifest
@@ -269,6 +273,12 @@ class CrawlEngine:
         # x B would make the broadcast a driver-scale round-trip
         # (crossover rationale lives with the constant in politeness.py)
         many_hosts = len(self.site.hosts) > MANY_HOSTS_THRESHOLD
+        if self.budgets_df is not None and not self._budgets_ckpt:
+            # materialize the budgets relation ONCE — an unpersisted
+            # crawl_delay_budgets plan would re-parse every robots body
+            # every round through the mapInPandas stage
+            self.budgets_df = self.budgets_df.localCheckpoint(eager=True)
+            self._budgets_ckpt = True
         fetch_now, deferred = schedule_round(
             candidates, s.politeness, s.n_buckets, many_hosts=many_hosts,
             budgets_df=self.budgets_df,
@@ -462,6 +472,7 @@ class CrawlEngine:
             "cuckoo": {"n_shards": cuckoo.n_shards, "n_items": cuckoo.n_items,
                        "version": cuckoo.version} if cuckoo else None,
             "virtual_cost_sec": max((r["virtual_cost_sec"] for r in lineage_rows), default=0.0),
+            "budgets_df": self.budgets_df is not None,
             "done": False,
         }
         if self.site.session_rounds:
@@ -531,8 +542,20 @@ class CrawlEngine:
     def resume(self, max_rounds: int = 50) -> list[dict]:
         """Continue from the latest committed snapshot (GeprisCrawler
         resume-crawl analog, but manifest-driven instead of directory
-        heuristics)."""
+        heuristics). Refuses to resume a crawl whose manifests record a
+        budgets relation (counters.budgets_df) unless the caller has set
+        engine.budgets_df again — the relation is DATA, not serialized
+        config, and silently dropping it would relax politeness mid-crawl
+        and diverge the url_seen trace from an uninterrupted run."""
         latest = self.store.latest_round()
+        if latest is not None and self.budgets_df is None:
+            if self.store.manifest(latest)["counters"].get("budgets_df"):
+                raise ValueError(
+                    "this crawl ran with a per-host budgets relation "
+                    "(manifest counters.budgets_df=true); set "
+                    "engine.budgets_df (e.g. crawl_delay_budgets over the "
+                    "same robots bodies) before resume()"
+                )
         start = 0 if latest is None else latest + 1
         return self.run(max_rounds=max_rounds, start_round=start)
 

@@ -616,3 +616,34 @@ def test_engine_budgets_df_relation_equals_cfg_path(spark, tmp_path_factory):
         .groupBy("round", "host").count().collect()
     assert any(r["host"] == "slow.example.org" and r["count"] == 8 for r in per)
     assert all(r["count"] <= 8 for r in per if r["host"] == "slow.example.org")
+
+
+def test_resume_refuses_to_drop_budgets_relation(spark, tmp_path_factory):
+    """Review r4b: budgets_df is data, not serialized config — a resume
+    without it would silently relax politeness mid-crawl. The manifest
+    records its use and resume() refuses until the caller re-sets it."""
+    from ba_gepris_crawler_spark.operators.politeness import crawl_delay_budgets
+
+    cfg = SiteConfig(hosts=("slow.example.org",), n_projects=8, n_persons=4,
+                     n_institutions=2, hits_per_page=5, seed=11)
+    base = PolitenessConfig(per_host_rate=30, round_seconds=1.0, max_in_flight=5)
+    store = SnapshotStore(spark, tmp_path_factory.mktemp("bud_resume"))
+    eng = CrawlEngine(spark, cfg, store, CrawlSettings(
+        n_buckets=8, politeness=base, extract=False))
+    robots = spark.createDataFrame(
+        [("slow.example.org", "User-agent: *\nCrawl-delay: 0.125\n")],
+        "host string, robots_txt string")
+    eng.budgets_df = crawl_delay_budgets(robots, base)
+    eng.run(max_rounds=2)  # leave the crawl unfinished
+
+    fresh = CrawlEngine(spark, cfg, store, CrawlSettings(
+        n_buckets=8, politeness=base, extract=False))
+    with pytest.raises(ValueError, match="budgets"):
+        fresh.resume(max_rounds=2)
+    # re-supplying the relation resumes cleanly
+    fresh.budgets_df = crawl_delay_budgets(robots, base)
+    manifests = fresh.resume(max_rounds=40)
+    assert manifests[-1]["counters"]["done"]
+    per = store.read_union("url_seen", store.latest_round()) \
+        .groupBy("round").count().collect()
+    assert all(r["count"] <= 8 for r in per if r["count"])  # budget held throughout

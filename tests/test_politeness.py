@@ -623,3 +623,41 @@ def test_budgets_df_feeds_fetch_virtual_cost(spark):
     }
     assert cost_rel == cost_cfg
     assert any(h == "slow.example.org" for h, _s in cost_rel)
+
+
+def test_budgets_df_boundary_clamps_zero_negative_huge(spark):
+    """Review r4b: schedule_round accepts ARBITRARY relations, so the
+    cfg-path invariant budget in [1, INT32_MAX] must be restored at the
+    boundary — a zero/negative budget row must not starve its host
+    forever, and a long value must not wrap negative through cast('int').
+    Non-positive rates fall back to the default rate."""
+    from ba_gepris_crawler_spark.operators.politeness import schedule_round
+
+    cfg = PolitenessConfig(per_host_rate=10.0, round_seconds=60.0, max_in_flight=10)
+    fr = spark.createDataFrame(
+        [(f"https://{h}/p/{i}", h, 0, 1) for h in ("z.org", "neg.org", "huge.org")
+         for i in range(5)],
+        "url string, host string, crawl_depth int, priority int",
+    )
+    bad = spark.createDataFrame(
+        [("z.org", 0, 0.0), ("neg.org", -5, -1.0), ("huge.org", 3_000_000_000, 2.0)],
+        "host string, budget long, rate double",
+    )
+    now, deferred = schedule_round(fr, cfg, n_buckets=4, budgets_df=bad)
+    by_host = {r.host: r.n for r in now.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    # floor 1: the zero/negative hosts still fetch one page per round
+    assert by_host.get("z.org") == 1 and by_host.get("neg.org") == 1, by_host
+    # 3e9 clamps to INT32_MAX (uncut), not a negative int32 wrap (starved)
+    assert by_host.get("huge.org") == 5, by_host
+    rates = {r.host: r.host_rate for r in now.select("host", "host_rate").distinct().collect()}
+    assert rates["z.org"] == 10.0 and rates["neg.org"] == 10.0  # default rate
+    assert rates["huge.org"] == 2.0
+
+
+def test_config_rejects_nan_rates():
+    """Review r4b: NaN passes a bare `<= 0` guard; the config validator
+    must reject it explicitly (int(nan) would raise deep in plan build)."""
+    with pytest.raises(ValueError):
+        PolitenessConfig(host_rates=(("h.org", float("nan")),))
+    with pytest.raises(ValueError):
+        PolitenessConfig(per_host_rate=float("nan"))
