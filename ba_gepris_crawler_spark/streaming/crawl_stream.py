@@ -76,6 +76,13 @@ class StreamingCrawl:
     # initial bloom sizing (m/k are fixed at first build; outgrowing it
     # only degrades the pre-gate's selectivity, never correctness)
     bloom_expected_items: int = 1_000_000
+    # optional per-host budgets RELATION (host, budget int[, rate double])
+    # — the web-scale Crawl-delay form (politeness.crawl_delay_budgets),
+    # same semantics as CrawlEngine.budgets_df: joined into every batch's
+    # schedule_round with cfg-outranks-external precedence, resolved rate
+    # carried to the fetch cost model; localCheckpointed on first use so
+    # the robots bodies parse once, not once per micro-batch
+    budgets_df: DataFrame | None = None
     # session cookie cache (one Set-Cookie fetch per epoch), mirroring the
     # batch engine: the epoch analog is batch_id // session_rounds, so a
     # session-gated site rotates in the stream too instead of every
@@ -83,6 +90,7 @@ class StreamingCrawl:
     _jar: CookieJar = field(default_factory=CookieJar)
     _bloom: US.BloomFilterModel | None = field(default=None, init=False, repr=False)
     _bloom_dirs: set = field(default_factory=set, init=False, repr=False)
+    _budgets_ckpt: bool = field(default=False, init=False, repr=False)
 
     def __post_init__(self) -> None:
         self.root = Path(self.root)
@@ -160,7 +168,12 @@ class StreamingCrawl:
         )
         if candidates.isEmpty():
             return  # write nothing: lets drain() detect quiescence
-        fetch_now, deferred = schedule_round(candidates, self.politeness, self.n_buckets)
+        if self.budgets_df is not None and not self._budgets_ckpt:
+            self.budgets_df = self.budgets_df.localCheckpoint(eager=True)
+            self._budgets_ckpt = True
+        fetch_now, deferred = schedule_round(
+            candidates, self.politeness, self.n_buckets, budgets_df=self.budgets_df
+        )
         epoch = batch_id // self.site.session_rounds if self.site.session_rounds else 0
         token = self._jar.get(self.site, epoch) if self.site.session_rounds else None
         fetched = fetch_pages(

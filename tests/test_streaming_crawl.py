@@ -226,3 +226,47 @@ def test_streaming_bloom_gate_rebuilds_across_restart(spark, tmp_path):
     ).run(max_rounds=30)
     batch_seen = {r.url for r in store.read_union("url_seen", store.latest_round()).collect()}
     assert {r.url for r in seen.collect()} == batch_seen
+
+
+def test_streaming_budgets_relation_matches_batch(spark, tmp_path):
+    """The budgets RELATION (web-scale Crawl-delay) in the STREAM: a
+    streamed crawl throttled by crawl_delay_budgets rows must land on the
+    same final seen set / documents as the batch engine running the same
+    relation, every url fetched exactly once, and the throttle must have
+    actually bound in some micro-batch."""
+    from ba_gepris_crawler_spark.operators.politeness import crawl_delay_budgets
+
+    cfg = SiteConfig(
+        hosts=("slow.example.org", "fast.example.org"),
+        n_projects=12, n_persons=6, n_institutions=3,
+        hits_per_page=6, seed=17,
+    )
+    pol = PolitenessConfig(per_host_rate=40, round_seconds=1.0, max_in_flight=5)
+    robots = spark.createDataFrame(
+        [("slow.example.org", "User-agent: *\nCrawl-delay: 0.2\n")],  # budget 5
+        "host string, robots_txt string")
+
+    sc = StreamingCrawl(spark, cfg, tmp_path / "stream", politeness=pol, n_buckets=8,
+                        budgets_df=crawl_delay_budgets(robots, pol))
+    sc.seed()
+    waves = sc.drain(max_waves=40)
+    assert 1 < waves <= 40
+
+    store = SnapshotStore(spark, tmp_path / "batch")
+    eng = CrawlEngine(spark, cfg, store,
+                      CrawlSettings(n_buckets=8, politeness=pol, extract=False))
+    eng.budgets_df = crawl_delay_budgets(robots, pol)
+    eng.run(max_rounds=40)
+
+    batch_seen = {(r.url, r.status)
+                  for r in store.read_union("url_seen", store.latest_round()).collect()}
+    stream_seen = {(r.url, r.status) for r in sc.seen().collect()}
+    assert stream_seen == batch_seen
+    assert sc.seen().count() == sc.seen().select("url").distinct().count()
+
+    # the relation budget actually bound: no stream batch fetched more
+    # than 5 slow-host pages, and at least one batch hit exactly 5
+    per = sc.seen().filter(F.col("host") == "slow.example.org") \
+        .groupBy("round").count().collect()
+    assert per and all(r["count"] <= 5 for r in per)
+    assert any(r["count"] == 5 for r in per)
