@@ -22,8 +22,10 @@ Axes (full-size recorded runs + methodology live in BENCH/BASELINE.md):
                10x|seen|.
 
 Knobs: SPARK_SMOKE_PAGES (steady frontier size, default 250000),
-SPARK_SMOKE_SEEN (cuckoo base size, default 400000), SPARK_SMOKE_AXES
-(comma list to run a subset, default all).
+SPARK_SMOKE_SEEN (cuckoo base size, default 400000), SPARK_SMOKE_HOT_URLS
+(hot-host frontier size, default 8000000 — the two-level rank's advantage
+grows with per-host frontier size), SPARK_SMOKE_AXES (comma list to run a
+subset, default all).
 
 Run: python BENCH/scale_smoke.py
 """
@@ -84,13 +86,16 @@ def _pair(pages: int, fetch_only: bool) -> dict:
 
 
 _HOT_HOST = r"""
-import json, time
+import json, os, time
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, schedule_round
 from ba_gepris_crawler_spark.session import get_spark
 
-N = 4_000_000
+# Default 8M: the two-level rank's advantage GROWS with per-host frontier
+# size (at 4M one task still sorts the host comfortably and the result
+# reads neutral; the recorded 8M runs show 1.9-3.1x)
+N = int(os.environ.get("SPARK_SMOKE_HOT_URLS", "8000000"))
 spark = get_spark(master="local[16]", shuffle_partitions=32, app_name="hot-host")
 frontier = spark.range(N).select(
     F.concat(F.lit("https://hot.example.org/p/"), F.col("id").cast("string")).alias("url"),

@@ -84,7 +84,9 @@ def _budget_from_rate(rate: float, round_seconds: float) -> int:
     budget = rate * round_seconds
     if budget >= _INT32_MAX:
         return _INT32_MAX
-    return max(1, int(budget))
+    if budget < 1:  # also catches -inf, where int() would overflow
+        return 1
+    return int(budget)
 
 
 @dataclass(frozen=True)

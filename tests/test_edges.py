@@ -107,3 +107,36 @@ def test_parse_robots_agent_specific_group():
     other = parse_robots("h", txt, user_agent="somebot")
     assert len(mine) == 2  # its own group AND the wildcard group
     assert len(other) == 1  # wildcard group only
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(allow_nan=False),
+    st.floats(min_value=0.001, max_value=86_400.0),
+)
+def test_budget_from_rate_always_int32_safe(rate, round_seconds):
+    """Property (review r4b): for ANY non-NaN rate — including inf,
+    negative, zero, subnormal — the derived budget is an int in
+    [1, INT32_MAX], so no budget column can ever overflow or go
+    non-positive. NaN is the one rejected input."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        _INT32_MAX,
+        _budget_from_rate,
+    )
+
+    b = _budget_from_rate(rate, round_seconds)
+    assert isinstance(b, int) and 1 <= b <= _INT32_MAX
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_parse_crawl_delay_never_crashes_and_is_finite_positive(txt):
+    """Property: arbitrary robots.txt text never crashes the delay
+    parser, and any returned delay is finite and > 0 (nan/inf/negative
+    directives are ignored like malformed)."""
+    import math
+
+    from ba_gepris_crawler_spark.operators.politeness import parse_crawl_delay
+
+    d = parse_crawl_delay(txt)
+    assert d is None or (math.isfinite(d) and d > 0)

@@ -661,3 +661,29 @@ def test_config_rejects_nan_rates():
         PolitenessConfig(host_rates=(("h.org", float("nan")),))
     with pytest.raises(ValueError):
         PolitenessConfig(per_host_rate=float("nan"))
+
+
+def test_budgets_df_join_adds_no_bare_host_data_exchange(spark):
+    """The budgets relation must ride the metadata-sized offsets join:
+    joining it may exchange METADATA rows by host, but no Exchange that
+    carries frontier DATA rows (url column) may partition by bare host."""
+    from ba_gepris_crawler_spark.operators.politeness import schedule_round
+
+    f = _frontier(spark)
+    cfg = PolitenessConfig(per_host_rate=40, round_seconds=1.0)
+    budgets = spark.createDataFrame(
+        [("h0.example.org", 5, 1.0)], "host string, budget int, rate double")
+    fetch_now, _ = schedule_round(f, cfg, n_buckets=N_BUCKETS, budgets_df=budgets)
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        fetch_now._jdf.queryExecution(), "formatted"
+    )
+    for blk in re.split(r"\n\s*\n", plan):
+        if not re.match(r"\(\d+\) Exchange", blk.strip()):
+            continue
+        m = re.search(r"hashpartitioning\(([^)]*)\)", blk)
+        if m is None:
+            continue
+        keys = m.group(1)
+        if re.search(r"\bhost#", keys) and "host_bucket#" not in keys:
+            inp = next((ln for ln in blk.splitlines() if ln.startswith("Input")), "")
+            assert "url#" not in inp, f"bare-host Exchange carries data rows: {blk}"
