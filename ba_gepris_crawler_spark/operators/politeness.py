@@ -177,15 +177,28 @@ def priority_for_type() -> F.Column:
     )
 
 
+# Hostile-robots parsing caps (RFC 9309 §2.4 requires processing at least
+# 500 KiB and allows ignoring the rest; per-rule length is the de-facto
+# crawler limit). Both bound the regex work a hostile body can schedule
+# onto EXECUTORS — rules evaluate per frontier URL, so an unbounded
+# pattern is a distributed-CPU DoS, not just a parse cost.
+_MAX_ROBOTS_BODY = 500 * 1024
+_MAX_RULE_LEN = 2048
+
+
 def _path_pattern_to_regex(value: str) -> str:
     """robots.txt path pattern -> anchored regex: '*' matches any char
     sequence, a TRAILING '$' anchors the end of the URL (RFC 9309 §2.2.3);
     an optional scheme://host prefix is accepted so bare-path and full-URL
-    inputs both match."""
+    inputs both match. Consecutive '*'s collapse to one — semantically
+    identical, and it defuses the cheapest hostile pattern ('/a' + '*'*500
+    would otherwise compile to a chain of 500 '.*'s whose backtracking cost
+    is superlinear in URL length, paid per frontier URL on executors)."""
     import re as _re
 
     anchored_end = value.endswith("$")
     core = value[:-1] if anchored_end else value
+    core = _re.sub(r"\*+", "*", core)
     rx = (
         "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)?"
         + _re.escape(core).replace("\\*", ".*")
@@ -203,11 +216,14 @@ def parse_robots_rules(
     `_path_pattern_to_regex`. Group semantics identical to parse_robots
     (consecutive User-agent lines open a group; rules count from groups
     matching `user_agent` or '*'). Empty Allow/Disallow values are
-    skipped (an empty Disallow is allow-all already)."""
+    skipped (an empty Disallow is allow-all already). Hostile-input caps:
+    only the first 500 KiB of the body is parsed (RFC 9309 §2.4) and
+    rules longer than _MAX_RULE_LEN are ignored (the de-facto crawler
+    limit; an unbounded pattern is executor-side regex work per URL)."""
     rules: list[tuple[str, str, int, bool]] = []
     group_agents: list[str] = []
     in_group_body = False
-    for raw in robots_txt.splitlines():
+    for raw in robots_txt[:_MAX_ROBOTS_BODY].splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
             continue
@@ -221,7 +237,7 @@ def parse_robots_rules(
             group_agents.append(value.lower())
         elif key in ("disallow", "allow"):
             in_group_body = True
-            if not value:
+            if not value or len(value) > _MAX_RULE_LEN:
                 continue
             if "*" in group_agents or user_agent.lower() in group_agents:
                 rules.append(
@@ -258,12 +274,14 @@ def parse_crawl_delay(robots_txt: str, user_agent: str = "*") -> float | None:
     same group semantics as parse_robots: the directive counts only inside
     a group matching `user_agent` or '*'. A specific-agent group's value
     wins over a wildcard group's; malformed / non-positive values are
-    ignored. Returns None when no applicable directive exists."""
+    ignored. Returns None when no applicable directive exists. Only the
+    first 500 KiB of the body is parsed (RFC 9309 §2.4, same cap as
+    parse_robots_rules)."""
     wildcard: float | None = None
     specific: float | None = None
     group_agents: list[str] = []
     in_group_body = False
-    for raw in robots_txt.splitlines():
+    for raw in robots_txt[:_MAX_ROBOTS_BODY].splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
             continue

@@ -687,3 +687,45 @@ def test_budgets_df_join_adds_no_bare_host_data_exchange(spark):
         if re.search(r"\bhost#", keys) and "host_bucket#" not in keys:
             inp = next((ln for ln in blk.splitlines() if ln.startswith("Input")), "")
             assert "url#" not in inp, f"bare-host Exchange carries data rows: {blk}"
+
+
+def test_hostile_robots_caps_star_runs_rule_len_body_size(spark):
+    """Web-scale hostile-input caps: consecutive '*'s collapse to one
+    (identical decisions, bounded regex backtracking), rules longer than
+    _MAX_RULE_LEN are ignored, and only the first 500 KiB of a body is
+    parsed — a hostile robots.txt must not schedule unbounded regex work
+    onto executors or unbounded parse work anywhere."""
+    import time
+
+    from ba_gepris_crawler_spark.operators.politeness import (
+        _MAX_ROBOTS_BODY,
+        _MAX_RULE_LEN,
+        apply_robots,
+        parse_robots_rules,
+        politeness_from_robots,
+    )
+
+    # star-run collapse: same decisions as the single-star form
+    star_bomb = "User-agent: *\nDisallow: /a" + "*" * 500 + "b\n"
+    rules = parse_robots_rules("h.org", star_bomb)
+    assert len(rules) == 1 and rules[0][1].count(".*") == 1
+    cfg = politeness_from_robots(PolitenessConfig(), {"h.org": star_bomb})
+    fr = spark.createDataFrame(
+        [("https://h.org/a/x/b", "h.org"), ("https://h.org/c", "h.org"),
+         ("https://h.org/a" + "x/" * 2000 + "nope", "h.org")],
+        "url string, host string")
+    t0 = time.time()
+    kept = {r.url for r in apply_robots(fr, cfg).collect()}
+    assert time.time() - t0 < 30  # bounded work even on long URLs
+    assert kept == {"https://h.org/c", "https://h.org/a" + "x/" * 2000 + "nope"}
+
+    # over-long rule ignored; normal rule in the same group still applies
+    long_rule = ("User-agent: *\nDisallow: /" + "q" * (_MAX_RULE_LEN + 1)
+                 + "\nDisallow: /blocked/\n")
+    rules = parse_robots_rules("h.org", long_rule)
+    assert len(rules) == 1 and rules[0][2] == len("/blocked/")
+
+    # body cap: directives beyond 500 KiB are ignored
+    huge = ("# " + "x" * _MAX_ROBOTS_BODY + "\n"
+            + "User-agent: *\nDisallow: /late/\n")
+    assert parse_robots_rules("h.org", huge) == ()
