@@ -95,6 +95,14 @@ def main(argv: list[str] | None = None) -> int:
             help="cuckoo shard count (default: auto-sized so one shard's "
                  "table stays <= 32 MiB at the expected seen-set size)",
         )
+        c.add_argument(
+            "--robots-file", dest="robots_file", default=None,
+            help="parquet (or JSON-lines) of (host, robots_txt) bodies: "
+                 "Crawl-delay budgets join the scheduler as a RELATION "
+                 "(crawl_delay_budgets -> budgets_df) — the web-scale "
+                 "politeness path; the path is persisted so resume "
+                 "reloads it automatically",
+        )
         if name == "resume-crawl":
             c.add_argument(
                 "--from-round", dest="from_round", type=int, default=None,
@@ -175,16 +183,40 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"gepris-{args.cmd}")
 
+    def _budgets_from(path: str | None):
+        """(host, robots_txt) file -> budgets relation, or None. Errors
+        follow the CLI's JSON-error contract (raised as ValueError)."""
+        if not path:
+            return None
+        from ba_gepris_crawler_spark.operators.politeness import crawl_delay_budgets
+
+        try:
+            bodies = (
+                spark.read.parquet(path) if path.endswith(".parquet")
+                else spark.read.json(path)
+            )
+        except Exception as e:  # missing/corrupt file -> clean CLI error
+            raise ValueError(f"cannot read --robots-file {path}: {e}") from None
+        missing = {"host", "robots_txt"} - set(bodies.columns)
+        if missing:
+            raise ValueError(f"--robots-file {path} lacks columns {sorted(missing)}")
+        return crawl_delay_budgets(bodies, settings.politeness)
+
     if args.cmd == "stream-crawl":
         # crawl-as-stream: the self-feeding Structured Streaming frontier
         # (resumable: re-running drains whatever is left; committed
         # micro-batches replay as no-ops)
         from ba_gepris_crawler_spark.streaming.crawl_stream import StreamingCrawl
 
+        try:
+            stream_budgets = _budgets_from(args.robots_file)
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 2
         sc = StreamingCrawl(
             spark, site, args.root, politeness=settings.politeness,
             n_buckets=settings.n_buckets, fetch_format=settings.fetch_format,
-            seen_filter=settings.seen_filter,
+            seen_filter=settings.seen_filter, budgets_df=stream_budgets,
         )
         if sc.needs_seed():
             sc.seed()
@@ -207,6 +239,7 @@ def main(argv: list[str] | None = None) -> int:
                     "cuckoo_mode": settings.cuckoo_mode,
                     "cuckoo_shards": settings.cuckoo_shards,
                     "span_transport": settings.span_transport,
+                    "robots_file": args.robots_file,
                 }
             )
         else:
@@ -237,12 +270,22 @@ def main(argv: list[str] | None = None) -> int:
                         cuckoo_shards=cfg.get("cuckoo_shards", settings.cuckoo_shards),
                         span_transport=cfg.get("span_transport", settings.span_transport),
                     )
+                    if not args.robots_file:
+                        # the budgets relation is data, not config — but the
+                        # bodies FILE path is replayable; reload it so resume
+                        # keeps the same politeness without re-flagging
+                        args.robots_file = cfg.get("robots_file")
                 except (ValueError, TypeError, KeyError) as e:
                     # a hand-edited/corrupt config.json must surface as the
                     # CLI's JSON-error contract, not a raw traceback
                     print(json.dumps({"error": f"invalid persisted config: {e}"}))
                     return 2
         engine = CrawlEngine(spark, site, store, settings)
+        try:
+            engine.budgets_df = _budgets_from(args.robots_file)
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 2
         if args.cmd == "new-crawl":
             manifests = engine.run(max_rounds=args.max_rounds)
         else:

@@ -647,3 +647,42 @@ def test_resume_refuses_to_drop_budgets_relation(spark, tmp_path_factory):
     per = store.read_union("url_seen", store.latest_round()) \
         .groupBy("round").count().collect()
     assert all(r["count"] <= 8 for r in per if r["count"])  # budget held throughout
+
+
+def test_cli_robots_file_budgets_and_resume_reload(spark, tmp_path, capsys):
+    """--robots-file wires the budgets RELATION through the CLI: manifests
+    record budgets_df=true, the path persists in config.json, and resume
+    WITHOUT the flag reloads it (the relation is data the serialized
+    config cannot hold; the bodies file path is replayable). A missing
+    file follows the JSON-error contract (exit 2, no traceback)."""
+    import json as _json
+
+    from ba_gepris_crawler_spark.cli import main as cli_main
+
+    bodies = tmp_path / "robots.parquet"
+    spark.createDataFrame(
+        [("h0.example.org", "User-agent: *\nCrawl-delay: 0.05\n")],
+        "host string, robots_txt string",
+    ).write.mode("overwrite").parquet(str(bodies))
+
+    root = tmp_path / "crawl"
+    assert cli_main([
+        "new-crawl", str(root), "--projects", "200", "--hosts", "2",
+        "--max-rounds", "2", "--robots-file", str(bodies),
+    ]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert lines and all(_json.loads(l).get("budgets_df") for l in lines)
+    assert _json.load(open(root / "config.json"))["robots_file"] == str(bodies)
+
+    # resume without the flag: auto-reloaded from config, runs to done
+    assert cli_main(["resume-crawl", str(root), "--max-rounds", "30"]) == 0
+    out = [_json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert out[-1]["done"] and out[-1].get("budgets_df")
+
+    # missing file -> clean JSON error, exit 2
+    cfg = _json.load(open(root / "config.json"))
+    cfg["robots_file"] = str(tmp_path / "gone.parquet")
+    _json.dump(cfg, open(root / "config.json", "w"))
+    assert cli_main(["resume-crawl", str(root)]) == 2
+    err = _json.loads([l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1])
+    assert "robots-file" in err["error"]
