@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from dataclasses import asdict
 
@@ -185,34 +186,73 @@ def main(argv: list[str] | None = None) -> int:
 
     def _budgets_from(path: str | None):
         """(host, robots_txt) file -> budgets relation, or None. Errors
-        follow the CLI's JSON-error contract (raised as ValueError)."""
+        follow the CLI's JSON-error contract (raised as ValueError).
+        Reads parquet first (a parquet DIRECTORY rarely ends in
+        .parquet), falling back to JSON-lines; columns are cast to
+        string so a mis-typed field fails here, not as a Py4J traceback
+        deep inside a fetch round."""
         if not path:
             return None
+        from pyspark.sql import functions as F
+
         from ba_gepris_crawler_spark.operators.politeness import crawl_delay_budgets
 
         try:
-            bodies = (
-                spark.read.parquet(path) if path.endswith(".parquet")
-                else spark.read.json(path)
-            )
-        except Exception as e:  # missing/corrupt file -> clean CLI error
-            raise ValueError(f"cannot read --robots-file {path}: {e}") from None
+            bodies = spark.read.parquet(path)
+        except Exception:
+            try:
+                bodies = spark.read.json(path)
+            except Exception as e:  # missing/corrupt file -> clean CLI error
+                raise ValueError(f"cannot read --robots-file {path}: {e}") from None
         missing = {"host", "robots_txt"} - set(bodies.columns)
         if missing:
             raise ValueError(f"--robots-file {path} lacks columns {sorted(missing)}")
+        bodies = bodies.select(
+            F.col("host").cast("string").alias("host"),
+            F.col("robots_txt").cast("string").alias("robots_txt"),
+        )
         return crawl_delay_budgets(bodies, settings.politeness)
+
+    if getattr(args, "robots_file", None):
+        # persisted + replayed across resumes: store the absolute path, or
+        # a cron/other-cwd resume cannot find a relative one
+        args.robots_file = os.path.abspath(args.robots_file)
 
     if args.cmd == "stream-crawl":
         # crawl-as-stream: the self-feeding Structured Streaming frontier
         # (resumable: re-running drains whatever is left; committed
         # micro-batches replay as no-ops)
+        from pathlib import Path
+
         from ba_gepris_crawler_spark.streaming.crawl_stream import StreamingCrawl
 
+        # the stream root carries a config.json for the robots-file path
+        # (like the batch store): a flag-less RE-RUN — the stream's resume
+        # path — must keep the same politeness relation, not silently drop
+        # it; a resume-time override is persisted so later re-runs keep it
+        stream_cfg_path = Path(args.root) / "config.json"
+        if not args.robots_file and stream_cfg_path.exists():
+            try:
+                args.robots_file = json.loads(stream_cfg_path.read_text()).get("robots_file")
+            except ValueError as e:
+                print(json.dumps({"error": f"invalid persisted config: {e}"}))
+                return 2
         try:
             stream_budgets = _budgets_from(args.robots_file)
         except ValueError as e:
             print(json.dumps({"error": str(e)}))
             return 2
+        Path(args.root).mkdir(parents=True, exist_ok=True)
+        persisted = {}
+        if stream_cfg_path.exists():
+            try:
+                persisted = json.loads(stream_cfg_path.read_text())
+            except ValueError:
+                persisted = {}
+        if persisted.get("robots_file") != args.robots_file:
+            stream_cfg_path.write_text(
+                json.dumps({**persisted, "robots_file": args.robots_file})
+            )
         sc = StreamingCrawl(
             spark, site, args.root, politeness=settings.politeness,
             n_buckets=settings.n_buckets, fetch_format=settings.fetch_format,
@@ -229,6 +269,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd in ("new-crawl", "resume-crawl"):
         if args.cmd == "new-crawl":
+            try:
+                # validate the robots file BEFORE persisting config — a
+                # typo'd path must not leave behind a store whose
+                # config.json references an unreadable file
+                budgets = _budgets_from(args.robots_file)
+            except ValueError as e:
+                print(json.dumps({"error": str(e)}))
+                return 2
             store.save_config(
                 {
                     "site": {**asdict(site), "hosts": list(site.hosts)},
@@ -275,24 +323,38 @@ def main(argv: list[str] | None = None) -> int:
                         # bodies FILE path is replayable; reload it so resume
                         # keeps the same politeness without re-flagging
                         args.robots_file = cfg.get("robots_file")
+                    elif args.robots_file != cfg.get("robots_file"):
+                        # an explicit resume-time override (e.g. refreshed
+                        # crawl-delays) persists: otherwise the NEXT
+                        # flag-less resume would silently revert to the
+                        # old bodies
+                        store.save_config({**cfg, "robots_file": args.robots_file})
                 except (ValueError, TypeError, KeyError) as e:
                     # a hand-edited/corrupt config.json must surface as the
                     # CLI's JSON-error contract, not a raw traceback
                     print(json.dumps({"error": f"invalid persisted config: {e}"}))
                     return 2
+            try:
+                budgets = _budgets_from(args.robots_file)
+            except ValueError as e:
+                print(json.dumps({"error": str(e)}))
+                return 2
         engine = CrawlEngine(spark, site, store, settings)
+        engine.budgets_df = budgets
         try:
-            engine.budgets_df = _budgets_from(args.robots_file)
+            if args.cmd == "new-crawl":
+                manifests = engine.run(max_rounds=args.max_rounds)
+            else:
+                if getattr(args, "from_round", None) is not None:
+                    dropped = store.truncate_after(args.from_round)
+                    print(json.dumps({"rewound_to": args.from_round, "dropped_rounds": dropped}))
+                manifests = engine.resume(max_rounds=args.max_rounds)
         except ValueError as e:
+            # engine-level refusals (e.g. resume of a budgets crawl whose
+            # relation was set via the Python API and cannot be reloaded
+            # from config.json) follow the JSON-error contract too
             print(json.dumps({"error": str(e)}))
             return 2
-        if args.cmd == "new-crawl":
-            manifests = engine.run(max_rounds=args.max_rounds)
-        else:
-            if getattr(args, "from_round", None) is not None:
-                dropped = store.truncate_after(args.from_round)
-                print(json.dumps({"rewound_to": args.from_round, "dropped_rounds": dropped}))
-            manifests = engine.resume(max_rounds=args.max_rounds)
         for m in manifests:
             print(json.dumps(m["counters"]))
         return 0

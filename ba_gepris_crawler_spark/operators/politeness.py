@@ -179,11 +179,26 @@ def priority_for_type() -> F.Column:
 
 # Hostile-robots parsing caps (RFC 9309 §2.4 requires processing at least
 # 500 KiB and allows ignoring the rest; per-rule length is the de-facto
-# crawler limit). Both bound the regex work a hostile body can schedule
+# crawler limit). These bound the regex work a hostile body can schedule
 # onto EXECUTORS — rules evaluate per frontier URL, so an unbounded
-# pattern is a distributed-CPU DoS, not just a parse cost.
+# pattern is a distributed-CPU DoS, not just a parse cost. The wildcard
+# cap exists because backtracking cost grows with the number of '.*'
+# groups even after star-RUN collapse: '/a*b*c*...' with ~1000 separated
+# stars still explores combinatorially many partitions of a hostile URL.
 _MAX_ROBOTS_BODY = 500 * 1024
 _MAX_RULE_LEN = 2048
+_MAX_RULE_WILDCARDS = 16
+
+
+def _capped_body(robots_txt: str) -> str:
+    """First 500 KiB of a robots body, with any truncated PARTIAL line
+    dropped — a sliced 'Crawl-delay: 600' must not parse as a valid
+    'Crawl-delay: 6', and a sliced 'Allow: /private-archive' must not
+    become a broad 'Allow: /p'."""
+    if len(robots_txt) <= _MAX_ROBOTS_BODY:
+        return robots_txt
+    body = robots_txt[:_MAX_ROBOTS_BODY]
+    return body.rsplit("\n", 1)[0] if "\n" in body else ""
 
 
 def _path_pattern_to_regex(value: str) -> str:
@@ -223,7 +238,7 @@ def parse_robots_rules(
     rules: list[tuple[str, str, int, bool]] = []
     group_agents: list[str] = []
     in_group_body = False
-    for raw in robots_txt[:_MAX_ROBOTS_BODY].splitlines():
+    for raw in _capped_body(robots_txt).splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
             continue
@@ -238,6 +253,15 @@ def parse_robots_rules(
         elif key in ("disallow", "allow"):
             in_group_body = True
             if not value or len(value) > _MAX_RULE_LEN:
+                continue
+            # count star RUNS (i.e. after run-collapse): '/a****b' is one
+            # wildcard's work, '/a*b*c*...' with many separated stars is
+            # the backtracking-DoS shape the run-collapse cannot defuse
+            star_runs = sum(
+                1 for i, ch in enumerate(value)
+                if ch == "*" and (i == 0 or value[i - 1] != "*")
+            )
+            if star_runs > _MAX_RULE_WILDCARDS:
                 continue
             if "*" in group_agents or user_agent.lower() in group_agents:
                 rules.append(
@@ -281,7 +305,7 @@ def parse_crawl_delay(robots_txt: str, user_agent: str = "*") -> float | None:
     specific: float | None = None
     group_agents: list[str] = []
     in_group_body = False
-    for raw in robots_txt[:_MAX_ROBOTS_BODY].splitlines():
+    for raw in _capped_body(robots_txt).splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
             continue

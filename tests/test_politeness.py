@@ -725,7 +725,26 @@ def test_hostile_robots_caps_star_runs_rule_len_body_size(spark):
     rules = parse_robots_rules("h.org", long_rule)
     assert len(rules) == 1 and rules[0][2] == len("/blocked/")
 
+    # SEPARATED star runs (which run-collapse cannot defuse) are capped:
+    # many '.*' groups backtrack combinatorially per URL on executors
+    alt_bomb = ("User-agent: *\nDisallow: /" + "*b" * 500
+                + "\nDisallow: /blocked/\n")
+    rules = parse_robots_rules("h.org", alt_bomb)
+    assert len(rules) == 1 and rules[0][2] == len("/blocked/")
+
     # body cap: directives beyond 500 KiB are ignored
     huge = ("# " + "x" * _MAX_ROBOTS_BODY + "\n"
             + "User-agent: *\nDisallow: /late/\n")
     assert parse_robots_rules("h.org", huge) == ()
+
+    # truncation drops the PARTIAL last line: a sliced 'Crawl-delay: 600'
+    # must not parse as 'Crawl-delay: 6'
+    from ba_gepris_crawler_spark.operators.politeness import parse_crawl_delay
+
+    head = "User-agent: *\n"
+    # pad so the 500 KiB slice cuts exactly after 'Crawl-delay: 6'
+    pad = head + "#" * (_MAX_ROBOTS_BODY - len(head) - 15) + "\n"
+    sliced = pad + "Crawl-delay: 600\n"
+    body = sliced[:_MAX_ROBOTS_BODY]
+    assert body.rsplit("\n", 1)[1] == "Crawl-delay: 6"  # trap is live
+    assert parse_crawl_delay(sliced) is None  # partial directive dropped
