@@ -294,6 +294,7 @@ def main(argv: list[str] | None = None) -> int:
             # A crawl folder is self-describing: resume MUST replay the same
             # site + politeness config or every frontier URL turns 404 and
             # poisons the seen set. CLI flags are ignored on resume.
+            persist_robots_override: dict | None = None
             try:
                 cfg = store.load_config()  # json.JSONDecodeError is a ValueError;
                 # OSError covers an unreadable/misrestored config.json
@@ -327,8 +328,11 @@ def main(argv: list[str] | None = None) -> int:
                         # an explicit resume-time override (e.g. refreshed
                         # crawl-delays) persists: otherwise the NEXT
                         # flag-less resume would silently revert to the
-                        # old bodies
-                        store.save_config({**cfg, "robots_file": args.robots_file})
+                        # old bodies. Persisted only AFTER _budgets_from
+                        # validates below — saving a typo'd path first
+                        # would break every later flag-less resume (the
+                        # new-crawl path deliberately validates first too).
+                        persist_robots_override = cfg
                 except (ValueError, TypeError, KeyError) as e:
                     # a hand-edited/corrupt config.json must surface as the
                     # CLI's JSON-error contract, not a raw traceback
@@ -339,6 +343,10 @@ def main(argv: list[str] | None = None) -> int:
             except ValueError as e:
                 print(json.dumps({"error": str(e)}))
                 return 2
+            if persist_robots_override is not None:
+                store.save_config(
+                    {**persist_robots_override, "robots_file": args.robots_file}
+                )
         engine = CrawlEngine(spark, site, store, settings)
         engine.budgets_df = budgets
         try:

@@ -642,7 +642,15 @@ def schedule_round(
     budget_joined = len(cfg.host_rates) > BUDGET_CASCADE_MAX
     if budget_joined:
         budgets = f.sparkSession.createDataFrame(
-            [(h, cfg.budget_for(h), float(cfg.rate_for(h))) for h, _r in cfg.host_rates],
+            # host_rates is deduped per host (first wins, enforced in
+            # __post_init__), so the comprehension's own rate IS the
+            # resolved rate — calling budget_for/rate_for here would make
+            # each a linear scan, O(n^2) driver work in exactly the
+            # 10^5+-override regime this joined path exists for.
+            [
+                (h, _budget_from_rate(r, cfg.round_seconds), float(r))
+                for h, r in cfg.host_rates
+            ],
             "host string, _budget int, _rate double",
         )
         off = off.join(
@@ -662,9 +670,19 @@ def schedule_round(
         # a zero/negative row (or a long value a non-ANSI cast('int') would
         # wrap negative) must not starve its host forever, and a
         # non-positive/NaN rate falls back to the default rate (null)
-        budget_clamped = F.greatest(
-            F.lit(1).cast("long"),
-            F.least(F.col("budget").cast("long"), F.lit(_INT32_MAX).cast("long")),
+        # least/greatest SKIP nulls (they return the least/greatest of the
+        # non-null args), so an unguarded clamp would turn a null or
+        # uncastable budget into greatest(1, INT32_MAX) = INT32_MAX — an
+        # unlimited grant, the opposite of the invariant. Guard explicitly:
+        # null budgets stay null, min() skips them, and an all-null host
+        # falls through the coalesce to cfg defaults.
+        budget_long = F.col("budget").cast("long")
+        budget_clamped = F.when(
+            budget_long.isNotNull(),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.least(budget_long, F.lit(_INT32_MAX).cast("long")),
+            ),
         )
         agg = [F.min(budget_clamped).cast("int").alias("_budget_df")]
         if has_ext_rate:

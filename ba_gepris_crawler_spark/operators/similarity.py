@@ -106,7 +106,26 @@ def ivf_topk_from_store(
     plan). At millions of concurrent queries pass many_queries=True: the
     probe side (which carries the query vectors) is too big to broadcast,
     so the join runs co-keyed on the cell column instead — same result,
-    file skipping traded for the shuffle the data size forces anyway."""
+    file skipping traded for the shuffle the data size forces anyway.
+
+    REQUIRES spark.sql.optimizer.dynamicPartitionPruning.enabled=true (the
+    Spark default): with DPP off (or declined by pruningHasBenefit) the
+    result is still correct but every cell's files are scanned — the
+    guaranteed prune is the point of the cell-partitioned layout, so a
+    disabled optimizer is surfaced as a warning here and pinned by the
+    plan assertion in tests/test_training_ops.py (``dynamicpruning`` in
+    the executed plan)."""
+    if not many_queries and spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+    ).lower() != "true":
+        import warnings
+
+        warnings.warn(
+            "dynamicPartitionPruning is disabled: ivf_topk_from_store will "
+            "scan every index cell instead of only the probed ones",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     qc = queries.crossJoin(F.broadcast(centroids)).select(
         q_id_col, q_vec_col, c_id_col, _cosine(q_vec_col, c_vec_col).alias("ccos")
     )

@@ -2716,29 +2716,33 @@ def crawl_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as regression cover). New queries should be appended to _HEAD_FIRST until
 # they have a green driver row.
 _HEAD_FIRST = [
-    "crawl_budget_relation_cut",
-    "crawl_robots_distributed_parse",
-    "crawl_robots_allow_filter",
-    "tpch_monthly_orders",
-    "rel_string_functions",
-    "tpch_cube_counts",
-    "rel_intersect_except",
-    "events_first_last_nav",
-    "text_bigram_topk",
-    "text_lm_score",
-    "mm_extract_features",
-    "mm_frame_sample",
-    "crawl_json_api_parse",
-    "crawl_robots_filter",
-    "dq_url_liveness",
-    "crawl_cookie_parse",
-    "crawl_robots_txt_parse",
-    "crawl_crawl_delay_budget",
-    "emb_ivf_probe_topk",
-    "mm_caption_align",
-    "mm_interleave_stats",
-    "text_inverted_index",
-    "crawl_trap_filter",
+    # Round-5 rotation: the 23 names rowed only in round 3 (the round-4 head
+    # displaced them past the 50-row cap). Every other registry query has a
+    # green round-4 row, so after this rotation every query has a driver row
+    # at most two rounds old. New queries go at the very top.
+    "dedup_clusters",
+    "emb_cosine_topk",
+    "emb_ivf_assign",
+    "emb_lsh_bucket_pairs",
+    "emb_lsh_near_dups",
+    "emb_neardup_pairs",
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_rolling_avg",
+    "events_asof_join",
+    "events_range_join",
+    "mm_binary_meta",
+    "dq_taxonomy_consistency",
+    "dq_source_evidence_coverage",
+    "dq_sample_audit",
+    "dq_hash_sample",
+    "rel_dictionary_encode",
+    "crawl_span_adjacency",
+    "crawl_address_assembly",
+    "crawl_parent_hierarchy",
+    "tpch_stats_summary",
+    "tpch_rollup_revenue",
+    "tpch_pivot_status_by_priority",
 ]
 assert all(n in REGISTRY for n in _HEAD_FIRST), "stale name in _HEAD_FIRST"
 REGISTRY = {

@@ -686,3 +686,25 @@ def test_cli_robots_file_budgets_and_resume_reload(spark, tmp_path, capsys):
     assert cli_main(["resume-crawl", str(root)]) == 2
     err = _json.loads([l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1])
     assert "robots-file" in err["error"]
+
+    # ADVICE r4: a typo'd resume-time --robots-file OVERRIDE must NOT be
+    # persisted before validation — otherwise the failed run leaves a
+    # broken path in config.json and every later flag-less resume errors.
+    _json.dump({**cfg, "robots_file": str(bodies)}, open(root / "config.json", "w"))
+    assert cli_main([
+        "resume-crawl", str(root), "--robots-file", str(tmp_path / "typo.parquet"),
+    ]) == 2
+    capsys.readouterr()
+    assert _json.load(open(root / "config.json"))["robots_file"] == str(bodies)
+    # and a VALID override still persists (after validation succeeds)
+    bodies2 = tmp_path / "robots2.parquet"
+    spark.createDataFrame(
+        [("h0.example.org", "User-agent: *\nCrawl-delay: 0.01\n")],
+        "host string, robots_txt string",
+    ).write.mode("overwrite").parquet(str(bodies2))
+    assert cli_main([
+        "resume-crawl", str(root), "--max-rounds", "30",
+        "--robots-file", str(bodies2),
+    ]) == 0
+    capsys.readouterr()
+    assert _json.load(open(root / "config.json"))["robots_file"] == str(bodies2)

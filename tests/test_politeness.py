@@ -654,6 +654,37 @@ def test_budgets_df_boundary_clamps_zero_negative_huge(spark):
     assert rates["huge.org"] == 2.0
 
 
+def test_budgets_df_null_budget_falls_back_to_default(spark):
+    """ADVICE r4: least/greatest SKIP nulls, so an unguarded clamp turns a
+    null (or uncastable) budget into greatest(1, INT32_MAX) = INT32_MAX —
+    an unlimited grant. A null budget must instead fall through to the cfg
+    default budget; a host with one null and one real row takes the real
+    (most-conservative) one."""
+    from ba_gepris_crawler_spark.operators.politeness import schedule_round
+
+    # default budget = ceil(2.0 * 1.0) = 2 pages/round
+    cfg = PolitenessConfig(per_host_rate=2.0, round_seconds=1.0, max_in_flight=10)
+    fr = spark.createDataFrame(
+        [(f"https://{h}/p/{i}", h, 0, 1) for h in ("null.org", "mixed.org", "str.org")
+         for i in range(6)],
+        "url string, host string, crawl_depth int, priority int",
+    )
+    bad = spark.createDataFrame(
+        [("null.org", None, None), ("mixed.org", None, None), ("mixed.org", 4, 4.0),
+         ("str.org", None, None)],
+        "host string, budget int, rate double",
+    ).withColumn("budget", F.when(F.col("host") == "str.org", F.lit(None)).otherwise(F.col("budget")))
+    now, _ = schedule_round(fr, cfg, n_buckets=4, budgets_df=bad)
+    by_host = {r.host: r.n for r in now.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    # all-null host: NOT unlimited — the cfg default budget (2) applies
+    assert by_host.get("null.org") == 2, by_host
+    assert by_host.get("str.org") == 2, by_host
+    # null + real rows for one host: min() skips the null, real row wins
+    assert by_host.get("mixed.org") == 4, by_host
+    rates = {r.host: r.host_rate for r in now.select("host", "host_rate").distinct().collect()}
+    assert rates["null.org"] == 2.0 and rates["mixed.org"] == 4.0
+
+
 def test_config_rejects_nan_rates():
     """Review r4b: NaN passes a bare `<= 0` guard; the config validator
     must reject it explicitly (int(nan) would raise deep in plan build)."""
