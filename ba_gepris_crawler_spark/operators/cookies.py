@@ -65,9 +65,14 @@ class CookieJar:
     _cache: dict[int, str] = field(default_factory=dict)
     fetches: int = 0  # observability: how often the endpoint was hit
 
-    def get(self, cfg: SiteConfig, epoch: int = 0) -> str:
+    def get(self, cfg: SiteConfig, epoch: int = 0, transport=None) -> str:
         if epoch not in self._cache:
-            header = fetch_session_header(cfg, epoch)  # the 'HTTP' call
+            # the 'HTTP' call: through the pluggable transport when the
+            # engine fetches over real sockets, else in-process
+            if transport is not None:
+                header = transport.fetch_session_header(cfg, epoch)
+            else:
+                header = fetch_session_header(cfg, epoch)
             _name, value, _attrs = parse_set_cookie(header)
             self._cache[epoch] = value
             self.fetches += 1

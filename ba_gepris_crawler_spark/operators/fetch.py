@@ -1,9 +1,11 @@
 """Vectorized fetch stage: Arrow-batched pandas UDF over frontier batches.
 
-The 'network' is the deterministic synthetic site (sources/synthetic_site):
+The network is a pluggable Transport (operators/transport.py). Default:
+the deterministic synthetic site (sources/synthetic_site), where
 `render_page(cfg, url)` regenerates any page from the URL alone, so every
-executor fetches its partition independently — the same shape a real HTTP
-layer has (mapInPandas batch -> async HTTP inside the batch), with the
+executor fetches its partition independently. `HttpTransport` swaps in
+real sockets with the identical batch shape (mapInPandas batch -> bounded
+async HTTP inside the batch — the reference's mapAsync(10)), with the
 reference's semantics mapped as:
 
 - mapAsync(10) in-flight cap            -> politeness `slot` waves computed
@@ -29,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ba_gepris_crawler_spark.schema import SPANS_TYPE
-from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig, render_page
+from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
 
 FETCH_RESULT_FIELDS = [
     T.StructField("status", T.IntegerType(), False),
@@ -55,6 +57,7 @@ def fetch_pages(
     fmt: str = "html",
     host_rates: tuple[tuple[str, float], ...] = (),
     span_transport: str = "json",
+    transport=None,
 ) -> DataFrame:
     """scheduled: output of politeness.schedule_round(...).fetch_now.
     Returns the same rows + (status, spans-or-body, virtual_cost_sec).
@@ -77,7 +80,16 @@ def fetch_pages(
     list<struct> conversion dominates the whole fetch stage
     (BENCH/BASELINE.md round-4 A/B). Outputs are byte-equal; callers
     check needs_span_parse(fetched) to know whether to apply
-    parse_json_spans before treating the result as documents."""
+    parse_json_spans before treating the result as documents.
+
+    transport: the pluggable network seam (operators/transport.py).
+    None (default) = SyntheticTransport, the in-process deterministic
+    site; pass an HttpTransport for real sockets. The transport is
+    pickled into the mapInPandas closure and runs per Arrow batch on the
+    executors — it owns per-batch concurrency and the 401 -> refresh
+    session -> retry-once flow."""
+    from ba_gepris_crawler_spark.operators.transport import SyntheticTransport
+
     spark = scheduled.sparkSession
     cfg_bc = spark.sparkContext.broadcast(site_cfg)
     token_bc = spark.sparkContext.broadcast(session_token)  # session/cookie analog
@@ -85,6 +97,8 @@ def fetch_pages(
     rate_overrides = dict(host_rates)  # robots Crawl-delay per-host rates
     as_json = fmt == "json"
     ship_json = as_json or span_transport == "json"
+    if transport is None:
+        transport = SyntheticTransport()
 
     in_schema = scheduled.schema
     out_schema = T.StructType(
@@ -94,39 +108,33 @@ def fetch_pages(
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json as _json
 
-        from ba_gepris_crawler_spark.operators.cookies import parse_set_cookie
-        from ba_gepris_crawler_spark.sources.synthetic_site import (
-            fetch_session_header,
-            render_page_json,
-        )
-
         cfg = cfg_bc.value
         token = token_bc.value  # sent with every request
-        get = render_page_json if as_json else render_page
         for pdf in batches:
-            statuses = []
-            payloads = []
-            for url in pdf["url"]:
-                st, pl = get(cfg, url, token, epoch)  # simulated HTTP round-trip
-                if st == 401:  # stale session: refresh cookie on the worker, retry once
-                    _n, token, _a = parse_set_cookie(fetch_session_header(cfg, epoch))
-                    st, pl = get(cfg, url, token, epoch)
-                statuses.append(st)
-                if as_json:
-                    payloads.append(pl)  # raw body string, parsed in the plan
-                elif ship_json:
-                    # html parse on the worker, JSON transport to the JVM
-                    payloads.append(_json.dumps(
+            # one transport round-trip per Arrow batch: the transport owns
+            # in-batch concurrency and the 401 -> refresh -> retry flow
+            statuses, raw = transport.fetch_batch(
+                cfg, list(pdf["url"]), token, epoch, as_json
+            )
+            if as_json:
+                payloads = raw  # raw body strings, parsed in the plan
+            elif ship_json:
+                # html parse happened on the worker; JSON transport to the JVM
+                payloads = [
+                    _json.dumps(
                         {"spans": [
                             {"kind": k, "text": t, "media_ref": m, "offset": o}
                             for k, t, m, o in pl
                         ]},
                         separators=(",", ":"),
-                    ))
-                else:
-                    payloads.append(
-                        [{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in pl]
                     )
+                    for pl in raw
+                ]
+            else:
+                payloads = [
+                    [{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in pl]
+                    for pl in raw
+                ]
             # virtual politeness cost: each slot-wave of a host costs
             # 1/rate, where rate honors the robots Crawl-delay per-host
             # overrides — the same rates the budget cut used upstream.

@@ -1,0 +1,184 @@
+"""Pluggable fetch transports for the vectorized fetch stage.
+
+`fetch_pages` (operators/fetch.py) is transport-agnostic: it hands each
+Arrow batch's URL list to a Transport and gets back per-URL (status,
+payload) pairs. Two transports ship:
+
+- ``SyntheticTransport`` (default): the in-process deterministic site —
+  ``render_page`` / ``render_page_json`` as a pure function of the URL.
+  Zero sockets, identical semantics to the pre-seam fetch loop.
+- ``HttpTransport``: real HTTP over real sockets, batched through a
+  thread pool capped at ``max_in_flight`` concurrent requests — the
+  PySpark analog of the reference's ``mapAsync(10)`` fetch stage
+  (CrawledResourceDetailDataGraph.scala:24-46): per-batch bounded
+  concurrency, non-200 surfaced as a status row (the reference throws
+  and dies; our round loop quarantines instead), and the session cookie
+  refreshed via a real ``Set-Cookie`` response header on 401
+  (CookieFlowGraph.scala:30-58).
+
+The transport contract (duck-typed; both methods run ON EXECUTORS inside
+mapInPandas, so a transport must be picklable — hold addresses and
+config, never sockets or pools):
+
+- ``fetch_batch(cfg, urls, token, epoch, as_json) -> (statuses, payloads)``
+  where payload is a span tuple list (``as_json=False``) or a raw JSON
+  body string (``as_json=True``). The transport owns the 401 -> refresh
+  session -> retry-once flow so it can batch it optimally.
+- ``fetch_session_header(cfg, epoch) -> str`` — one Set-Cookie header
+  value; consumed by ``parse_set_cookie`` on both the driver (CookieJar)
+  and the workers (the 401 retry).
+
+At cluster scale the HttpTransport shape is the real one: each executor
+task opens its own connections for its partition's URLs (no shared state,
+no driver round-trips), politeness budgets are enforced upstream by
+schedule_round, and the per-batch thread pool bounds a task's in-flight
+requests exactly like the reference's mapAsync window.
+"""
+
+from __future__ import annotations
+
+import json
+from urllib.parse import urlparse
+
+from ba_gepris_crawler_spark.sources.synthetic_site import (
+    SiteConfig,
+    fetch_session_header,
+    render_page,
+    render_page_json,
+)
+
+SPAN_TUPLE_KEYS = ("kind", "text", "media_ref", "offset")
+
+
+class SyntheticTransport:
+    """In-process deterministic 'network': page bytes are a pure function
+    of (cfg, url, token, epoch), so every executor regenerates its
+    partition's pages with no I/O at all."""
+
+    def fetch_session_header(self, cfg: SiteConfig, epoch: int = 0) -> str:
+        return fetch_session_header(cfg, epoch)
+
+    def fetch_batch(
+        self,
+        cfg: SiteConfig,
+        urls: list[str],
+        token: str | None,
+        epoch: int,
+        as_json: bool,
+    ) -> tuple[list[int], list]:
+        from ba_gepris_crawler_spark.operators.cookies import parse_set_cookie
+
+        get = render_page_json if as_json else render_page
+        statuses: list[int] = []
+        payloads: list = []
+        for url in urls:
+            st, pl = get(cfg, url, token, epoch)  # simulated HTTP round-trip
+            if st == 401:  # stale session: refresh cookie on the worker, retry once
+                _n, token, _a = parse_set_cookie(self.fetch_session_header(cfg, epoch))
+                st, pl = get(cfg, url, token, epoch)
+            statuses.append(st)
+            payloads.append(pl)
+        return statuses, payloads
+
+
+class HttpTransport:
+    """Real-socket HTTP transport. Frontier URLs keep their logical hosts
+    (``https://h0.example.org/gepris/...``); requests go to ``base_url``
+    (scheme://addr:port) with the logical host riding the ``Host`` header —
+    the same indirection a proxy/service-mesh deploy uses, and what lets
+    one localhost test server impersonate every synthetic host.
+
+    The epoch rides an ``X-Epoch`` request header: the in-process model's
+    session clock is the round counter, which only the engine knows; a
+    production server would use wall-clock session expiry instead. Bounded
+    concurrency per Arrow batch via a thread pool of ``max_in_flight``
+    (reference: mapAsync(10)). Instances hold only strings/numbers, so
+    they pickle cleanly into the mapInPandas closure; the pool is created
+    per batch on the executor."""
+
+    SESSION_PATH = "/gepris/session"
+
+    def __init__(self, base_url: str, max_in_flight: int = 10, timeout: float = 10.0):
+        self.base_url = base_url.rstrip("/")
+        self.max_in_flight = int(max_in_flight)
+        self.timeout = float(timeout)
+
+    # -- one physical request -------------------------------------------
+    def _request(
+        self, logical_url: str, token: str | None, epoch: int
+    ) -> tuple[int, str, str | None]:
+        """GET the logical URL through base_url. Returns (status, body,
+        set_cookie_header). urllib raises on >=400; both arms funnel into
+        the same (status, body) shape — a non-200 is DATA here, the round
+        loop quarantines it (the reference throws and dies,
+        CrawledResourceDetailDataGraph.scala:43-46)."""
+        import urllib.error
+        import urllib.request
+
+        p = urlparse(logical_url)
+        path = p.path + (f"?{p.query}" if p.query else "")
+        headers = {"Host": p.netloc, "X-Epoch": str(epoch)}
+        if token is not None:
+            headers["Cookie"] = f"JSESSIONID={token}"
+        req = urllib.request.Request(self.base_url + path, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return r.status, r.read().decode("utf-8"), r.headers.get("Set-Cookie")
+        except urllib.error.HTTPError as e:
+            body = e.read().decode("utf-8") if e.fp is not None else ""
+            sc = e.headers.get("Set-Cookie") if e.headers is not None else None
+            return e.code, body, sc
+
+    def fetch_session_header(self, cfg: SiteConfig, epoch: int = 0) -> str:
+        """Hit the session endpoint and return its raw Set-Cookie header —
+        the reference reads Set-Cookie off the landing page
+        (CookieFlowGraph.scala:39-44)."""
+        host = cfg.hosts[0]
+        st, _body, sc = self._request(f"https://{host}{self.SESSION_PATH}", None, epoch)
+        if st != 200 or not sc:
+            raise RuntimeError(f"session endpoint returned {st} with Set-Cookie={sc!r}")
+        return sc
+
+    def fetch_batch(
+        self,
+        cfg: SiteConfig,
+        urls: list[str],
+        token: str | None,
+        epoch: int,
+        as_json: bool,
+    ) -> tuple[list[int], list]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ba_gepris_crawler_spark.operators.cookies import parse_set_cookie
+
+        if not urls:
+            return [], []
+
+        def one(url: str, tok: str | None) -> tuple[int, str]:
+            st, body, _sc = self._request(url, tok, epoch)
+            return st, body
+
+        with ThreadPoolExecutor(max_workers=min(self.max_in_flight, len(urls))) as pool:
+            results = list(pool.map(lambda u: one(u, token), urls))
+            # stale session: refresh the cookie ONCE per batch through the
+            # real Set-Cookie flow, then retry exactly the 401'd URLs
+            if any(st == 401 for st, _ in results):
+                _n, token, _a = parse_set_cookie(self.fetch_session_header(cfg, epoch))
+                retry_idx = [i for i, (st, _) in enumerate(results) if st == 401]
+                retried = list(pool.map(lambda i: one(urls[i], token), retry_idx))
+                for i, r in zip(retry_idx, retried):
+                    results[i] = r
+
+        statuses = [st for st, _ in results]
+        if as_json:
+            return statuses, [body for _, body in results]
+        # html-mode parse on the worker: the wire body is the site's span
+        # serialization; decode it to the same tuple shape render_page emits
+        payloads: list = []
+        for st, body in results:
+            if st != 200 or not body:
+                payloads.append([])
+                continue
+            spans = json.loads(body)["spans"]
+            payloads.append([tuple(s[k] for k in SPAN_TUPLE_KEYS) for s in spans])
+        return statuses, payloads

@@ -114,6 +114,12 @@ class CrawlEngine:
         # replay — silently dropping it would change politeness mid-crawl).
         self.budgets_df: DataFrame | None = None
         self._budgets_ckpt = False
+        # Pluggable network seam (operators/transport.py): None = the
+        # in-process SyntheticTransport; set an HttpTransport to crawl
+        # over real sockets. Like budgets_df it is a live object, not
+        # serialized config — resume() keeps whatever the caller set on
+        # the instance (the synthetic default replays identically).
+        self.transport = None
         # session cookie cache (one Set-Cookie fetch+parse per epoch;
         # reference: CookieFlowGraph.scala:30-58)
         self._jar = CookieJar()
@@ -285,11 +291,15 @@ class CrawlEngine:
         )
         # session cookie: refreshed once per epoch, broadcast into the fetch
         epoch = rnd // self.site.session_rounds if self.site.session_rounds else 0
-        token = self._jar.get(self.site, epoch) if self.site.session_rounds else None
+        token = (
+            self._jar.get(self.site, epoch, transport=self.transport)
+            if self.site.session_rounds else None
+        )
         fetched = fetch_pages(
             fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets,
             session_token=token, epoch=epoch, fmt=s.fetch_format,
             host_rates=s.politeness.host_rates, span_transport=s.span_transport,
+            transport=self.transport,
         )
         if needs_span_parse(fetched):  # json API mode or json span transport
             fetched = parse_json_spans(fetched)

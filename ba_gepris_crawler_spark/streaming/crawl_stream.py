@@ -83,6 +83,9 @@ class StreamingCrawl:
     # carried to the fetch cost model; localCheckpointed on first use so
     # the robots bodies parse once, not once per micro-batch
     budgets_df: DataFrame | None = None
+    # pluggable network seam (operators/transport.py), same semantics as
+    # CrawlEngine.transport: None = in-process SyntheticTransport
+    transport: object | None = None
     # session cookie cache (one Set-Cookie fetch per epoch), mirroring the
     # batch engine: the epoch analog is batch_id // session_rounds, so a
     # session-gated site rotates in the stream too instead of every
@@ -175,11 +178,14 @@ class StreamingCrawl:
             candidates, self.politeness, self.n_buckets, budgets_df=self.budgets_df
         )
         epoch = batch_id // self.site.session_rounds if self.site.session_rounds else 0
-        token = self._jar.get(self.site, epoch) if self.site.session_rounds else None
+        token = (
+            self._jar.get(self.site, epoch, transport=self.transport)
+            if self.site.session_rounds else None
+        )
         fetched = fetch_pages(
             fetch_now, self.site, self.politeness.per_host_rate, self.n_buckets,
             session_token=token, epoch=epoch, fmt=self.fetch_format,
-            host_rates=self.politeness.host_rates,
+            host_rates=self.politeness.host_rates, transport=self.transport,
         )
         if needs_span_parse(fetched):  # json API mode or json span transport
             fetched = parse_json_spans(fetched)
