@@ -400,3 +400,30 @@ def test_resume_with_driver_mode_ignores_persisted_table(spark, tmp_path):
     ms = eng2.resume(max_rounds=4)
     assert ms and any(m["counters"].get("cuckoo") for m in ms)
     assert isinstance(eng2._cuckoo, CuckooFilterShards), "on-disk table overrode cuckoo_mode='driver'"
+
+
+def test_portable_gate_no_false_negatives_and_structure(spark):
+    """portable_cuckoo_gate (the oracle-replayable twin): every seen URL is
+    flagged member (no false negatives — the gate contract both numpy
+    regimes guarantee), non-members are provably unseen, and the placement
+    columns obey the partial-key identity i2 = i1 XOR (H(fp) % m)."""
+    from ba_gepris_crawler_spark.operators.cuckoo import portable_cuckoo_gate
+
+    urls = spark.range(600).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".example.org/p/"), F.col("id").cast("string")).alias("url"),
+        "id",
+    )
+    seen = urls.filter(F.col("id") % 3 == 0).select("url")
+    out = portable_cuckoo_gate(urls.select("url"), seen, m=1024)
+    rows = {r.url: r for r in out.collect()}
+    seen_urls = {r.url for r in seen.collect()}
+    # no false negatives: every member of the seen set is gated 'skip'
+    assert all(rows[u].member and rows[u].action == "skip" for u in seen_urls)
+    # a 'fetch' decision is PROVABLY unseen
+    assert all(u not in seen_urls for u, r in rows.items() if r.action == "fetch")
+    # and the admit side is non-trivial (gate not degenerate)
+    assert sum(1 for r in rows.values() if not r.member) > 100
+    # structure: i2 = i1 ^ (H(fp) % m), all buckets < m, fp nonzero 16-bit
+    for r in rows.values():
+        assert 1 <= r.fp <= 65535 and 0 <= r.i1 < 1024 and 0 <= r.i2 < 1024
