@@ -74,10 +74,12 @@ def main(argv: list[str] | None = None) -> int:
             help="html = pre-parsed spans; json = S7 JSON-API bodies parsed in-plan",
         )
         c.add_argument(
-            "--span-transport", dest="span_transport", choices=["json", "arrow"],
+            "--span-transport", dest="span_transport", choices=["json", "arrow", "arrays"],
             default="json",
             help="how html-mode spans cross the Arrow boundary: json string + "
-                 "JVM from_json (default, ~2x faster) or pandas list-of-dicts",
+                 "JVM from_json (default, ~2x faster), pandas list-of-dicts "
+                 "(arrow), or four parallel primitive arrays zipped in-plan "
+                 "(arrays)",
         )
         c.add_argument(
             "--seen-filter", dest="seen_filter", choices=["bloom", "cuckoo"], default="bloom",

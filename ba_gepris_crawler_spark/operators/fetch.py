@@ -47,6 +47,19 @@ JSON_FETCH_RESULT_FIELDS = [
 ]
 
 
+# span_transport="arrays": spans cross the Arrow boundary as FOUR parallel
+# primitive arrays (no per-span dict objects, no per-page json encode) and
+# are zipped back into list<struct> JVM-side (assemble in parse_json_spans).
+ARRAYS_FETCH_RESULT_FIELDS = [
+    T.StructField("status", T.IntegerType(), False),
+    T.StructField("span_kind", T.ArrayType(T.StringType()), True),
+    T.StructField("span_text", T.ArrayType(T.StringType()), True),
+    T.StructField("span_media", T.ArrayType(T.StringType()), True),
+    T.StructField("span_off", T.ArrayType(T.IntegerType()), True),
+    T.StructField("virtual_cost_sec", T.DoubleType(), False),
+]
+
+
 def fetch_pages(
     scheduled: DataFrame,
     site_cfg: SiteConfig,
@@ -78,7 +91,10 @@ def fetch_pages(
     from_json — measured 1.75-2.2x faster end-to-end than "arrow",
     which hands pandas a list-of-dicts column whose object-by-object
     list<struct> conversion dominates the whole fetch stage
-    (BENCH/BASELINE.md round-4 A/B). Outputs are byte-equal; callers
+    (BENCH/BASELINE.md round-4 A/B). "arrays" ships FOUR parallel
+    primitive arrays per page (no per-span dicts, no json encode) zipped
+    back to list<struct> in the plan (arrays_zip + transform) — the
+    round-5 A/B candidate against "json". Outputs are byte-equal; callers
     check needs_span_parse(fetched) to know whether to apply
     parse_json_spans before treating the result as documents.
 
@@ -97,13 +113,17 @@ def fetch_pages(
     rate_overrides = dict(host_rates)  # robots Crawl-delay per-host rates
     as_json = fmt == "json"
     ship_json = as_json or span_transport == "json"
+    ship_arrays = not as_json and span_transport == "arrays"
     if transport is None:
         transport = SyntheticTransport()
 
     in_schema = scheduled.schema
-    out_schema = T.StructType(
-        list(in_schema.fields) + (JSON_FETCH_RESULT_FIELDS if ship_json else FETCH_RESULT_FIELDS)
+    result_fields = (
+        JSON_FETCH_RESULT_FIELDS if ship_json
+        else ARRAYS_FETCH_RESULT_FIELDS if ship_arrays
+        else FETCH_RESULT_FIELDS
     )
+    out_schema = T.StructType(list(in_schema.fields) + result_fields)
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json as _json
@@ -117,10 +137,10 @@ def fetch_pages(
                 cfg, list(pdf["url"]), token, epoch, as_json
             )
             if as_json:
-                payloads = raw  # raw body strings, parsed in the plan
+                out = {"body": raw}  # raw body strings, parsed in the plan
             elif ship_json:
                 # html parse happened on the worker; JSON transport to the JVM
-                payloads = [
+                out = {"body": [
                     _json.dumps(
                         {"spans": [
                             {"kind": k, "text": t, "media_ref": m, "offset": o}
@@ -129,12 +149,22 @@ def fetch_pages(
                         separators=(",", ":"),
                     )
                     for pl in raw
-                ]
+                ]}
+            elif ship_arrays:
+                # four parallel primitive arrays: Arrow converts flat
+                # list<string>/list<int> columns without building a dict
+                # per span or a json string per page
+                out = {
+                    "span_kind": [[s[0] for s in pl] for pl in raw],
+                    "span_text": [[s[1] for s in pl] for pl in raw],
+                    "span_media": [[s[2] for s in pl] for pl in raw],
+                    "span_off": [[s[3] for s in pl] for pl in raw],
+                }
             else:
-                payloads = [
+                out = {"spans": [
                     [{"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in pl]
                     for pl in raw
-                ]
+                ]}
             # virtual politeness cost: each slot-wave of a host costs
             # 1/rate, where rate honors the robots Crawl-delay per-host
             # overrides — the same rates the budget cut used upstream.
@@ -147,7 +177,6 @@ def fetch_pages(
             else:
                 host_rate = pdf["host"].map(rate_overrides).fillna(rate).astype("float64")
             cost = (pdf.groupby("host")["slot"].transform("max") / host_rate).astype("float64")
-            out = {("body" if ship_json else "spans"): payloads}
             res = pdf.assign(status=pd.Series(statuses, index=pdf.index, dtype="int32"), virtual_cost_sec=cost, **out)
             yield res[[f.name for f in out_schema.fields]]  # schema column order
 
@@ -156,18 +185,29 @@ def fetch_pages(
 
 
 def needs_span_parse(fetched: DataFrame) -> bool:
-    """True iff a fetch_pages result still carries a raw `body` column
-    (fmt="json" or span_transport="json") and must go through
+    """True iff a fetch_pages result still carries a wire-format span
+    column (`body` for fmt="json" / span_transport="json", the four
+    `span_*` arrays for span_transport="arrays") and must go through
     parse_json_spans before to_documents — the documented caller protocol
-    for both fetch formats and both span transports."""
-    return "body" in fetched.columns
+    for every fetch format and span transport."""
+    return "body" in fetched.columns or "span_kind" in fetched.columns
 
 
 def parse_json_spans(fetched: DataFrame) -> DataFrame:
-    """JSON-API body -> spans, entirely in the plan (from_json — Catalyst,
-    no Python): yields the exact schema an fmt='html' fetch_pages returns,
-    so to_documents and everything downstream is format-agnostic and a
-    JSON-mode crawl is byte-equal to an HTML-mode one."""
+    """Wire-format span columns -> spans, entirely in the plan (Catalyst,
+    no Python): from_json for the json transports, arrays_zip + transform
+    for the "arrays" transport. Yields the exact schema an in-band
+    fetch_pages returns, so to_documents and everything downstream is
+    format-agnostic and every transport's crawl is byte-equal."""
+    if "span_kind" in fetched.columns:
+        spans = F.expr(
+            "transform(arrays_zip(span_kind, span_text, span_media, span_off),"
+            " s -> struct(s.span_kind as kind, s.span_text as text,"
+            " s.span_media as media_ref, s.span_off as offset))"
+        )
+        return fetched.withColumn("spans", spans).drop(
+            "span_kind", "span_text", "span_media", "span_off"
+        )
     body_schema = T.StructType([T.StructField("spans", SPANS_TYPE, True)])
     return fetched.withColumn(
         "spans", F.from_json(F.col("body"), body_schema).getField("spans")

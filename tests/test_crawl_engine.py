@@ -330,15 +330,17 @@ def test_json_api_crawl_equals_html_crawl(spark, crawl_cfg, tmp_path_factory, ru
     assert da == dj  # span sequences byte-equal across fetch formats
 
 
-def test_arrow_span_transport_equals_json_transport(spark, crawl_cfg, tmp_path_factory, run):
+@pytest.mark.parametrize("transport_name", ["arrow", "arrays"])
+def test_span_transports_equal_json_transport(spark, crawl_cfg, tmp_path_factory, run, transport_name):
     """span_transport is a wire-format detail of the html fetch path: the
-    'arrow' transport (list-of-dicts through pandas) must produce the
-    IDENTICAL crawl log and documents table as the default 'json'
+    'arrow' transport (list-of-dicts through pandas) and the 'arrays'
+    transport (four parallel primitive arrays zipped in-plan) must produce
+    the IDENTICAL crawl log and documents table as the default 'json'
     transport (one string per page + JVM from_json) the `run` fixture used."""
     store_a, _, _ = run
-    store_t = SnapshotStore(spark, tmp_path_factory.mktemp("crawl_arrow"))
+    store_t = SnapshotStore(spark, tmp_path_factory.mktemp(f"crawl_{transport_name}"))
     settings = _settings()
-    settings.span_transport = "arrow"
+    settings.span_transport = transport_name
     manifests = CrawlEngine(spark, crawl_cfg, store_t, settings).run(max_rounds=30)
     assert manifests[-1]["counters"]["done"]
 
