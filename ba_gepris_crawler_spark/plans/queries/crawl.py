@@ -1,0 +1,980 @@
+"""Crawl-family driver queries: frontier, extraction quirks, politeness, robots, traps, cuckoo gate.
+
+Split out of plans/driver_queries.py (round 5); query bodies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ba_gepris_crawler_spark.operators.canonicalize import canonical_url  # noqa: F401
+from ba_gepris_crawler_spark.plans.queries._base import (  # noqa: F401
+    _TOKS_DUCK,
+    _TOKS_SPARK,
+    SparkFn,
+    _h60_duck,
+    _h60_spark,
+    _q,
+    _span,
+    _t,
+)
+
+# --------------------------------------------------------------------------
+# crawl_* — engine kernels
+# --------------------------------------------------------------------------
+
+@_q(
+    "crawl_frontier_anti_join",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    seen AS (SELECT url FROM urls WHERE doc_id % 3 = 0)
+    SELECT regexp_extract(url, '^https://([^/]*)/', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_new
+    FROM urls WHERE url NOT IN (SELECT url FROM seen)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def crawl_frontier_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: frontier minus seen (left_anti), grouped by host."""
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    seen = urls.filter(F.col("doc_id") % 3 == 0).select("url")
+    new = urls.join(seen, "url", "left_anti")
+    return (
+        new.groupBy(F.regexp_extract("url", "^https://([^/]*)/", 1).alias("host"))
+        .agg(F.count("*").alias("n_new"))
+        .orderBy("host")
+    )
+
+
+@_q(
+    "crawl_url_canonicalize",
+    """
+    SELECT doc_id,
+      CASE
+        WHEN doc_id % 4 = 0 THEN 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/path/' || CAST(doc_id AS VARCHAR)
+        WHEN doc_id % 4 = 1 THEN 'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/path/' || CAST(doc_id AS VARCHAR) || '?x=1'
+        WHEN doc_id % 8 = 2 THEN 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org:80/path/' || CAST(doc_id AS VARCHAR)
+        WHEN doc_id % 8 = 6 THEN 'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org:443/path/' || CAST(doc_id AS VARCHAR)
+        ELSE 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/'
+      END AS canonical
+    FROM documents ORDER BY doc_id
+    """,
+)
+def crawl_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine canonicalizer vs independently-constructed expected URLs.
+    Adversarial rows: https://h:80 and http://h:443 carry NON-default ports
+    that must survive canonicalization (only the scheme's own default port
+    is stripped)."""
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 5).cast("string")
+    i = F.col("doc_id").cast("string")
+    messy = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTPS://Host"), k, F.lit(".Example.ORG:443/path/"), i, F.lit("#frag")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("http://host"), k, F.lit(".example.org:80/path/"), i, F.lit("?x=1")))
+        .when(F.col("doc_id") % 8 == 2,
+              F.concat(F.lit("https://Host"), k, F.lit(".example.org:80/path/"), i, F.lit("?")))
+        .when(F.col("doc_id") % 8 == 6,
+              F.concat(F.lit("http://host"), k, F.lit(".example.org:443/path/"), i))
+        .otherwise(F.concat(F.lit("https://host"), k, F.lit(".example.org")))
+    )
+    return d.select("doc_id", canonical_url(messy).alias("canonical")).orderBy("doc_id")
+
+
+@_q(
+    "crawl_pagination_windows",
+    """
+    WITH p AS (SELECT unnest(generate_series(0,
+        (SELECT CAST(ceil(count(*) / 50.0) AS BIGINT) - 1 FROM documents))) AS page)
+    SELECT CAST(page AS BIGINT) AS page, CAST(page * 50 AS BIGINT) AS idx
+    FROM p ORDER BY page
+    """,
+)
+def crawl_pagination_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: total count -> ceil-div page windows (PaginatedResourceCatalogUrlsGraph)."""
+    total = _t(spark, sf_dir, "documents").agg(F.count("*").alias("total"))
+    return (
+        total.select(F.explode(F.sequence(F.lit(0), (F.ceil(F.col("total") / 50.0) - 1).cast("int"))).alias("p"))
+        .select(F.col("p").cast("bigint").alias("page"), (F.col("p") * 50).cast("bigint").alias("idx"))
+        .orderBy("page")
+    )
+
+
+_TERM_DUCK = """
+      CASE CAST(doc_id % 6 AS INT)
+        WHEN 0 THEN 'Funded from ' || CAST(1998 + doc_id % 20 AS VARCHAR) || ' to ' || CAST(1998 + doc_id % 20 + doc_id % 7 AS VARCHAR)
+        WHEN 1 THEN 'Funded since ' || CAST(1998 + doc_id % 20 AS VARCHAR)
+        WHEN 2 THEN 'Funded in ' || CAST(1998 + doc_id % 20 AS VARCHAR)
+        WHEN 3 THEN 'Funded until ' || CAST(1998 + doc_id % 20 + doc_id % 7 AS VARCHAR)
+        WHEN 4 THEN 'Currently being funded'
+        ELSE 'Funding period unclear'
+      END
+"""
+
+
+@_q(
+    "crawl_funding_term_cascade",
+    f"""
+    WITH t AS (SELECT doc_id, {_TERM_DUCK} AS term FROM documents)
+    SELECT doc_id, term,
+      CASE
+        WHEN regexp_matches(term, 'from ([0-9]+) to ([0-9]+)') THEN regexp_extract(term, 'from ([0-9]+) to ([0-9]+)', 1)
+        WHEN regexp_matches(term, 'since ([0-9]+)') THEN regexp_extract(term, 'since ([0-9]+)', 1)
+        WHEN regexp_matches(term, 'Funded in ([0-9]+)') THEN regexp_extract(term, 'Funded in ([0-9]+)', 1)
+        WHEN regexp_matches(term, 'until ([0-9]+)') THEN ''
+        WHEN regexp_matches(term, 'Currently being funded') THEN 'ongoing'
+        ELSE '' END AS start_year,
+      CASE
+        WHEN regexp_matches(term, 'from ([0-9]+) to ([0-9]+)') THEN regexp_extract(term, 'from ([0-9]+) to ([0-9]+)', 2)
+        WHEN regexp_matches(term, 'since ([0-9]+)') THEN ''
+        WHEN regexp_matches(term, 'Funded in ([0-9]+)') THEN regexp_extract(term, 'Funded in ([0-9]+)', 1)
+        WHEN regexp_matches(term, 'until ([0-9]+)') THEN regexp_extract(term, 'until ([0-9]+)', 1)
+        WHEN regexp_matches(term, 'Currently being funded') THEN 'ongoing'
+        ELSE '' END AS end_year
+    FROM t ORDER BY doc_id
+    """,
+)
+def crawl_funding_term_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 through the REAL extraction module (functions/extraction.py
+    funding_range_cols — ExtractorHelpers.scala:25-38): the fixture builds
+    span sequences with a 'Term' label + content span, runs with_fields,
+    and the module's five-regex first-match-wins cascade produces the
+    years. The oracle replays the cascade in SQL."""
+    from ba_gepris_crawler_spark.functions.extraction import (
+        field_text,
+        funding_range_cols,
+        with_fields,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    y1 = (F.lit(1998) + F.col("doc_id") % 20).cast("string")
+    y2 = (F.lit(1998) + F.col("doc_id") % 20 + F.col("doc_id") % 7).cast("string")
+    term = (
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("Funded from "), y1, F.lit(" to "), y2))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("Funded since "), y1))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("Funded in "), y1))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("Funded until "), y2))
+        .when(F.col("doc_id") % 6 == 4, F.lit("Currently being funded"))
+        .otherwise(F.lit("Funding period unclear"))
+    )
+    docs = d.select(
+        "doc_id",
+        F.array(_span("name", "Term", None, 0), _span("text", term, None, 1)).alias("spans"),
+    )
+    start, end = funding_range_cols()
+    return (
+        with_fields(docs)
+        .select(
+            "doc_id",
+            field_text("Term").alias("term"),
+            start.alias("start_year"),
+            end.alias("end_year"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "crawl_multivalue_split",
+    """
+    WITH v AS (SELECT doc_id, lang || ', ' || source || '<br> ' || lang || ', zz' AS value FROM documents)
+    SELECT DISTINCT doc_id, trim(u2) AS value_item
+    FROM v, unnest(string_split(value, '<br>')) AS t(u), unnest(string_split(u, ', ')) AS t2(u2)
+    WHERE trim(u2) <> ''
+    ORDER BY doc_id, value_item
+    """,
+)
+def crawl_multivalue_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 through the REAL extraction module (functions/extraction.py
+    multivalues): label+content span fixture -> with_fields -> the module's
+    '<br>' then ', ' split with trim/drop-empty/distinct (comma-trap
+    semantics reproduced from the reference)."""
+    from ba_gepris_crawler_spark.functions.extraction import multivalues, with_fields
+
+    value = F.concat(
+        F.col("lang"), F.lit(", "), F.col("source"), F.lit("<br> "), F.col("lang"), F.lit(", zz")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(_span("name", "Subject Area", None, 0), _span("text", value, None, 1)).alias("spans"),
+    )
+    return (
+        with_fields(docs)
+        .select("doc_id", F.explode(multivalues(["Subject Area"])).alias("value_item"))
+        .distinct()
+        .orderBy("doc_id", "value_item")
+    )
+
+
+@_q(
+    "crawl_email_deobfuscate",
+    """
+    SELECT doc_id,
+           regexp_replace('user' || CAST(doc_id AS VARCHAR) || '<img src="/img/at.png">' || source || '.example',
+                          '<img[^<]*>', '@', 'g') AS email
+    FROM documents ORDER BY doc_id
+    """,
+)
+def crawl_email_deobfuscate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 through the REAL extraction module (functions/extraction.py
+    deobfuscated_email — PersonExtractorGraph.scala:46-51): the fixture
+    interleaves text spans with an img span under an 'E-Mail' label; the
+    module renders the field html ('<img src=...>' piece) and replaces
+    every img with '@'."""
+    from ba_gepris_crawler_spark.functions.extraction import deobfuscated_email, with_fields
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            _span("name", "E-Mail", None, 0),
+            _span("text", F.concat(F.lit("user"), F.col("doc_id").cast("string")), None, 1),
+            _span("img", None, "/img/at.png", 2),
+            _span("text", F.concat(F.col("source"), F.lit(".example")), None, 3),
+        ).alias("spans"),
+    )
+    return with_fields(docs).select("doc_id", deobfuscated_email().alias("email")).orderBy("doc_id")
+
+
+@_q(
+    "crawl_link_extract",
+    """
+    WITH h AS (SELECT doc_id,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN '/gepris/projekt/' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN '/gepris/person/' || CAST(doc_id AS VARCHAR)
+        ELSE '/other/' || CAST(doc_id AS VARCHAR) END AS href
+      FROM documents)
+    SELECT doc_id, regexp_extract(href, '^/gepris/projekt/([0-9]+)$', 1) AS project_id
+    FROM h WHERE regexp_extract(href, '^/gepris/projekt/([0-9]+)$', 1) <> ''
+    ORDER BY doc_id
+    """,
+)
+def crawl_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 through the REAL extraction module (functions/extraction.py
+    link_ids): link spans under an anchored label -> /gepris/projekt/(\\d*)
+    ids in document order, non-matching hrefs dropped."""
+    from ba_gepris_crawler_spark.functions.extraction import link_ids, with_fields
+
+    href = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/gepris/projekt/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/gepris/person/"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/other/"), F.col("doc_id").cast("string")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            _span("name", "Subproject of", None, 0), _span("link", "ref", href, 1)
+        ).alias("spans"),
+    )
+    d = with_fields(docs).select(
+        "doc_id",
+        F.coalesce(
+            F.try_element_at(link_ids("projekt", ["Subproject of"]), F.lit(1)), F.lit("")
+        ).alias("project_id"),
+    )
+    return d.filter(F.col("project_id") != "").orderBy("doc_id")
+
+
+@_q(
+    "crawl_host_priority_queue",
+    """
+    WITH f AS (SELECT doc_id, 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+                      CAST(n_chars % 3 AS INT) AS priority,
+                      CAST(doc_id % 4 AS INT) AS host_bucket FROM documents)
+    SELECT host, priority, doc_id, rnk FROM (
+      SELECT host, priority, doc_id,
+             CAST(row_number() OVER (PARTITION BY host ORDER BY priority, host_bucket, doc_id) AS BIGINT) AS rnk
+      FROM f) WHERE rnk <= 10
+    ORDER BY host, rnk
+    """,
+)
+def crawl_host_priority_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted priority queue through the REAL scheduler
+    (operators/politeness.py schedule_round): two-level rank — local rank
+    within (host, host_bucket) lifted to the exact global per-host rank via
+    broadcast group offsets — then the per-host budget cut. The oracle is a
+    flat window over (priority, host_bucket, url), i.e. the engine-defined
+    total order; equality certifies the offset composition. The fixture
+    pins a portable host_bucket (doc_id % 4) and a zero-padded url so SQL
+    integer order == engine string order."""
+    from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, schedule_round
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")).alias("host"),
+        F.lit(0).cast("int").alias("crawl_depth"),
+        (F.col("n_chars") % 3).cast("int").alias("priority"),
+        (F.col("doc_id") % 4).cast("int").alias("host_bucket"),
+    )
+    cfg = PolitenessConfig(per_host_rate=10, round_seconds=1.0, max_in_flight=5)
+    fetch_now, _deferred = schedule_round(d, cfg, n_buckets=4)
+    return (
+        fetch_now.select("host", "priority", "doc_id", F.col("host_rank").cast("bigint").alias("rnk"))
+        .orderBy("host", "rnk")
+    )
+
+
+@_q(
+    "crawl_seen_dedup_rate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id % 97) AS BIGINT) AS n_unique,
+           round(CAST(1.0 - count(DISTINCT doc_id % 97) * 1.0 / count(*) AS DOUBLE), 6) AS dedup_rate
+    FROM documents
+    """,
+)
+def crawl_seen_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-style ratio: frontier-dedup rate metric."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct(F.col("doc_id") % 97).alias("n_unique"),
+        F.round(1.0 - F.countDistinct(F.col("doc_id") % 97) / F.count("*"), 6).alias("dedup_rate"),
+    )
+
+
+@_q(
+    "crawl_catalog_count_parse",
+    """
+    WITH l AS (SELECT doc_id,
+      'Results 1 to 50 out of ' ||
+      CASE WHEN doc_id % 2 = 0 THEN '1,234' ELSE CAST(doc_id % 999 AS VARCHAR) END || ' on 2018-10-20' AS line
+      FROM documents)
+    SELECT doc_id, CAST(replace(regexp_extract(line, 'out of ([0-9,]*) on', 1), ',', '') AS BIGINT) AS total
+    FROM l ORDER BY doc_id
+    """,
+)
+def crawl_catalog_count_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: 'out of ([\\d,]*) on' -> strip commas -> int."""
+    d = _t(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit("Results 1 to 50 out of "),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("1,234")).otherwise((F.col("doc_id") % 999).cast("string")),
+        F.lit(" on 2018-10-20"),
+    )
+    total = F.regexp_replace(F.regexp_extract(line, "out of ([0-9,]*) on", 1), ",", "").cast("bigint")
+    return d.select("doc_id", total.alias("total")).orderBy("doc_id")
+
+
+@_q(
+    "crawl_span_adjacency",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ')[1:40] AS ts FROM documents),
+    s AS (SELECT doc_id, unnest(ts) AS tok,
+                 unnest(range(1, len(ts) + 1)) AS span_off
+          FROM toks),
+    p AS (SELECT doc_id, span_off, tok,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY span_off) AS nxt
+          FROM s)
+    SELECT doc_id, CAST(span_off AS BIGINT) AS span_off,
+           tok AS field_name, nxt AS field_value
+    FROM p WHERE span_off % 2 = 1 AND nxt IS NOT NULL
+    ORDER BY doc_id, span_off
+    """,
+)
+def crawl_span_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+F4: ordered span sequence per document, label/value pairing by
+    adjacency (GenericFieldExtractorGraph.scala:73-83: every `.name` span's
+    value is the next sibling span). posexplode preserves array order; the
+    pairing is a lead() window keyed on the span offset."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split("text", " "), 1, 40).alias("ts")
+    )
+    s = d.select("doc_id", F.posexplode("ts").alias("pos", "tok")).select(
+        "doc_id", (F.col("pos") + 1).cast("bigint").alias("span_off"), "tok"
+    )
+    w = Window.partitionBy("doc_id").orderBy("span_off")
+    p = s.withColumn("nxt", F.lead("tok").over(w))
+    return (
+        p.filter((F.col("span_off") % 2 == 1) & F.col("nxt").isNotNull())
+        .select("doc_id", "span_off", F.col("tok").alias("field_name"), F.col("nxt").alias("field_value"))
+        .orderBy("doc_id", "span_off")
+    )
+
+
+@_q(
+    "crawl_address_assembly",
+    """
+    WITH a AS (SELECT c_custkey,
+        c_name || '<br> Street ' || CAST(c_custkey AS VARCHAR) || ' <br>City ' ||
+        CAST(c_custkey % 50 AS VARCHAR) AS addr_html FROM customer),
+    sp AS (SELECT c_custkey, string_split(addr_html, '<br>') AS parts FROM a)
+    SELECT c_custkey, trim(parts[1]) AS institution_name,
+           array_to_string(list_transform(parts[2:], x -> trim(x)), chr(10)) AS address
+    FROM sp ORDER BY c_custkey
+    """,
+)
+def crawl_address_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: Address field split on <br>; head = institution name, the rest
+    re-joined with newlines (PersonExtractorGraph.scala:17-27)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit("<br> Street "), F.col("c_custkey").cast("string"),
+            F.lit(" <br>City "), (F.col("c_custkey") % 50).cast("string"),
+        ).alias("addr_html"),
+    )
+    parts = F.split("addr_html", "<br>")
+    return c.select(
+        "c_custkey",
+        F.trim(F.element_at(parts, 1)).alias("institution_name"),
+        F.expr(
+            "array_join(transform(slice(split(addr_html, '<br>'), 2, size(split(addr_html, '<br>')) - 1),"
+            " x -> trim(x)), '\\n')"
+        ).alias("address"),
+    ).orderBy("c_custkey")
+
+
+@_q(
+    "crawl_parent_hierarchy",
+    """
+    SELECT c.doc_id, CAST(c.doc_id // 10 AS BIGINT) AS parent_id,
+           p.source AS parent_source
+    FROM documents c JOIN documents p ON p.doc_id = c.doc_id // 10
+    ORDER BY c.doc_id
+    """,
+)
+def crawl_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: parent_project_id self-join (extracted at
+    ProjectExtractorGraph.scala:41-43; column DTOs.scala:46)."""
+    d = _t(spark, sf_dir, "documents")
+    child = d.select("doc_id", F.floor(F.col("doc_id") / 10).cast("bigint").alias("parent_id"))
+    parent = d.select(F.col("doc_id").alias("parent_id"), F.col("source").alias("parent_source"))
+    return child.join(parent, "parent_id").select("doc_id", "parent_id", "parent_source").orderBy("doc_id")
+
+
+@_q(
+    "crawl_json_api_parse",
+    """
+    WITH j AS (SELECT doc_id,
+      '{"id": ' || CAST(doc_id AS VARCHAR) || ', "type": "' ||
+      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'projekt' WHEN 1 THEN 'person' ELSE 'institution' END ||
+      '", "title": "Resource ' || CAST(doc_id AS VARCHAR) || '"}' AS payload
+      FROM documents)
+    SELECT doc_id,
+           CAST(json_extract(payload, '$.id') AS BIGINT) AS rid,
+           json_extract_string(payload, '$.type') AS rtype,
+           json_extract_string(payload, '$.title') AS title
+    FROM j ORDER BY doc_id
+    """,
+)
+def crawl_json_api_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the reference's dormant JSON-API source
+    (CrawledResourceDetailDataFromJsonAPIGraph.scala:15-46) — fetched JSON
+    payload parsed with from_json into typed columns."""
+    d = _t(spark, sf_dir, "documents")
+    rtype = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("projekt"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("person"))
+        .otherwise(F.lit("institution"))
+    )
+    payload = F.concat(
+        F.lit('{"id": '), F.col("doc_id").cast("string"),
+        F.lit(', "type": "'), rtype,
+        F.lit('", "title": "Resource '), F.col("doc_id").cast("string"), F.lit('"}'),
+    )
+    parsed = F.from_json(payload, "id bigint, type string, title string")
+    return d.select(
+        "doc_id",
+        parsed["id"].alias("rid"),
+        parsed["type"].alias("rtype"),
+        parsed["title"].alias("title"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "crawl_robots_filter",
+    """
+    WITH f AS (SELECT doc_id, 'h' || CAST(doc_id % 4 AS VARCHAR) || '.example.org' AS host,
+                      CASE WHEN doc_id % 5 = 0 THEN '/private/' ELSE '/public/' END ||
+                      CAST(doc_id AS VARCHAR) AS path
+               FROM documents)
+    SELECT doc_id, host, path FROM f
+    WHERE NOT (host = 'h1.example.org' AND regexp_matches(path, '^/private/'))
+      AND NOT (host = 'h2.example.org' AND regexp_matches(path, '.*'))
+    ORDER BY doc_id
+    """,
+)
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness robots.txt disallow filter (operators/politeness.py
+    apply_robots): per-host path-regex disallows compiled into the plan —
+    h1 blocks /private/*, h2 blocks everything."""
+    from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig, apply_robots
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/private/")).otherwise(F.lit("/public/")),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    ).withColumn("url", F.col("path"))
+    cfg = PolitenessConfig(disallow=(("h1.example.org", "^/private/"), ("h2.example.org", ".*")))
+    return apply_robots(d, cfg).select("doc_id", "host", "path").orderBy("doc_id")
+
+
+@_q(
+    "crawl_cookie_parse",
+    """
+    WITH h AS (SELECT doc_id,
+      'JSESSIONID=tok' || CAST(doc_id AS VARCHAR) || '; Path=/gepris; HttpOnly' ||
+      CASE WHEN doc_id % 2 = 0 THEN '; Secure' ELSE '' END AS header
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(header, '^\\s*([^=;\\s]+)=', 1) AS cookie_name,
+           regexp_extract(header, '^\\s*[^=;\\s]+=([^;]*)', 1) AS cookie_value,
+           regexp_extract(header, '(?i);\\s*Path=([^;]*)', 1) AS cookie_path,
+           regexp_matches(header, '(?i);\\s*HttpOnly(;|$)') AS http_only,
+           regexp_matches(header, '(?i);\\s*Secure(;|$)') AS secure
+    FROM h ORDER BY doc_id
+    """,
+)
+def crawl_cookie_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13/S9 through the REAL module (operators/cookies.py
+    cookie_field_cols): native-expression Set-Cookie parse — name, value,
+    Path, HttpOnly/Secure flags (reference parses the landing page's
+    Set-Cookie header, CookieFlowGraph.scala:39-44)."""
+    from ba_gepris_crawler_spark.operators.cookies import cookie_field_cols
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("JSESSIONID=tok"), F.col("doc_id").cast("string"),
+            F.lit("; Path=/gepris; HttpOnly"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("; Secure")).otherwise(F.lit("")),
+        ).alias("header"),
+    )
+    cols = cookie_field_cols("header")
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()]).orderBy("doc_id")
+
+
+@_q(
+    "crawl_robots_allow_filter",
+    """
+    WITH f AS (SELECT doc_id,
+      'h' || CAST(doc_id % 2 AS VARCHAR) || '.example.org' AS host,
+      'https://h' || CAST(doc_id % 2 AS VARCHAR) || '.example.org' ||
+      CASE WHEN doc_id % 5 = 0 THEN '/private/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 1 THEN '/private/press/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 2 THEN '/docs/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+           WHEN doc_id % 5 = 3 THEN '/docs/f' || CAST(doc_id AS VARCHAR) || '.pdf?x=1'
+           ELSE '/public/' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents)
+    SELECT doc_id, host, url FROM f
+    WHERE NOT (host = 'h1.example.org' AND (
+        (url LIKE '%.example.org/private/%' AND url NOT LIKE '%.example.org/private/press/%')
+        OR url LIKE '%.pdf'))
+    ORDER BY doc_id
+    """,
+)
+def crawl_robots_allow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-9309 Allow/wildcard robots evaluation end to end through the
+    REAL modules (politeness.parse_robots_rules -> politeness_from_robots
+    -> apply_robots): h1's robots Disallows /private/ but an Allow carves
+    the /private/press/ hole (longest match wins), and a '/*.pdf$' pattern
+    blocks by suffix — the trailing '$' anchors the URL end, so '.pdf?x=1'
+    stays crawlable. h0 serves no robots and is untouched. Beyond the
+    reference (which has no robots at all); the oracle replays the net
+    keep-set with LIKE algebra."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        PolitenessConfig,
+        apply_robots,
+        politeness_from_robots,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/press/\n"
+        "Disallow: /*.pdf$\n"
+    )
+    cfg = politeness_from_robots(PolitenessConfig(), {"h1.example.org": txt})
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 2).cast("string"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 2).cast("string"), F.lit(".example.org"),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/press/"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/docs/f"), F.col("doc_id").cast("string"), F.lit(".pdf")))
+            .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/docs/f"), F.col("doc_id").cast("string"), F.lit(".pdf?x=1")))
+            .otherwise(F.concat(F.lit("/public/"), F.col("doc_id").cast("string"))),
+        ).alias("url"),
+    )
+    return apply_robots(d, cfg).select("doc_id", "host", "url").orderBy("doc_id")
+
+
+@_q(
+    "crawl_robots_distributed_parse",
+    """
+    WITH f AS (SELECT doc_id,
+      'h' || CAST(doc_id % 3 AS VARCHAR) || '.example.org' AS host,
+      CAST(doc_id % 3 AS VARCHAR) AS i,
+      CASE WHEN doc_id % 5 = 0 THEN '/private' || CAST(doc_id % 3 AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 1 THEN '/private' || CAST(doc_id % 3 AS VARCHAR) || '/press/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 2 THEN '/docs/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+           WHEN doc_id % 5 = 3 THEN '/docs/f' || CAST(doc_id AS VARCHAR) || '.pdf?x=1'
+           ELSE '/public/' || CAST(doc_id AS VARCHAR) END AS path
+      FROM documents)
+    SELECT doc_id, host, 'https://' || host || path AS url FROM f
+    WHERE NOT ((path LIKE '/private' || i || '/%' AND path NOT LIKE '/private' || i || '/press/%')
+               OR path LIKE '%.pdf')
+    ORDER BY doc_id
+    """,
+)
+def crawl_robots_distributed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scale robots transport end to end: robots.txt BODIES as a
+    DataFrame -> parse_robots_rules_distributed (Arrow-batched mapInPandas
+    over the same RFC-9309 state machine the driver path uses) ->
+    apply_robots_rules (per-host sorted rule arrays joined onto the
+    frontier, longest-match via one array HOF). Nothing — bodies, rules,
+    or decisions — transits the driver, the regime for 10^6+ robots'd
+    hosts where the cfg-literal path (crawl_robots_allow_filter) cannot
+    hold. Each of 3 hosts Disallows /private{i}/ with an Allow carving
+    /private{i}/press/ and a '/*.pdf$' suffix block; the oracle replays
+    the keep-set with LIKE algebra."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        apply_robots_rules,
+        parse_robots_rules_distributed,
+    )
+
+    robots = spark.range(3).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private"), F.col("id").cast("string"),
+            F.lit("/\nAllow: /private"), F.col("id").cast("string"),
+            F.lit("/press/\nDisallow: /*.pdf$\n"),
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots_rules_distributed(robots)
+    i = (F.col("doc_id") % 3).cast("string")
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private"), i, F.lit("/"), did))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private"), i, F.lit("/press/"), did))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/docs/f"), did, F.lit(".pdf")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/docs/f"), did, F.lit(".pdf?x=1")))
+        .otherwise(F.concat(F.lit("/public/"), did))
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), i, F.lit(".example.org")).alias("host"),
+        F.concat(F.lit("https://h"), i, F.lit(".example.org"), path).alias("url"),
+    )
+    return apply_robots_rules(d, rules).select("doc_id", "host", "url").orderBy("doc_id")
+
+
+@_q(
+    "crawl_robots_txt_parse",
+    """
+    WITH f AS (SELECT doc_id,
+      'h' || CAST(doc_id % 4 AS VARCHAR) || '.example.org' AS host,
+      'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.example.org' ||
+      CASE WHEN doc_id % 5 = 0 THEN '/private/' || CAST(doc_id AS VARCHAR)
+           WHEN doc_id % 5 = 1 THEN '/tmp/f' || CAST(doc_id AS VARCHAR) || '.bak'
+           ELSE '/public/' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents)
+    SELECT doc_id, host, url FROM f
+    WHERE NOT (host = 'h1.example.org' AND (url LIKE '%/private/%' OR url LIKE '%.bak'))
+      AND NOT (host = 'h2.example.org')
+    ORDER BY doc_id
+    """,
+)
+def crawl_robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt text -> parsed disallow rules -> plan filter, end to end
+    through the REAL module (politeness.parse_robots + apply_robots): h1
+    serves a robots.txt disallowing /private/ and /tmp/*.bak for the
+    wildcard agent (plus an inapplicable googlebot group), h2 disallows
+    everything. The robots fetch+parse is driver-side once per host (the
+    broadcast robots-cache analog); the oracle replays the net filter."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        PolitenessConfig,
+        apply_robots,
+        parse_robots,
+    )
+
+    h1_txt = (
+        "User-agent: googlebot\nDisallow: /only-google/\n\n"
+        "User-agent: *\nDisallow: /private/\nDisallow: /tmp/*.bak\n"
+    )
+    h2_txt = "User-agent: *\nDisallow: /\n"
+    cfg = PolitenessConfig(
+        disallow=parse_robots("h1.example.org", h1_txt) + parse_robots("h2.example.org", h2_txt)
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"), F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 4).cast("string"), F.lit(".example.org"),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/tmp/f"), F.col("doc_id").cast("string"), F.lit(".bak")))
+            .otherwise(F.concat(F.lit("/public/"), F.col("doc_id").cast("string"))),
+        ).alias("url"),
+    )
+    return apply_robots(d, cfg).select("doc_id", "host", "url").orderBy("doc_id")
+
+
+@_q(
+    "crawl_crawl_delay_budget",
+    """
+    WITH f AS (SELECT doc_id, 'h' || CAST(doc_id % 3 AS VARCHAR) AS host,
+                      CAST(doc_id % 4 AS INT) AS host_bucket FROM documents),
+    r AS (SELECT host, doc_id,
+                 row_number() OVER (PARTITION BY host
+                     ORDER BY host_bucket, lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS rnk
+          FROM f),
+    b AS (SELECT host, CASE host WHEN 'h0' THEN 2 WHEN 'h1' THEN 4 ELSE 20 END AS budget, rnk
+          FROM r)
+    SELECT host, CAST(max(budget) AS BIGINT) AS budget,
+           CAST(sum(CASE WHEN rnk <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_fetch_now,
+           CAST(sum(CASE WHEN rnk > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred
+    FROM b GROUP BY host ORDER BY host
+    """,
+)
+def crawl_crawl_delay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt Crawl-delay -> per-host token-bucket budgets, end to end
+    through the REAL modules (politeness.parse_crawl_delay ->
+    politeness_from_robots -> schedule_round): h0 serves Crawl-delay 0.5
+    (rate 2/s -> budget 2; an inapplicable googlebot group says 9), h1
+    serves 0.25 (budget 4), h2 serves no robots and keeps the default rate
+    20 (budget 20). The budget is applied as a literal when-cascade — the
+    broadcast robots-cache analog, no join. The oracle replays the per-host
+    rank + CASE budget cut."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        PolitenessConfig,
+        politeness_from_robots,
+        schedule_round,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string")).alias("host"),
+        F.lit(0).cast("int").alias("crawl_depth"),
+        F.lit(0).cast("int").alias("priority"),
+        (F.col("doc_id") % 4).cast("int").alias("host_bucket"),
+    )
+    base = PolitenessConfig(per_host_rate=20, round_seconds=1.0, max_in_flight=5)
+    robots = {
+        "h0": "User-agent: googlebot\nCrawl-delay: 9\n\n"
+              "User-agent: *\nDisallow:\nCrawl-delay: 0.5\n",
+        "h1": "User-agent: *\nCrawl-delay: 0.25\n",
+    }
+    cfg = politeness_from_robots(base, robots)
+    fetch_now, deferred = schedule_round(d, cfg, n_buckets=4)
+    fn = fetch_now.groupBy("host").agg(F.count(F.lit(1)).alias("n_fetch_now"))
+    dn = deferred.groupBy("host").agg(F.count(F.lit(1)).alias("n_deferred"))
+    return (
+        fn.join(dn, "host", "full")
+        .select(
+            "host",
+            cfg.budget_col("host").cast("bigint").alias("budget"),
+            F.coalesce("n_fetch_now", F.lit(0)).alias("n_fetch_now"),
+            F.coalesce("n_deferred", F.lit(0)).alias("n_deferred"),
+        )
+        .orderBy("host")
+    )
+
+
+@_q(
+    "crawl_budget_relation_cut",
+    """
+    WITH f AS (SELECT doc_id, 'h' || CAST(doc_id % 3 AS VARCHAR) AS host,
+                      CAST(doc_id % 4 AS INT) AS host_bucket FROM documents),
+    r AS (SELECT host, doc_id,
+                 row_number() OVER (PARTITION BY host
+                     ORDER BY host_bucket, lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS rnk
+          FROM f),
+    b AS (SELECT host,
+                 CASE host WHEN 'h0' THEN 2 WHEN 'h1' THEN 4 ELSE 20 END AS budget,
+                 CASE host WHEN 'h0' THEN 2.0 WHEN 'h1' THEN 4.0 ELSE 20.0 END AS rate,
+                 rnk FROM r)
+    SELECT host, CAST(max(rate) AS DOUBLE) AS host_rate,
+           CAST(sum(CASE WHEN rnk <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_fetch_now,
+           CAST(sum(CASE WHEN rnk > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred
+    FROM b GROUP BY host ORDER BY host
+    """,
+)
+def crawl_budget_relation_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The budgets RELATION end to end through the REAL modules
+    (politeness.crawl_delay_budgets -> schedule_round(budgets_df=...)) —
+    the web-scale form of Crawl-delay politeness where per-host budgets
+    are data, not config literals. Pins the relation's hardening: h0
+    appears TWICE in the robots relation (0.5s and 0.125s delays; the
+    host dedup keeps the most conservative -> budget 2, rate 2/s), h2
+    serves a hostile 'Crawl-delay: nan' (ignored like malformed -> the
+    default budget 20), and the resolved pages/sec rides fetch_now as
+    `host_rate` — the column fetch_pages prices virtual cost from. The
+    oracle replays the per-host rank + CASE budget cut with the deduped
+    budgets."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        PolitenessConfig,
+        crawl_delay_budgets,
+        schedule_round,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 3).cast("string")).alias("host"),
+        F.lit(0).cast("int").alias("crawl_depth"),
+        F.lit(0).cast("int").alias("priority"),
+        (F.col("doc_id") % 4).cast("int").alias("host_bucket"),
+    )
+    base = PolitenessConfig(per_host_rate=20, round_seconds=1.0, max_in_flight=5)
+    robots = spark.createDataFrame(
+        [
+            ("h0", "User-agent: *\nCrawl-delay: 0.5\n"),
+            ("h0", "User-agent: *\nCrawl-delay: 0.125\n"),  # dup host: conservative wins
+            ("h1", "User-agent: *\nCrawl-delay: 0.25\n"),
+            ("h2", "User-agent: *\nCrawl-delay: nan\n"),  # hostile: ignored -> default
+        ],
+        "host string, robots_txt string",
+    )
+    fetch_now, deferred = schedule_round(
+        d, base, n_buckets=4, budgets_df=crawl_delay_budgets(robots, base)
+    )
+    fn = fetch_now.groupBy("host").agg(
+        F.max("host_rate").alias("host_rate"),
+        F.count(F.lit(1)).alias("n_fetch_now"),
+    )
+    dn = deferred.groupBy("host").agg(F.count(F.lit(1)).alias("n_deferred"))
+    return (
+        fn.join(dn, "host", "full")
+        .select(
+            "host",
+            "host_rate",
+            F.coalesce("n_fetch_now", F.lit(0)).alias("n_fetch_now"),
+            F.coalesce("n_deferred", F.lit(0)).alias("n_deferred"),
+        )
+        .orderBy("host")
+    )
+
+
+@_q(
+    "crawl_trap_filter",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/gepris/projekt/' || CAST(doc_id AS VARCHAR) || '?language=en'
+          WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/cal/' || repeat('2024/', CAST(doc_id % 20 AS INT)) || 'index.html'
+          WHEN 2 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/a/b' || repeat('/a', CAST(doc_id % 6 AS INT))
+          WHEN 3 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/search?' || array_to_string(list_transform(range(1, CAST(doc_id % 12 AS BIGINT) + 2), i -> 'p' || CAST(i AS VARCHAR) || '=' || CAST(i AS VARCHAR)), '&')
+          ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/' || repeat('x', CAST(doc_id % 40 AS INT) * 20)
+        END AS url
+      FROM documents),
+    s AS (
+      SELECT doc_id, url,
+        CAST(length(url) AS INT) AS url_len,
+        CAST(len(list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*([^?#]*)', 1), '/'), x -> x <> '')) AS INT) AS path_depth,
+        CAST(CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN 0
+             ELSE len(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&')) END AS INT) AS n_params,
+        CAST(coalesce(list_max(list_transform(
+               list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*([^?#]*)', 1), '/'), x -> x <> ''),
+               s -> len(list_filter(
+                 list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*([^?#]*)', 1), '/'), x -> x <> ''),
+                 x -> x = s)))), 0) AS INT) AS seg_repeat
+      FROM u)
+    SELECT doc_id, url_len, path_depth, n_params, seg_repeat,
+           (url_len > 120 OR path_depth > 6 OR n_params > 8 OR seg_repeat >= 3) AS is_trap
+    FROM s ORDER BY doc_id
+    """,
+)
+def crawl_trap_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap heuristics through the REAL module
+    (operators/frontier.py trap_heuristics — new open-web design, the
+    reference crawls one known site and has no trap surface): synthesized
+    URL families cover healthy detail pages, infinite-calendar paths,
+    /a/b/a/a repeated-segment loops, parameter explosions, and over-long
+    URLs; the operator scores url_len / path_depth / n_params /
+    seg_repeat and flags is_trap, all in Catalyst higher-order functions
+    (no UDF, no shuffle)."""
+    from ba_gepris_crawler_spark.operators.frontier import trap_heuristics
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("https://h"), k, F.lit(".example.org/gepris/projekt/"), i, F.lit("?language=en")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("https://h"), k, F.lit(".example.org/cal/"),
+                       F.repeat(F.lit("2024/"), (F.col("doc_id") % 20).cast("int")), F.lit("index.html")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("https://h"), k, F.lit(".example.org/a/b"),
+                       F.repeat(F.lit("/a"), (F.col("doc_id") % 6).cast("int"))))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("https://h"), k, F.lit(".example.org/search?"),
+                       F.array_join(F.transform(
+                           F.sequence(F.lit(1), (F.col("doc_id") % 12 + 1).cast("int")),
+                           lambda x: F.concat(F.lit("p"), x.cast("string"), F.lit("="), x.cast("string"))), "&")))
+        .otherwise(F.concat(F.lit("https://h"), k, F.lit(".example.org/"),
+                            F.repeat(F.lit("x"), ((F.col("doc_id") % 40) * 20).cast("int"))))
+    )
+    scored = trap_heuristics(
+        d.select("doc_id", url.alias("url")),
+        max_len=120, max_depth=6, max_params=8, max_seg_repeat=3,
+    )
+    return scored.select(
+        "doc_id", "url_len", "path_depth", "n_params", "seg_repeat", "is_trap"
+    ).orderBy("doc_id")
+
+
+@_q(
+    "crawl_cuckoo_gate",
+    f"""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/doc/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    sl AS (
+      SELECT doc_id, url,
+             ({_h60_duck('url')} % 65535) + 1 AS fp,
+             ({_h60_duck('url')} // 65536) % 4096 AS i1
+      FROM urls),
+    sl2 AS (
+      SELECT doc_id, url, fp, i1,
+             xor(i1, {_h60_duck('CAST(fp AS VARCHAR)')} % 4096) AS i2
+      FROM sl),
+    seen AS (SELECT * FROM sl2 WHERE doc_id % 3 = 0),
+    mem AS (
+      SELECT DISTINCT f.url FROM sl2 f JOIN seen s
+        ON s.fp = f.fp AND (s.i1 = f.i1 OR s.i1 = f.i2))
+    SELECT f.url, f.fp, f.i1, f.i2,
+           (f.url IN (SELECT url FROM mem)) AS member,
+           CASE WHEN f.url IN (SELECT url FROM mem) THEN 'skip' ELSE 'fetch' END AS action
+    FROM sl2 f ORDER BY f.url
+    """,
+)
+def crawl_cuckoo_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo URL-seen gate with DuckDB-replayable membership (VERDICT r4
+    missing #5): operators/cuckoo.portable_cuckoo_gate — the CuckooShard
+    partial-key structure (nonzero 16-bit fp, i2 = i1 XOR H(fp), Fan et al.
+    CoNEXT'14) over the portable md5-conv hash family, so the oracle
+    replays every placement AND every fingerprint false positive exactly.
+    Fixture mirrors crawl_frontier_anti_join: doc urls, every third one
+    already seen."""
+    from ba_gepris_crawler_spark.operators.cuckoo import portable_cuckoo_gate
+
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    seen = urls.filter(F.col("doc_id") % 3 == 0).select("url")
+    gated = portable_cuckoo_gate(urls.select("url"), seen, m=4096)
+    return gated.select("url", "fp", "i1", "i2", "member", "action").orderBy("url")
