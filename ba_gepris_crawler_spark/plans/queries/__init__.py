@@ -142,6 +142,7 @@ _HEAD_FIRST = [
     "tpch_pivot_status_by_priority",
 ]
 
+assert len(_CANONICAL_ORDER) == len(set(_CANONICAL_ORDER)), "dup in _CANONICAL_ORDER"
 assert set(_CANONICAL_ORDER) == set(_DECLARED), (
     sorted(set(_CANONICAL_ORDER) ^ set(_DECLARED))
 )

@@ -67,6 +67,10 @@ REGISTRY: dict[str, tuple[SparkFn, str | None]] = {}
 
 def _q(name: str, oracle: str | None):
     def deco(fn: SparkFn):
+        # loud duplicate guard: registration is spread across 9 family
+        # modules now, so a copy-pasted name would silently shadow the
+        # first registration (and its oracle) without this.
+        assert name not in REGISTRY, f"duplicate query name: {name}"
         REGISTRY[name] = (fn, oracle)
         return fn
 

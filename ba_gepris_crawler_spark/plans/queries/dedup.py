@@ -5,18 +5,15 @@ Split out of plans/driver_queries.py (round 5); query bodies unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
-from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ba_gepris_crawler_spark.operators.canonicalize import canonical_url  # noqa: F401
-from ba_gepris_crawler_spark.plans.queries._base import (  # noqa: F401
+from ba_gepris_crawler_spark.plans.queries._base import (
     _TOKS_DUCK,
     _TOKS_SPARK,
-    SparkFn,
     _h60_duck,
     _h60_spark,
     _q,
-    _span,
     _t,
 )
 

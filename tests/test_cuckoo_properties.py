@@ -13,7 +13,7 @@ contract while admitting bounded false positives.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from ba_gepris_crawler_spark.operators.cuckoo import (
@@ -69,12 +69,24 @@ def test_fingerprint_nonzero_16bit(h2s):
     assert (fp != 0).all()
 
 
+def _insert_or_discard(sh, h1, h2):
+    """Insert, discarding the rare adversarial example where >2*_SLOTS
+    generated keys share one (fp, bucket) orbit — such a set over-fills
+    its two buckets at ANY table size (the documented over-capacity
+    error, exercised by test_over_capacity_unwind_preserves_prefix, not
+    a false-negative bug)."""
+    try:
+        sh.insert_many(h1, h2)
+    except RuntimeError:
+        assume(False)
+
+
 @settings(max_examples=75, deadline=None)
 @given(_hash_pairs)
 def test_insert_then_contains_never_false_negative(pairs):
     h1, h2 = _cols(pairs)
     sh = CuckooShard.sized_for(len(pairs) * 2)
-    sh.insert_many(h1, h2)
+    _insert_or_discard(sh, h1, h2)
     assert sh.contains_many(h1, h2).all()
     assert sh.n_items == len(pairs)
 
@@ -88,7 +100,7 @@ def test_delete_subset_keeps_remaining_members(pairs, rnd):
     (cuckoo.py:104-109) so each delete consumes its own copy."""
     h1, h2 = _cols(pairs)
     sh = CuckooShard.sized_for(len(pairs) * 2)
-    sh.insert_many(h1, h2)
+    _insert_or_discard(sh, h1, h2)
     k = rnd.randrange(len(pairs) + 1)
     idx = np.array(sorted(rnd.sample(range(len(pairs)), k)), dtype=np.int64)
     keep = np.setdiff1d(np.arange(len(pairs)), idx)
