@@ -123,7 +123,10 @@ def fetch_pages(
         else ARRAYS_FETCH_RESULT_FIELDS if ship_arrays
         else FETCH_RESULT_FIELDS
     )
-    out_schema = T.StructType(list(in_schema.fields) + result_fields)
+    # host_max_slot is a scheduler-planted pricing input, not a fetch
+    # output: consume it below, keep the output schema transport-stable
+    passthrough = [fld for fld in in_schema.fields if fld.name != "host_max_slot"]
+    out_schema = T.StructType(passthrough + result_fields)
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json as _json
@@ -176,7 +179,15 @@ def fetch_pages(
                 host_rate = pdf["host_rate"].fillna(rate).astype("float64")
             else:
                 host_rate = pdf["host"].map(rate_overrides).fillna(rate).astype("float64")
-            cost = (pdf.groupby("host")["slot"].transform("max") / host_rate).astype("float64")
+            if "host_max_slot" in pdf.columns:
+                # scheduler-planted GLOBAL per-host last wave (exact even
+                # when a host spans salted buckets / Arrow batches)
+                max_slot = pdf["host_max_slot"].astype("float64")
+            else:
+                # hand-built scheduled frames (fixtures/tests): per-batch
+                # local max — only correct when the host fits one batch
+                max_slot = pdf.groupby("host")["slot"].transform("max").astype("float64")
+            cost = (max_slot / host_rate).astype("float64")
             res = pdf.assign(status=pd.Series(statuses, index=pdf.index, dtype="int32"), virtual_cost_sec=cost, **out)
             yield res[[f.name for f in out_schema.fields]]  # schema column order
 

@@ -633,6 +633,12 @@ def schedule_round(
         "host_bucket",
         F.coalesce(F.sum("n").over(w_host), F.lit(0)).alias("grp_off"),
         F.coalesce(F.sum("n").over(w_in_bucket), F.lit(0)).alias("lrank_before"),
+        # total frontier rows for the host this round — metadata-sized
+        # window (bounded rows/host), carried onto fetch_now so the fetch
+        # stage can price the host's GLOBAL politeness cost without a
+        # bare-host shuffle or a per-Arrow-batch local max (which
+        # understates cost whenever a host spans buckets/batches)
+        F.sum("n").over(Window.partitionBy("host")).alias("host_total"),
     )
     # Size-aware per-host budget: few overrides compile to a literal
     # when-cascade (no join at all); many overrides (10^5+ robots
@@ -760,10 +766,20 @@ def schedule_round(
         budget = F.col("_budget_resolved")
     else:
         budget = cfg.budget_col("host")
-    fetch_now = f.filter(F.col("host_rank") <= budget).withColumn(
-        "slot", F.ceil(F.col("host_rank") / cfg.max_in_flight).cast("int")
+    fetch_now = (
+        f.filter(F.col("host_rank") <= budget)
+        .withColumn("slot", F.ceil(F.col("host_rank") / cfg.max_in_flight).cast("int"))
+        # the host's LAST wave this round: fetched count = min(frontier
+        # rows, budget). fetch_pages prices every row of the host at
+        # max_slot/rate from this column — exact regardless of how the
+        # host's rows split across salted buckets and Arrow batches
+        .withColumn(
+            "host_max_slot",
+            F.ceil(F.least(F.col("host_total"), budget.cast("long")) / cfg.max_in_flight).cast("int"),
+        )
+        .drop("host_total")
     )
-    deferred = f.filter(F.col("host_rank") > budget).drop("host_rank")
+    deferred = f.filter(F.col("host_rank") > budget).drop("host_rank", "host_total")
     if parts:
         fetch_now = fetch_now.drop(*helper_cols)
         deferred = deferred.drop(*helper_cols)

@@ -57,6 +57,48 @@ class SnapshotStore:
         self.root = Path(root)
         (self.root / "manifests").mkdir(parents=True, exist_ok=True)
         (self.root / "rounds").mkdir(parents=True, exist_ok=True)
+        # round -> table names, filled lazily; round manifests are
+        # immutable once committed, so this never goes stale except via
+        # truncate_after (which evicts). Without it every read_union call
+        # re-parsed EVERY committed manifest — O(rounds^2) driver json
+        # work over a crawl's lifetime.
+        self._tables_cache: dict[int, frozenset[str]] = {}
+
+    # -- manifest/ref plumbing ------------------------------------------
+    @staticmethod
+    def _write_json_atomic(path: Path, obj: dict, indent: int | None = 2) -> None:
+        """The store's single commit primitive: tmp file + os.replace.
+        Every manifest kind (round, compaction, config, bloom/cuckoo meta)
+        must go through here so the atomicity discipline can't drift."""
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        tmp.write_text(json.dumps(obj, indent=indent))
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _anchored_tail(p: str | os.PathLike) -> Path | None:
+        """The store-root-relative tail of a data-dir reference ('rounds/
+        ...' / 'compacted/...'), or None if no anchor is present."""
+        parts = Path(p).parts
+        for anchor in ("compacted", "rounds"):
+            if anchor in parts:
+                i = len(parts) - 1 - parts[::-1].index(anchor)
+                return Path(*parts[i:])
+        return None
+
+    def _store_ref(self, p: str | os.PathLike) -> str:
+        """How a data dir is SPELLED inside a manifest: the root-relative
+        tail, so the manifest survives a moved store root or a writer CWD
+        different from the reader's."""
+        tail = self._anchored_tail(p)
+        return str(tail) if tail is not None else str(p)
+
+    def _rebase(self, s: str) -> str:
+        """A manifest path reference rebased onto the CURRENT root.
+        Handles every historical spelling: root-relative tails (current
+        writers), absolute paths, and writer-CWD-relative paths (legacy) —
+        the read-side twin of orphan_dirs' canonicalization."""
+        tail = self._anchored_tail(s)
+        return str(self.root / tail) if tail is not None else s
 
     # -- paths ---------------------------------------------------------
     def _round_dir(self, rnd: int) -> Path:
@@ -87,17 +129,14 @@ class SnapshotStore:
             "counters": counters,
             "lineage": lineage or [],
         }
-        tmp = self.manifest_path(rnd).with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(manifest, indent=2))
-        os.replace(tmp, self.manifest_path(rnd))  # atomic commit point
+        self._write_json_atomic(self.manifest_path(rnd), manifest)  # atomic commit point
+        self._tables_cache[rnd] = frozenset(tables)
         return manifest
 
     # -- crawl config (persisted once at new-crawl; resume must reuse it:
     #    a crawl folder is self-describing, like the reference's crawl dirs) --
     def save_config(self, cfg: dict) -> None:
-        tmp = (self.root / "config.json").with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(cfg, indent=2))
-        os.replace(tmp, self.root / "config.json")
+        self._write_json_atomic(self.root / "config.json", cfg)
 
     def load_config(self) -> dict | None:
         p = self.root / "config.json"
@@ -114,10 +153,10 @@ class SnapshotStore:
         tmp = d / "latest.bits.tmp"
         tmp.write_bytes(bits)
         os.replace(tmp, d / "latest.bits")
-        meta = {"round": rnd, "m": m, "k": k, "version": version}
-        tmp = d / "latest.json.tmp"
-        tmp.write_text(json.dumps(meta))
-        os.replace(tmp, d / "latest.json")
+        self._write_json_atomic(
+            d / "latest.json", {"round": rnd, "m": m, "k": k, "version": version},
+            indent=None,
+        )
 
     def load_bloom(self, rnd: int) -> tuple[bytes, dict] | None:
         """The persisted bitmap, iff it is exactly the state AS OF round
@@ -154,9 +193,10 @@ class SnapshotStore:
         while (data := d / f"r{rnd}-g{gen}").exists():
             gen += 1
         rows_df.write.mode("error").parquet(str(data))
-        tmp = d / "latest.json.tmp"
-        tmp.write_text(json.dumps({"round": rnd, "path": data.name, **meta}))
-        os.replace(tmp, d / "latest.json")
+        self._write_json_atomic(
+            d / "latest.json", {"round": rnd, "path": data.name, **meta},
+            indent=None,
+        )
         for p in d.iterdir():
             if p.is_dir() and p.name != data.name:
                 _shutil.rmtree(p, ignore_errors=True)
@@ -190,6 +230,7 @@ class SnapshotStore:
         dropped = [r for r in self.committed_rounds() if r > rnd]
         for r in dropped:
             self.manifest_path(r).unlink()
+            self._tables_cache.pop(r, None)
         for p in (self.root / "manifests").glob("compact-*.json"):
             m = re.match(r"compact-.+-(\d+)\.json$", p.name)
             if m and int(m.group(1)) > rnd:
@@ -223,7 +264,15 @@ class SnapshotStore:
                 best = k
         if best is None:
             return None
-        return json.loads(self._compact_manifest_path(name, best).read_text())
+        comp = json.loads(self._compact_manifest_path(name, best).read_text())
+        # on disk the refs are root-relative (portable across a moved root
+        # / a different reader CWD); callers get them rebased onto THIS
+        # store's root so they are directly readable
+        if comp.get("paths"):
+            comp["paths"] = [self._rebase(p) for p in comp["paths"]]
+        if comp.get("path"):
+            comp["path"] = self._rebase(comp["path"])
+        return comp
 
     def compact(self, name: str, upto: int, key_col: str = "url", n_buckets: int = 32) -> dict:
         """Merge base + tail deltas of rounds <= upto into one hash-clustered
@@ -258,9 +307,12 @@ class SnapshotStore:
             "base": prev["upto"] if prev else None,
             "committed_at": time.time(),
         }
-        tmp = self._compact_manifest_path(name, upto).with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(manifest, indent=2))
-        os.replace(tmp, self._compact_manifest_path(name, upto))  # atomic
+        # on disk the ref is root-relative (portable across a moved root /
+        # a different reader CWD); the caller gets the readable spelling
+        self._write_json_atomic(
+            self._compact_manifest_path(name, upto),
+            {**manifest, "path": self._store_ref(path)},
+        )
         return manifest
 
     def tier_path(self, name: str, lo: int, upto: int, n_buckets: int) -> Path:
@@ -353,9 +405,11 @@ class SnapshotStore:
             "base": prev["upto"] if prev else None,
             "committed_at": time.time(),
         }
-        tmp = self._compact_manifest_path(name, upto).with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(manifest, indent=2))
-        os.replace(tmp, self._compact_manifest_path(name, upto))  # atomic
+        # disk spelling root-relative, returned spelling readable (above)
+        self._write_json_atomic(
+            self._compact_manifest_path(name, upto),
+            {**manifest, "paths": [self._store_ref(t) for t in tiers]},
+        )
         return manifest
 
     # -- read ----------------------------------------------------------
@@ -401,9 +455,9 @@ class SnapshotStore:
         the pre-qualified-dir layout, which carried no 'path' — the
         reconstructed LEGACY unqualified dir name."""
         if comp.get("paths"):  # tiered: every immutable tier
-            return list(comp["paths"])
+            return [self._rebase(p) for p in comp["paths"]]
         if comp.get("path"):
-            return [comp["path"]]
+            return [self._rebase(comp["path"])]
         return [str(self.root / "compacted" / name / f"upto={comp['upto']:05d}")]
 
     # -- maintenance (Iceberg expire_snapshots / remove_orphan_files
@@ -446,13 +500,10 @@ class SnapshotStore:
         root = self.root.resolve()
 
         def _canon(s: str | Path) -> set[str]:
-            p = Path(s)
-            out = {str(p.resolve())}
-            parts = p.parts
-            for anchor in ("compacted", "rounds"):
-                if anchor in parts:
-                    i = len(parts) - 1 - parts[::-1].index(anchor)
-                    out.add(str(root.joinpath(*parts[i:])))
+            out = {str(Path(s).resolve())}
+            tail = self._anchored_tail(s)
+            if tail is not None:
+                out.add(str(root / tail))
             return out
 
         referenced: set[str] = set()
@@ -501,4 +552,17 @@ class SnapshotStore:
         return orphans
 
     def _rounds_with(self, name: str) -> set[int]:
-        return {r for r in self.committed_rounds() if name in self.manifest(r)["tables"]}
+        """Committed rounds whose manifest lists table `name`. Each round
+        manifest is parsed at most once per store instance (immutable once
+        committed; evicted by truncate_after) — read_union calls this
+        every round, so an uncached version is O(rounds^2) over a crawl
+        (round_loop.py's one-manifest-read-per-round invariant)."""
+        out = set()
+        for r in self.committed_rounds():
+            tables = self._tables_cache.get(r)
+            if tables is None:
+                tables = frozenset(self.manifest(r)["tables"])
+                self._tables_cache[r] = tables
+            if name in tables:
+                out.add(r)
+        return out

@@ -392,6 +392,53 @@ def test_tiered_compaction_logarithmic_merge(spark, tmp_path):
     assert len(final["paths"]) == 1 and final["tier_rows"] == [8 * per]
 
 
+def test_store_survives_moved_root_and_reader_cwd(spark, tmp_path):
+    """Compaction manifests must reference data dirs portably: a store
+    compacted under one root spelling must read (and further compact)
+    correctly after the whole root is MOVED — and legacy manifests whose
+    'path'/'paths' were spelled absolute by an old writer must rebase onto
+    the current root instead of resolving to the dead location (review r5
+    #2; the read-side twin of orphan_dirs' canonicalization)."""
+    import shutil
+
+    root_a = tmp_path / "crawl_a"
+    store = SnapshotStore(spark, root_a)
+    expect: set[str] = set()
+    for rnd in range(3):
+        df = spark.range(rnd * 10, (rnd + 1) * 10).select(
+            F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id")
+        )
+        store.commit(rnd, {"documents": store.write_table("documents", rnd, df)}, {"round": rnd})
+        expect |= {f"d{i}" for i in range(rnd * 10, (rnd + 1) * 10)}
+    store.compact_tiered("documents", 1, key_col="doc_id", n_buckets=2)
+    store.compact("documents", 2, key_col="doc_id", n_buckets=2)
+    # on disk the refs are spelled root-relative; the API rebases them
+    import json as _json
+    from pathlib import Path as _P
+
+    mp = root_a / "manifests" / "compact-documents-00002.json"
+    raw = _json.loads(mp.read_text())
+    assert not _P(raw["path"]).is_absolute()
+    assert _P(store.latest_compaction("documents")["path"]).exists()
+    # legacy manifest: rewrite the refs as the OLD absolute spelling
+    raw["path"] = str((root_a / raw["path"]).resolve())
+    mp.write_text(_json.dumps(raw))
+
+    root_b = tmp_path / "crawl_b"
+    shutil.move(str(root_a), str(root_b))
+    moved = SnapshotStore(spark, root_b)
+    got = {r.doc_id for r in moved.read_union("documents", 2).collect()}
+    assert got == expect
+    # further compaction on the moved store must read old tiers correctly
+    df = spark.range(30, 40).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id")
+    )
+    moved.commit(3, {"documents": moved.write_table("documents", 3, df)}, {"round": 3})
+    moved.compact_tiered("documents", 3, key_col="doc_id", n_buckets=2)
+    got = {r.doc_id for r in moved.read_union("documents", 3).collect()}
+    assert got == expect | {f"d{i}" for i in range(30, 40)}
+
+
 def test_gc_expires_and_removes_only_unreferenced_dirs(spark, tmp_path, capsys):
     """`gc` (expire_compactions + remove_orphans) must delete superseded
     compaction dirs, crashed-round orphans, and expired snapshot dirs —

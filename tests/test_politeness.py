@@ -345,6 +345,41 @@ def test_fetch_virtual_cost_honors_host_rate_overrides(spark):
         PolitenessConfig(per_host_rate=0)
 
 
+def test_fetch_virtual_cost_global_across_buckets(spark):
+    """A host whose scheduled rows span several salted buckets (and thus
+    partitions / Arrow batches) must price EVERY row at the host's GLOBAL
+    last wave — ceil(min(frontier, budget) / max_in_flight) / rate — not a
+    per-batch local max, which understates the persisted cost and varies
+    with shuffle row order (review r5 #1). The scheduler plants
+    host_max_slot for this; it must not leak into the fetch output."""
+    import math
+
+    from ba_gepris_crawler_spark.operators.fetch import fetch_pages
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    cfg = SiteConfig(hosts=("h0.example.org",), n_projects=2, n_persons=1,
+                     n_institutions=1, seed=3)
+    pol = PolitenessConfig(per_host_rate=100, round_seconds=1.0, max_in_flight=3)
+    f = spark.range(40).select(
+        F.concat(F.lit("https://h0.example.org/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.lit("h0.example.org").alias("host"),
+        F.lit(0).cast("int").alias("crawl_depth"),
+        F.lit(0).cast("int").alias("priority"),
+        F.lit(0).cast("int").alias("discovered_round"),
+    )
+    fetch_now, _ = schedule_round(f, pol, n_buckets=8)
+    assert fetch_now.select("host_bucket").distinct().count() > 1
+    fetched = fetch_pages(fetch_now, cfg, pol.per_host_rate, 8)
+    assert "host_max_slot" not in fetched.columns  # pricing input, not output
+    rows = fetched.select("slot", "virtual_cost_sec").collect()
+    assert len(rows) == 40
+    global_max_slot = math.ceil(40 / pol.max_in_flight)
+    assert max(r["slot"] for r in rows) == global_max_slot
+    for r in rows:
+        assert r["virtual_cost_sec"] == pytest.approx(global_max_slot / 100.0), r
+
+
 def test_host_rates_dedup_first_wins():
     """Duplicate host entries normalize to ONE entry per host (first wins),
     so rate_for / budget_for / fetch_pages' dict lookup can never disagree
