@@ -106,6 +106,13 @@ def fetch_pages(
     session -> retry-once flow."""
     from ba_gepris_crawler_spark.operators.transport import SyntheticTransport
 
+    if span_transport not in ("json", "arrow", "arrays"):
+        # an unknown value must NOT silently fall back to the slowest
+        # in-band path ("arrow") — a typo'd 'array' would be a silent
+        # ~2x regression that an A/B run then misattributes
+        raise ValueError(
+            f"span_transport must be 'json', 'arrow' or 'arrays', got {span_transport!r}"
+        )
     spark = scheduled.sparkSession
     cfg_bc = spark.sparkContext.broadcast(site_cfg)
     token_bc = spark.sparkContext.broadcast(session_token)  # session/cookie analog

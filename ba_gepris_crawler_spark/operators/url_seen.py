@@ -185,7 +185,11 @@ def new_urls(
     always; an admission gate (when provided) pre-gates the exact join —
     either `bloom` or an explicit `splitter(frontier) -> (definitely_new,
     maybe_seen)` such as the cuckoo shards' (operators/cuckoo.py)."""
-    seen_keys = url_seen.select(F.col("url").alias(url_col)).dropDuplicates([url_col])
+    # NO dedup on the seen side: left_anti is duplicate-tolerant on its
+    # right, and url_seen rows are unique per URL by construction anyway —
+    # a dropDuplicates here would full-shuffle the largest table in the
+    # system (10^9+ rows) every round for identical join results
+    seen_keys = url_seen.select(F.col("url").alias(url_col))
     if splitter is None and bloom is not None:
         splitter = lambda f: split_by_bloom(f, bloom, url_col)  # noqa: E731
     if splitter is None:

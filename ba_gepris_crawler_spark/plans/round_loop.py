@@ -79,8 +79,10 @@ class CrawlSettings:
     fetch_format: str = "html"
     # how html-mode spans cross the Arrow boundary: "json" (one string per
     # page, list<struct> assembled JVM-side via from_json; 1.75-2.2x
-    # faster end-to-end — BENCH/BASELINE.md round-4 A/B) or "arrow"
-    # (list-of-dicts through pandas). Byte-equal outputs.
+    # faster end-to-end — BENCH/BASELINE.md round-4 A/B), "arrays" (four
+    # parallel primitive arrays zipped back in the plan; round-5 A/B: parity
+    # with json) or "arrow" (list-of-dicts through pandas — the slow
+    # baseline). Byte-equal outputs; unknown values raise in fetch_pages.
     span_transport: str = "json"
     # open-web frontier hygiene: drop crawler-trap URLs (over-long, over-
     # deep, parameter-exploded, repeated-segment loops) from discovered

@@ -164,12 +164,23 @@ class StreamingCrawl:
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self._marker(batch_id).exists():
             return  # committed replay: every output of this batch is final
-        batch = batch.dropDuplicates(["url"])
+        # deterministic min-by merge, NOT dropDuplicates: one micro-batch can
+        # read the same URL from several feed files (deferred by batch k,
+        # discovered by batch k+1) with different depth/priority, and an
+        # arbitrary-row keep would make the budget cut and the written
+        # crawl_depth run-dependent — the batch engine's merge_frontier
+        # invariant, applied at the stream's merge point
+        batch = FR.merge_frontier(batch)
         seen = self._read_seen()
-        candidates = batch if seen is None else US.new_urls(
+        # cached: otherwise the seen anti-join over EVERY committed url_seen
+        # dir (the largest scan in the system) recomputes 2-3x per trigger —
+        # isEmpty probe, documents write, deferred/feed side (the stream
+        # twin of round_loop's candidates cache)
+        candidates = (batch if seen is None else US.new_urls(
             batch, seen, bloom=self._bloom_gate()
-        )
+        )).cache()
         if candidates.isEmpty():
+            candidates.unpersist()
             return  # write nothing: lets drain() detect quiescence
         if self.budgets_df is not None and not self._budgets_ckpt:
             self.budgets_df = self.budgets_df.localCheckpoint(eager=True)
@@ -205,8 +216,20 @@ class StreamingCrawl:
         # (skip empty feeds so the frontier dir quiesces when the crawl is done)
         disc = FR.discovered_urls(stored.filter(F.col("status") == 200), self.site, batch_id + 1)
         feed = FR.merge_frontier(deferred, disc)
+        feed_dir = Path(self._out("frontier", batch_id))
         if not feed.isEmpty():
-            feed.write.mode("overwrite").parquet(self._out("frontier", batch_id))
+            feed.write.mode("overwrite").parquet(str(feed_dir))
+        elif feed_dir.exists():
+            # crash-replay that recomputes an EMPTY feed (e.g. a real
+            # transport now returns 5xx for pages a crashed attempt saw as
+            # 200): the stale non-empty feed dir from that attempt must not
+            # survive the commit, or the next wave injects URLs whose
+            # discovering fetch officially never happened. The feed is the
+            # only conditional output, so it is the only one needing this.
+            import shutil as _shutil
+
+            _shutil.rmtree(feed_dir, ignore_errors=True)
+        candidates.unpersist()
         self._marker(batch_id).touch()  # the batch's atomic commit point
 
     # -- driving -------------------------------------------------------

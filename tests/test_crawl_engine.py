@@ -356,6 +356,22 @@ def test_span_transports_equal_json_transport(spark, crawl_cfg, tmp_path_factory
     assert da == dt  # span sequences byte-equal across transports
 
 
+def test_fetch_rejects_unknown_span_transport(spark, crawl_cfg):
+    """An unrecognized span_transport must raise, not silently fall back to
+    the slowest in-band 'arrow' path — a typo'd 'array' would be a silent
+    ~2x regression that an A/B run then misattributes (review r5 #8)."""
+    from ba_gepris_crawler_spark.operators.fetch import fetch_pages
+    from ba_gepris_crawler_spark.operators.frontier import seed_frontier
+    from ba_gepris_crawler_spark.operators.politeness import (
+        PolitenessConfig,
+        schedule_round,
+    )
+
+    fetch_now, _ = schedule_round(seed_frontier(spark, crawl_cfg), PolitenessConfig(), 2)
+    with pytest.raises(ValueError, match="span_transport"):
+        fetch_pages(fetch_now, crawl_cfg, 10.0, 2, span_transport="array")
+
+
 def test_tiered_compaction_logarithmic_merge(spark, tmp_path):
     """Equal-size deltas compacted every round behave like a binary counter
     (Bentley–Saxe logarithmic method): the tier count equals popcount(k)

@@ -270,3 +270,63 @@ def test_streaming_budgets_relation_matches_batch(spark, tmp_path):
         .groupBy("round").count().collect()
     assert per and all(r["count"] <= 5 for r in per)
     assert any(r["count"] == 5 for r in per)
+
+
+def test_stream_merge_is_min_by_not_arbitrary(spark, tmp_path):
+    """One micro-batch can read the SAME URL from several feed files
+    (deferred by batch k, discovered by batch k+1) with different
+    depth/priority. The stream must keep the deterministic min-by
+    (crawl_depth, priority, discovered_round) row — the batch engine's
+    merge_frontier invariant — not dropDuplicates' arbitrary row, which
+    makes the budget cut and the persisted crawl_depth run-dependent
+    (review r5 #4)."""
+    cfg = SiteConfig(hosts=("gepris.example.org",), n_projects=4, n_persons=2,
+                     n_institutions=1, hits_per_page=5, seed=5)
+    sc = StreamingCrawl(spark, cfg, tmp_path / "s", n_buckets=2)
+    sc.seed()
+    seed_df = spark.read.parquet(str(sc.root / "frontier" / "seed"))
+    one = seed_df.limit(1)
+    # the same URL arriving twice: a stale high-depth copy and the fresh one
+    batch = one.unionByName(
+        one.withColumn("crawl_depth", F.lit(9))
+        .withColumn("priority", F.lit(7))
+        .withColumn("discovered_round", F.lit(9))
+    )
+    sc._process_batch(batch, 100)
+    rows = spark.read.parquet(str(sc.root / "documents" / "b00100")).select(
+        "url", "crawl_depth", "priority"
+    ).collect()
+    assert len(rows) == 1  # merged, not fetched twice
+    want = one.select("crawl_depth", "priority").first()
+    assert (rows[0].crawl_depth, rows[0].priority) == (want.crawl_depth, want.priority)
+
+
+def test_stream_stale_feed_removed_on_empty_replay(spark, tmp_path):
+    """The frontier feed is the stream's only conditionally-written output.
+    A crash after feed.write but before the commit marker, followed by a
+    replay that recomputes an EMPTY feed (a real transport can answer 5xx
+    where the crashed attempt saw 200), must REMOVE the stale feed dir at
+    commit — otherwise the next wave injects URLs whose discovering fetch
+    officially never happened (review r5 #3)."""
+    cfg = SiteConfig(hosts=("gepris.example.org",), n_projects=4, n_persons=2,
+                     n_institutions=1, hits_per_page=5, seed=6)
+    pol = PolitenessConfig(per_host_rate=50, round_seconds=1.0)
+    sc = StreamingCrawl(spark, cfg, tmp_path / "s", politeness=pol, n_buckets=2)
+    sc.seed()
+    seed_df = spark.read.parquet(str(sc.root / "frontier" / "seed"))
+
+    sc._process_batch(seed_df, 100)  # attempt 1: discoveries -> feed written
+    feed_dir = sc.root / "frontier" / "b00100"
+    assert feed_dir.exists()
+    sc._marker(100).unlink()  # crash window: feed on disk, marker lost
+
+    # the replay's "network" now 404s everything: same batch ids, but the
+    # recomputed feed is empty (no 200s to discover from, budget >> rows)
+    bogus = seed_df.withColumn(
+        "url", F.concat(F.lit("https://gepris.example.org/nope/"), F.col("url"))
+    )
+    sc._process_batch(bogus, 100)
+    assert sc._marker(100).exists()
+    assert not feed_dir.exists()  # stale feed did not survive the commit
+    stored = spark.read.parquet(str(sc.root / "documents" / "b00100"))
+    assert stored.filter(F.col("status") == 200).count() == 0

@@ -56,3 +56,22 @@ def test_canonicalize(spark):
     assert got == [w for _, w in cases]
     hosts = [r.h for r in df.select(host_of("url").alias("h")).collect()]
     assert hosts[0] == "gepris.example.org"
+
+
+def test_new_urls_exact_path_has_no_seen_side_shuffle_aggregate(spark):
+    """The exact anti-join must NOT dedup its right side: left_anti is
+    duplicate-tolerant there and url_seen rows are unique per URL by
+    construction, so a dropDuplicates would full-shuffle the largest table
+    in the system (10^9+ rows at web scale) every round for identical
+    results (review r5 #7). Plan-asserted: no Aggregate anywhere in the
+    exact path's physical plan — and results are still exact even if the
+    right side DOES carry duplicate URLs."""
+    frontier = _urls(spark, 100)
+    seen = _urls(spark, 60).withColumn("round", F.lit(0))
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        US.new_urls(frontier, seen)._jdf.queryExecution(), "formatted"
+    )
+    assert "Aggregate" not in plan, plan
+    dup_seen = seen.unionByName(seen)  # duplicate-tolerance backstop
+    got = {r.url for r in US.new_urls(frontier, dup_seen).collect()}
+    assert len(got) == 40
