@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-TOKENIZE = "filter(split(trim({col}), '\\\\s+'), t -> t != '')"
+from ba_gepris_crawler_spark.functions.textkit import TOKENIZE, shingle_sql
 
 
 def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -32,11 +32,13 @@ def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """n-token shingles per doc. Sub-n-token docs yield NO shingles (not a
+    crash, not bogus partials): shingle_sql guards the sequence bound —
+    Spark's sequence(1, 0) descends to [1, 0] instead of being empty, so
+    the old greatest(..., 0) form indexed past the token array and died
+    with INVALID_ARRAY_INDEX under ANSI mode on any short document."""
     toks = F.expr(TOKENIZE.format(col=text_col))
-    parts = ", ".join(f"toks[i + {j} - 1]" for j in range(n))
-    sh = F.expr(
-        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), i -> concat_ws(' ', {parts}))"
-    )
+    sh = F.expr(shingle_sql(n))
     return (
         df.withColumn("toks", toks)
         .select(id_col, F.explode(sh).alias("shingle"))
@@ -159,7 +161,17 @@ def simhash(
 def simhash_near_dups(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance, bucketed on 4 simhash quarters
     (two near-dups within distance<=3 share at least one exact quarter —
-    pigeonhole), so the pairwise test only runs inside small buckets."""
+    pigeonhole), so the pairwise test only runs inside small buckets.
+
+    ALL pairs within a bucket are tested (a co-keyed self-join on the
+    quarter key), not just (min-id anchor, member) pairs: anchor-only
+    pairing silently missed any near-dup pair where neither doc is the
+    bucket's min id (e.g. bucket {a,b,c} with hamming(b,c)=2 but a far
+    from both), which broke the pigeonhole completeness guarantee this
+    docstring promises — and unlike the MinHash LSH path there is no
+    connected-components stage downstream to recover it. Quadratic only
+    within one 16-bit-quarter bucket; the simhash columns ride the join,
+    so no lookup joins back to `sim` are needed."""
     # single explode of quarter-structs (not a 4-way union: unpersisted
     # shared subplans would recompute the simhash pipeline per quarter)
     q_structs = ", ".join(
@@ -168,17 +180,13 @@ def simhash_near_dups(sim: DataFrame, id_col: str = "doc_id", max_hamming: int =
     parts = sim.select(
         id_col, "simhash", F.explode(F.expr(f"array({q_structs})")).alias("qq")
     ).select(id_col, "simhash", F.col("qq.q").alias("q"), F.col("qq.qkey").alias("qkey"))
-    w = Window.partitionBy("q", "qkey")
-    cand = (
-        parts.withColumn("anchor", F.min(id_col).over(w))
-        .filter(F.col(id_col) > F.col("anchor"))
-        .select(F.col("anchor").alias("doc_a"), F.col(id_col).alias("doc_b"))
-        .distinct()
-    )
-    sa = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
-    sb = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
+    pa = parts.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "q", "qkey")
+    pb = parts.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "q", "qkey")
     return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
+        pa.join(pb, ["q", "qkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()  # a pair sharing several quarters appears once
         .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
@@ -306,20 +314,16 @@ def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """Naive baseline: pairwise Jaccard for docs sharing any n-gram shingle.
-    Quadratic in duplicate-cluster size — verification/small-data only."""
+    Quadratic in duplicate-cluster size — verification/small-data only.
+    Candidates = all (a<b) pairs sharing a shingle; the exact-Jaccard step
+    is verified_near_dups (one implementation of the join-groupBy-ratio
+    block, not a second copy that could drift)."""
     sh = shingles(df, text_col, id_col, n)
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("s"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("s"))
-    pairs = (
-        a.join(b, "s")
+    cand = (
+        sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("s"))
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("s")), "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    j = (
-        pairs.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-    )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return j.filter(jac >= threshold).select("doc_a", "doc_b", jac.alias("jaccard"))
+    return verified_near_dups(cand, sh, id_col=id_col, unit_col="shingle", threshold=threshold)

@@ -57,8 +57,10 @@ def fake_decode(payload: bytes) -> dict:
 
 def documents_as_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Treat document text as an opaque payload (fixture adapter)."""
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative id
+    # would hit element_at index 0 (a runtime error) or wrap from the end
     mt = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col(id_col) % 3).cast("int") + 1
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), F.pmod(F.col(id_col), F.lit(3)).cast("int") + 1
     )
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -174,6 +176,9 @@ def interleave_stats(docs: DataFrame) -> DataFrame:
         n_spans.cast("bigint").alias("n_spans"),
         n_media.cast("bigint").alias("n_media"),
         (n_spans - n_media).cast("bigint").alias("n_text"),
-        F.round(n_media / n_spans, 6).alias("media_ratio"),
+        # NULL ratio for an empty spans array (a fetched-but-content-free
+        # page): 0/0 is a hard DIVIDE_BY_ZERO under ANSI mode (the Spark 4
+        # default), and NULL matches the DuckDB oracle twin's division
+        F.when(n_spans > 0, F.round(n_media / n_spans, 6)).alias("media_ratio"),
         first_media.cast("bigint").alias("first_media_off"),
     )

@@ -23,7 +23,15 @@ NORM = "sqrt(aggregate({a}, cast(0 as double), (acc, y) -> acc + cast(y as doubl
 
 
 def _cosine(a: str, b: str) -> F.Column:
-    return F.expr(DOT.format(a=a, b=b)) / (F.expr(NORM.format(a=a)) * F.expr(NORM.format(a=b)))
+    """Cosine similarity, NULL when either vector has zero norm: an
+    all-zero embedding (a routine artifact of failed encodes / padding)
+    would otherwise make the division a hard DIVIDE_BY_ZERO under ANSI
+    mode (the Spark 4 default) and abort the whole job. NULL matches what
+    DuckDB's division returns, so the oracle twins agree on the edge;
+    threshold filters (NULL >= t is NULL) and the top-k rankers drop
+    zero-norm rows."""
+    denom = F.expr(NORM.format(a=a)) * F.expr(NORM.format(a=b))
+    return F.when(denom != 0, F.expr(DOT.format(a=a, b=b)) / denom)
 
 
 def cosine_topk(
@@ -38,6 +46,7 @@ def cosine_topk(
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), id_col)
     return (
         pairs.select(q_id_col, id_col, cos)
+        .filter(F.col("cosine").isNotNull())  # zero-norm rows never rank
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
@@ -79,6 +88,7 @@ def ivf_topk(
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), id_col)
     return (
         cand.select(q_id_col, id_col, _cosine(vec_col, q_vec_col).alias("cosine"))
+        .filter(F.col("cosine").isNotNull())  # zero-norm rows never rank
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
@@ -138,6 +148,7 @@ def ivf_topk_from_store(
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), id_col)
     return (
         cand.select(q_id_col, id_col, _cosine(vec_col, q_vec_col).alias("cosine"))
+        .filter(F.col("cosine").isNotNull())  # zero-norm rows never rank
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
@@ -167,18 +178,21 @@ def portable_hyperplane_sketch(
 
 
 def sketch_bucket_pairs(sketch: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """(vec_a, vec_b, sketch) candidate pairs: vectors sharing a sketch
-    bucket, paired with the bucket's min-id anchor — linear in bucket
-    size, same shape as the LSH/SimHash text paths."""
-    w = Window.partitionBy("lsh_sketch")
+    """(vec_a, vec_b, sketch) candidate pairs: ALL (a<b) pairs of vectors
+    sharing a sketch bucket, via a co-keyed self-join on the sketch.
+
+    Not (min-id anchor, member) pairs: anchor-only pairing silently missed
+    every near-dup pair where neither vector is the bucket's min id (e.g.
+    bucket {a,b,c} where cosine(b,c)=0.95 but the anchor a is a hash false
+    positive far from both — (b,c) was never tested and verify_pairs_cosine
+    cannot recover it). Quadratic only within one bucket; each vector has
+    exactly ONE sketch, so every pair appears once — no distinct needed."""
+    a = sketch.select(F.col(id_col).alias("vec_a"), "lsh_sketch")
+    b = sketch.select(F.col(id_col).alias("vec_b"), "lsh_sketch")
     return (
-        sketch.withColumn("anchor", F.min(id_col).over(w))
-        .filter(F.col(id_col) > F.col("anchor"))
-        .select(
-            F.col("anchor").alias("vec_a"),
-            F.col(id_col).alias("vec_b"),
-            F.col("lsh_sketch").alias("sketch"),
-        )
+        a.join(b, "lsh_sketch")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.col("lsh_sketch").alias("sketch"))
     )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TOKENIZE = "filter(split(trim({col}), '\\\\s+'), t -> t != '')"
+from ba_gepris_crawler_spark.functions.textkit import TOKENIZE
 
 # tiny marker lists per language — the operator shape matters, the lists are
 # swappable config
@@ -54,22 +54,32 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """0..1 quality score: 0.5*min(n_tokens/50,1) + 0.25*stopword_ratio +
-    0.25*min(avg_token_len/8,1)."""
+    0.25*min(avg_token_len/8,1).
+
+    Empty / whitespace-only docs (n_tokens = 0) get NULL ratios and a NULL
+    score instead of killing the job: 0/0 is a hard DIVIDE_BY_ZERO under
+    ANSI mode (the Spark 4 default), and blank pages are routine in any
+    crawl. NULL (not 0.0) matches what DuckDB's division returns, keeping
+    the oracle twins byte-identical on the edge."""
     d = _with_tokens(df, text_col)
     n = F.expr("size(_toks)")
     stop = F.expr(_hits(STOPWORDS))
     chars = F.expr("aggregate(_toks, 0, (acc, x) -> acc + length(x))")
+    nonempty = n > 0
     return (
         d.withColumn("n_tokens", n.cast("bigint"))
-        .withColumn("stopword_ratio", F.round(stop / n, 6))
-        .withColumn("avg_token_len", F.round(chars / n, 6))
+        .withColumn("stopword_ratio", F.when(nonempty, F.round(stop / n, 6)))
+        .withColumn("avg_token_len", F.when(nonempty, F.round(chars / n, 6)))
         .withColumn(
             "quality_score",
-            F.round(
-                F.least(n / 50.0, F.lit(1.0)) * 0.5
-                + (stop / n) * 0.25
-                + F.least((chars / n) / 8.0, F.lit(1.0)) * 0.25,
-                6,
+            F.when(
+                nonempty,
+                F.round(
+                    F.least(n / 50.0, F.lit(1.0)) * 0.5
+                    + (stop / n) * 0.25
+                    + F.least((chars / n) / 8.0, F.lit(1.0)) * 0.25,
+                    6,
+                ),
             ),
         )
         .drop("_toks")

@@ -38,9 +38,13 @@ def q2_start_le_end_violations(projects: DataFrame) -> DataFrame:
     p = projects.filter(
         F.col("funding_start_year").rlike("\\d{4}") & F.col("funding_end_year").rlike("\\d{4}")
     )
+    # try_cast: the rlike('\\d{4}') filter is UNANCHORED, so a malformed
+    # value like '20202023999999999' (or '2020-2023' in an externally
+    # loaded table) passes the filter but is not int-castable — a plain
+    # cast aborts the query under ANSI mode instead of listing violations
     return (
-        p.withColumn("s", F.col("funding_start_year").cast("int"))
-        .withColumn("e", F.col("funding_end_year").cast("int"))
+        p.withColumn("s", F.expr("try_cast(funding_start_year AS int)"))
+        .withColumn("e", F.expr("try_cast(funding_end_year AS int)"))
         .filter(F.col("s") > F.col("e"))
         .select("project_id", "funding_start_year", "funding_end_year")
         .orderBy("project_id")
@@ -59,7 +63,9 @@ def q3_source_evidence_coverage(projects: DataFrame, documents: DataFrame) -> Da
     ).select(
         "n_projects",
         "n_missing",
-        (1 - F.col("n_missing") / F.col("n_projects")).alias("dq_value"),
+        # NULL (not a crash) on an empty projects table: 0/0 is a hard
+        # DIVIDE_BY_ZERO under ANSI mode (the Spark 4 default)
+        F.when(F.col("n_projects") > 0, 1 - F.col("n_missing") / F.col("n_projects")).alias("dq_value"),
     )
 
 
@@ -75,7 +81,8 @@ def q4_taxonomy_consistency(project_subject_areas: DataFrame, official: DataFram
     ).select(
         "n_pairs",
         "n_unmatched",
-        (1 - F.col("n_unmatched") / F.col("n_pairs")).alias("dq_value"),
+        # NULL on an empty relation table (ANSI-mode 0/0 guard, as in q3)
+        F.when(F.col("n_pairs") > 0, 1 - F.col("n_unmatched") / F.col("n_pairs")).alias("dq_value"),
     )
 
 
@@ -164,7 +171,12 @@ def q8_population_coverage(documents: DataFrame) -> DataFrame:
             "resource_type",
             "declared_total",
             F.coalesce("n_crawled", F.lit(0)).alias("n_crawled"),
-            (F.coalesce("n_crawled", F.lit(0)) / F.col("declared_total")).alias("dq_value"),
+            # a resource type whose catalog count never parsed has
+            # declared_total 0 — NULL coverage, not an ANSI 0/0 crash
+            F.when(
+                F.col("declared_total") != 0,
+                F.coalesce("n_crawled", F.lit(0)) / F.col("declared_total"),
+            ).alias("dq_value"),
         )
         .orderBy("resource_type")
     )

@@ -70,35 +70,19 @@ _SHINGLES_DUCK = """
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram (3-shingle) Jaccard near-dup pairs >= 0.5."""
+    """N-gram (3-shingle) Jaccard near-dup pairs >= 0.5, through the REAL
+    module (operators/dedup.py ngram_jaccard_pairs -> shingles +
+    verified_near_dups). The module's shingler is short-doc safe (sub-3-
+    token docs yield no shingles, matching DuckDB's ascending-only
+    generate_series) — the old inline copy crashed on them under ANSI mode
+    because Spark's sequence(1, 0) descends to [1, 0]."""
+    from ba_gepris_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
     body = "CASE WHEN doc_id % 10 = 0 THEN 'duplicate sentinel text body extended for shingling purposes' ELSE text END"
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "toks", F.expr(f"filter(split(trim({body}), '\\\\s+'), x -> x != '')")
-    )
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(toks) - 2, 0)),"
-                " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
-            )
-        ).alias("shingle"),
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    d = _t(spark, sf_dir, "documents").withColumn("body", F.expr(body))
     return (
-        j.filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        ngram_jaccard_pairs(d, text_col="body", n=3, threshold=0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

@@ -110,19 +110,20 @@ _LSH_BITS_DUCK = " + ".join(
 @_q(
     "emb_lsh_bucket_pairs",
     f"""
-    WITH sk AS (SELECT vec_id, CAST({_LSH_BITS_DUCK} AS BIGINT) AS lsh_sketch FROM embeddings),
-    a AS (SELECT vec_id, lsh_sketch, min(vec_id) OVER (PARTITION BY lsh_sketch) AS anchor FROM sk)
-    SELECT CAST(anchor AS BIGINT) AS vec_a, CAST(vec_id AS BIGINT) AS vec_b,
-           CAST(lsh_sketch AS BIGINT) AS sketch
-    FROM a WHERE vec_id > anchor ORDER BY vec_a, vec_b
+    WITH sk AS (SELECT vec_id, CAST({_LSH_BITS_DUCK} AS BIGINT) AS lsh_sketch FROM embeddings)
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+           CAST(a.lsh_sketch AS BIGINT) AS sketch
+    FROM sk a JOIN sk b ON a.lsh_sketch = b.lsh_sketch AND a.vec_id < b.vec_id
+    ORDER BY vec_a, vec_b
     """,
 )
 def emb_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH candidate pairs through the REAL module
     (operators/similarity.py portable_hyperplane_sketch +
     sketch_bucket_pairs): 8 sign bits from md5-parity +-1 hyperplanes,
-    bucket-anchor pairing (linear in bucket size). The oracle replays the
-    identical double-precision fold and hash in DuckDB."""
+    ALL (a<b) pairs within each sketch bucket (anchor-only pairing missed
+    pairs where neither vector is the bucket min — review r5). The oracle
+    replays the identical double-precision fold and hash in DuckDB."""
     from ba_gepris_crawler_spark.operators.similarity import (
         portable_hyperplane_sketch,
         sketch_bucket_pairs,
@@ -137,8 +138,8 @@ def emb_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_lsh_near_dups",
     f"""
     WITH sk AS (SELECT vec_id, CAST({_LSH_BITS_DUCK} AS BIGINT) AS lsh_sketch FROM embeddings),
-    a AS (SELECT vec_id, lsh_sketch, min(vec_id) OVER (PARTITION BY lsh_sketch) AS anchor FROM sk),
-    cand AS (SELECT anchor AS vec_a, vec_id AS vec_b FROM a WHERE vec_id > anchor)
+    cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM sk a JOIN sk b ON a.lsh_sketch = b.lsh_sketch AND a.vec_id < b.vec_id)
     SELECT CAST(c.vec_a AS BIGINT) AS vec_a, CAST(c.vec_b AS BIGINT) AS vec_b,
            round(CAST({_DOT_DUCK.format(a='ea.embedding', b='eb.embedding')}
              / ({_NORM_DUCK.format(a='ea.embedding')} * {_NORM_DUCK.format(a='eb.embedding')}) AS DOUBLE), 4) AS cosine
@@ -152,7 +153,7 @@ def emb_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup SCALE path through the REAL module: hyperplane
-    sketch -> bucket-anchor candidates -> exact cosine verify over
+    sketch -> all within-bucket candidate pairs -> exact cosine verify over
     candidates only (operators/similarity.py verify_pairs_cosine). The
     brute-force emb_neardup_pairs is the bounded-slice baseline; this is
     the shape that survives 100 TB (no all-pairs join anywhere)."""

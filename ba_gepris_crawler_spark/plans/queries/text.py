@@ -63,14 +63,18 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.expr("size(toks)")
     stop = F.expr("size(filter(toks, x -> x IN ('the', 'and', 'of', 'a', 'to', 'in')))")
     chars = F.expr("aggregate(toks, 0, (acc, x) -> acc + length(x))")
+    nonempty = n > 0  # ANSI 0/0 guard; NULL matches DuckDB's division
     return d.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
-        F.round(stop / n, 6).alias("stopword_ratio"),
-        F.round(chars / n, 6).alias("avg_token_len"),
-        F.round(
-            F.least(n / 50.0, F.lit(1.0)) * 0.5 + (stop / n) * 0.25 + F.least((chars / n) / 8.0, F.lit(1.0)) * 0.25,
-            6,
+        F.when(nonempty, F.round(stop / n, 6)).alias("stopword_ratio"),
+        F.when(nonempty, F.round(chars / n, 6)).alias("avg_token_len"),
+        F.when(
+            nonempty,
+            F.round(
+                F.least(n / 50.0, F.lit(1.0)) * 0.5 + (stop / n) * 0.25 + F.least((chars / n) / 8.0, F.lit(1.0)) * 0.25,
+                6,
+            ),
         ).alias("quality_score"),
     ).orderBy("doc_id")
 

@@ -101,3 +101,43 @@ def test_q8_population_coverage_complete(results):
         assert rows[rtype].declared_total == want
         assert rows[rtype].n_crawled == want
         assert rows[rtype].dq_value == 1.0
+
+
+def test_dq_hostile_inputs_do_not_abort(spark):
+    """ANSI-mode edge hardening (review r5): q2 must LIST violations, not
+    die on a 4-digit-containing but non-int-castable year; q3/q4/q8 must
+    yield NULL dq_value on zero denominators, not DIVIDE_BY_ZERO."""
+    from pyspark.sql import functions as F
+
+    # q2: unanchored rlike('\d{4}') passes this row; cast('int') would abort
+    p = spark.createDataFrame(
+        [("a", "20202023999999999", "2021"), ("b", "2022", "2020"), ("c", "2020", "2021")],
+        "project_id string, funding_start_year string, funding_end_year string",
+    )
+    viol = dq.q2_start_le_end_violations(p).collect()
+    assert [r.project_id for r in viol] == ["b"]  # 'a' skipped, not a crash
+
+    # q3: empty projects table -> NULL coverage
+    empty_p = p.filter(F.lit(False))
+    docs = spark.createDataFrame([], "resource_type string, resource_id string")
+    r3 = dq.q3_source_evidence_coverage(empty_p, docs).first()
+    assert r3.n_projects == 0 and r3.dq_value is None
+
+    # q4: empty relation table -> NULL consistency
+    rel = spark.createDataFrame([], "project_id string, subject_area string")
+    official = spark.createDataFrame([("Biology",)], "subject_area string")
+    r4 = dq.q4_taxonomy_consistency(rel, official).first()
+    assert r4.n_pairs == 0 and r4.dq_value is None
+
+    # q8: a resource type whose catalog total never parsed -> NULL coverage
+    span = "array<struct<kind string, text string, media_ref string, offset int>>"
+    d8 = spark.createDataFrame(
+        [
+            # a non-first catalog page only: the index=0& filter sums to 0
+            ("person", None, "https://h/x?index=5&", [("text", "out of 9 on", None, 0)]),
+            ("person", "p1", "https://h/p1", []),
+        ],
+        f"resource_type string, resource_id string, url string, spans {span}",
+    )
+    r8 = dq.q8_population_coverage(d8).first()
+    assert r8.declared_total == 0 and r8.n_crawled == 1 and r8.dq_value is None

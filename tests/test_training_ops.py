@@ -102,9 +102,9 @@ def test_lsh_banding_runs_signature_pipeline_once(corpus):
     plan = D.lsh_candidate_pairs(sig, num_perm=16, bands=4)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1
     sim_plan = D.simhash_near_dups(D.simhash(corpus))._jdf.queryExecution().executedPlan().toString()
-    # simhash_near_dups joins candidates back to sim twice (sh_a, sh_b):
-    # 3 scans total (1 candidate + 2 lookup), never 4+2 from a quarter union
-    assert sim_plan.count("Scan ExistingRDD") <= 3
+    # simhash_near_dups self-joins the quarter-exploded frame (the simhash
+    # columns ride the join): 2 scans total, never 4+2 from a quarter union
+    assert sim_plan.count("Scan ExistingRDD") <= 2
 
 
 def test_simhash_near_dups(corpus):
@@ -126,6 +126,40 @@ def test_simhash_near_dups(corpus):
 def test_ngram_jaccard_baseline(corpus):
     found = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()}
     assert (10, 11) in found and (20, 21) in found
+
+
+def test_shingles_safe_on_short_docs(spark):
+    """Docs with fewer than n tokens must yield NO shingles — not an ANSI
+    INVALID_ARRAY_INDEX crash (Spark's sequence(1, 0) DESCENDS to [1, 0],
+    unlike DuckDB's empty generate_series) and not bogus partial shingles
+    that make short docs spuriously match (review r5 training-ops #1)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "a"), (3, "a b"), (4, "a b c"), (5, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.shingle) for r in D.shingles(df, n=3).collect()}
+    assert got == {(4, "a b c"), (5, "a b c"), (5, "b c d")}
+    # and the pairwise baseline runs end-to-end over a corpus with shorts
+    pairs = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()}
+    assert pairs == {(4, 5)}  # jaccard({abc},{abc,bcd}) = 0.5
+
+
+def test_simhash_near_dups_finds_nonanchor_pairs(spark):
+    """A near-dup pair where NEITHER doc is its buckets' min-id anchor must
+    still be found (review r5 training-ops #5): v5/v9 differ by 2 bits but
+    every quarter bucket containing both also contains a smaller far id
+    (1 shares their q0, 0 shares their q2+q3), so anchor-only pairing
+    generated only (1,5),(1,9),(0,5),(0,9) and the true pair (5,9) was
+    silently dropped — breaking the docstring's pigeonhole completeness."""
+    v5 = 0x0003_0002_0000_0001
+    v9 = 0x0003_0002_0003_0001  # hamming(v5, v9) = 2, all in quarter 1
+    v1 = 0x7F00_FF00_FF00_0001  # shares ONLY q0 with v5/v9, far from both
+    v0 = 0x0003_0002_00FF_00FF  # shares ONLY q2+q3 with v5/v9, far from both
+    sim = spark.createDataFrame(
+        [(0, v0), (1, v1), (5, v5), (9, v9)], "doc_id long, simhash long"
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_dups(sim, max_hamming=3).collect()}
+    assert pairs == {(5, 9): 2}
 
 
 @pytest.fixture(scope="module")
@@ -383,3 +417,76 @@ def test_caption_align_on_crawled_corpus(spark):
         F.sum(F.size(F.filter("spans", lambda s: s["kind"] != "text"))),
     ).first()
     assert (tot[0], tot[1]) == (raw[0], raw[1])
+
+
+def test_sketch_bucket_pairs_all_pairs_within_bucket(spark):
+    """Every (a<b) pair sharing a sketch bucket is a candidate, not just
+    (min-anchor, member) pairs: with bucket {1, 5, 9} the pair (5, 9) must
+    be generated — under anchor pairing it never was, and a far-off anchor
+    (a hash false positive) made verify_pairs_cosine drop the genuinely
+    similar pair with no downstream recovery (review r5 training-ops #6)."""
+    sk = spark.createDataFrame(
+        [(1, 7), (5, 7), (9, 7), (2, 8)], "vec_id long, lsh_sketch long"
+    )
+    pairs = {(r.vec_a, r.vec_b) for r in S.sketch_bucket_pairs(sk).collect()}
+    assert pairs == {(1, 5), (1, 9), (5, 9)}
+
+
+def test_cosine_zero_norm_vector_is_null_not_crash(spark):
+    """An all-zero embedding (failed encode / padding artifact) must not
+    abort similarity ops with an ANSI DIVIDE_BY_ZERO: its cosine is NULL,
+    it never occupies a top-k slot, and verify drops it (review r5
+    training-ops #4)."""
+    rows = [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 1").select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    got = S.cosine_topk(df, q, k=10).collect()
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.rnk)] == [2, 3]  # 0 excluded
+    assert all(r.cosine is not None for r in got)
+    cand = spark.createDataFrame([(0, 1), (1, 2)], "vec_a long, vec_b long")
+    ver = S.verify_pairs_cosine(cand, df, threshold=0.0).collect()
+    assert {(r.vec_a, r.vec_b) for r in ver} == {(1, 2)}  # zero-norm pair dropped
+    # IVF paths survive a zero-norm corpus vector too
+    cents = df.filter("vec_id in (1, 3)").select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    idx = S.ivf_index(df, cents)
+    assert idx.count() == 4  # the zero vector still gets a (tie-broken) cell
+    top = S.ivf_topk(idx, cents, q, k=10, nprobe=2).collect()
+    assert all(r.cosine is not None for r in top)
+
+
+def test_quality_score_empty_doc_is_null_not_crash(spark):
+    """Blank pages are routine in a crawl: a whitespace-only doc must score
+    NULL (matching DuckDB division semantics), not kill the job with an
+    ANSI DIVIDE_BY_ZERO (review r5 training-ops #2)."""
+    df = spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "   "), (2, "")], "doc_id long, text string"
+    )
+    q = {r.doc_id: r for r in TA.quality_score(df).collect()}
+    assert q[0].quality_score is not None
+    for i in (1, 2):
+        assert q[i].n_tokens == 0
+        assert q[i].quality_score is None
+        assert q[i].stopword_ratio is None and q[i].avg_token_len is None
+
+
+def test_interleave_stats_empty_spans_null_ratio(spark):
+    """A fetched-but-content-free page (spans = []) gets a NULL media_ratio
+    instead of an ANSI 0/0 crash (review r5 training-ops #7)."""
+    schema = (
+        "doc_id long, spans array<struct<kind string, text string, media_ref string, offset int>>"
+    )
+    docs = spark.createDataFrame(
+        [(0, []), (1, [("text", "t", None, 0), ("img", None, "m", 1)])], schema
+    )
+    prof = {r.doc_id: r for r in MM.interleave_stats(docs).collect()}
+    assert prof[0].n_spans == 0 and prof[0].media_ratio is None
+    assert prof[1].media_ratio == 0.5
+
+
+def test_documents_as_media_negative_id(spark):
+    """pmod, not %: a negative doc_id must map into the media-type array,
+    not hit element_at index 0 (runtime error) or wrap from the end
+    (review r5 training-ops #9)."""
+    docs = spark.createDataFrame([(-1, "x"), (-2, "y"), (-3, "z"), (0, "w")], "doc_id long, text string")
+    mt = {r.doc_id: r.media_type for r in MM.documents_as_media(docs).collect()}
+    assert mt == {-3: "image", -2: "audio", -1: "video", 0: "image"}
