@@ -1,8 +1,8 @@
 """spark-submit entry point — the reference's scopt CLI re-expressed
 (App.scala:16-67): new-crawl / resume-crawl / dq / export.
 
-Deploy:
-  spark-submit --py-files ba_gepris_crawler_spark.zip -m ba_gepris_crawler_spark.cli new-crawl /data/crawl1
+Deploy (spark-submit takes a primary FILE, it has no -m module flag):
+  spark-submit --py-files ba_gepris_crawler_spark.zip ba_gepris_crawler_spark/cli.py new-crawl /data/crawl1
 or locally:
   python -m ba_gepris_crawler_spark.cli new-crawl /tmp/crawl1 --hosts 4 --projects 1000
 

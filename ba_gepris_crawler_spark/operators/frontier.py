@@ -18,17 +18,33 @@ from pyspark.sql import functions as F
 
 from ba_gepris_crawler_spark.operators.politeness import priority_for_type
 from ba_gepris_crawler_spark.schema import FRONTIER_SCHEMA
-from ba_gepris_crawler_spark.sources.synthetic_site import URL_TYPE, SiteConfig, seed_urls
+from ba_gepris_crawler_spark.sources.synthetic_site import (
+    RESOURCE_TYPES,
+    SiteConfig,
+    catalog_url,
+)
 
 _TYPE_FROM_URL_SQL = "map('projekt','project','person','person','institution','institution')"
 
+# Hostile-input cap, same discipline as the robots caps (politeness.py):
+# the catalog pagination total is PAGE-SUPPLIED data, and an unbounded
+# sequence() over ceil(total/hits) would let one bogus/hostile 'out of
+# 2,000,000,000 on' page materialize a 40M-element struct array inside a
+# single row's projection (executor OOM). 100k pages x hits_per_page is
+# generous for any real catalog; anything above is a trap by definition.
+MAX_CATALOG_PAGES = 100_000
+
 
 def seed_frontier(spark, cfg: SiteConfig) -> DataFrame:
-    rows = []
-    for url in seed_urls(cfg):
-        host = url.split("/")[2]
-        rtype = url.split("context=")[1].split("&")[0]
-        rows.append((url, host, {v: k for k, v in URL_TYPE.items()}[rtype], None, 0, 0, 0))
+    """Stage-0 seeds: catalog page 0 for every (type, host) — built from
+    the same (rtype, host) pairs catalog_url takes, not reverse-parsed out
+    of the URL strings (which silently coupled this to the URL template's
+    parameter spelling)."""
+    rows = [
+        (catalog_url(cfg, rtype, host, 0), host, rtype, None, 0, 0, 0)
+        for rtype in RESOURCE_TYPES
+        for host in cfg.hosts
+    ]
     return spark.createDataFrame(rows, FRONTIER_SCHEMA)
 
 
@@ -85,6 +101,9 @@ def discovered_catalog_urls(docs: DataFrame, cfg: SiteConfig, next_round: int) -
         ),
     ).filter(F.col("total").isNotNull() & (F.col("total") > 0))
     hits = cfg.hits_per_page
+    # cap the page-supplied total BEFORE the sequence explode (see
+    # MAX_CATALOG_PAGES: one hostile total must not OOM an executor)
+    totals = totals.withColumn("total", F.least(F.col("total"), F.lit(hits * MAX_CATALOG_PAGES)))
     pages = totals.select(
         "host",
         "resource_type",
@@ -127,20 +146,23 @@ def discovered_urls(docs: DataFrame, cfg: SiteConfig, next_round: int) -> DataFr
     hosts_arr = "array(" + ",".join(f"'{h}'" for h in cfg.hosts) + ")"
     nh = len(cfg.hosts)
     hits = cfg.hits_per_page
+    # the link regex runs ONCE per span (full match, group 0): HOF lambdas
+    # are interpreted per element with no common-subexpression elimination,
+    # so extracting urltype/rid as separate regexp_extract calls doubled
+    # the regex work of the whole stage; split_part over the one match is
+    # string slicing, not regex
     link_structs = f"""
       transform(
         filter(transform(
           filter(spans, s -> s.kind = 'link'),
-          s -> named_struct(
-            'urltype', regexp_extract(s.media_ref, '^/gepris/(projekt|person|institution)/(\\\\d+)$', 1),
-            'rid',     regexp_extract(s.media_ref, '^/gepris/(projekt|person|institution)/(\\\\d+)$', 2))),
-          x -> x.rid != ''),
-        x -> named_struct(
-          'url', concat('https://', element_at({hosts_arr}, cast(cast(x.rid as long) % {nh} as int) + 1),
-                        '/gepris/', x.urltype, '/', x.rid, '?language=en'),
-          'host', element_at({hosts_arr}, cast(cast(x.rid as long) % {nh} as int) + 1),
-          'resource_type', element_at({_TYPE_FROM_URL_SQL}, x.urltype),
-          'resource_id', x.rid,
+          s -> regexp_extract(s.media_ref, '^/gepris/(projekt|person|institution)/(\\\\d+)$', 0)),
+          m -> m != ''),
+        m -> named_struct(
+          'url', concat('https://', element_at({hosts_arr}, cast(cast(split_part(m, '/', 4) as long) % {nh} as int) + 1),
+                        '/gepris/', split_part(m, '/', 3), '/', split_part(m, '/', 4), '?language=en'),
+          'host', element_at({hosts_arr}, cast(cast(split_part(m, '/', 4) as long) % {nh} as int) + 1),
+          'resource_type', element_at({_TYPE_FROM_URL_SQL}, split_part(m, '/', 3)),
+          'resource_id', split_part(m, '/', 4),
           'crawl_depth', cast(crawl_depth + 1 as int)))
     """
     total_expr = (
@@ -149,17 +171,25 @@ def discovered_urls(docs: DataFrame, cfg: SiteConfig, next_round: int) -> DataFr
         "  'out of ([\\\\d,]*) on', 1), ',', '') AS int)"
     )
     urltype_expr = "element_at(map('project','projekt','person','person','institution','institution'), resource_type)"
+    # total_expr (a regex over the page's FULL text span) is bound ONCE via
+    # a one-element transform (t = the capped total) instead of being
+    # evaluated in both the CASE condition and the sequence bound; the cap
+    # (MAX_CATALOG_PAGES) keeps a hostile page-supplied total from
+    # materializing an unbounded struct array in one row's projection
     catalog_structs = f"""
-      CASE WHEN resource_id IS NULL AND coalesce({total_expr}, 0) > 0 THEN
-        transform(sequence(0, cast(ceil(({total_expr}) / {hits}.0) as int) - 1),
-          p -> named_struct(
-            'url', concat('https://', host, '/gepris/OCTOPUS?context=', {urltype_expr},
-                          '&hitsPerPage={hits}&index=', cast(p * {hits} as string),
-                          '&task=doSearchExtended&resourceTypeQuery=', {urltype_expr}, '&language=en'),
-            'host', host,
-            'resource_type', resource_type,
-            'resource_id', cast(NULL as string),
-            'crawl_depth', cast(crawl_depth as int)))
+      CASE WHEN resource_id IS NULL THEN
+        flatten(transform(array(least({total_expr}, {hits * MAX_CATALOG_PAGES})), t ->
+          CASE WHEN coalesce(t, 0) > 0 THEN
+            transform(sequence(0, cast(ceil(t / {hits}.0) as int) - 1),
+              p -> named_struct(
+                'url', concat('https://', host, '/gepris/OCTOPUS?context=', {urltype_expr},
+                              '&hitsPerPage={hits}&index=', cast(p * {hits} as string),
+                              '&task=doSearchExtended&resourceTypeQuery=', {urltype_expr}, '&language=en'),
+                'host', host,
+                'resource_type', resource_type,
+                'resource_id', cast(NULL as string),
+                'crawl_depth', cast(crawl_depth as int)))
+          ELSE array() END))
       ELSE array() END
     """
     cand = docs.select(

@@ -128,6 +128,14 @@ class HttpTransport:
             body = e.read().decode("utf-8") if e.fp is not None else ""
             sc = e.headers.get("Set-Cookie") if e.headers is not None else None
             return e.code, body, sc
+        except (urllib.error.URLError, OSError, TimeoutError):
+            # No HTTP response at all (refused/reset connection, DNS
+            # failure, socket timeout): still DATA, not an exception — one
+            # flaky socket among millions of URLs must quarantine one row,
+            # not kill the task and (after 4 stage retries) the whole
+            # round. 599 is the informal network-error status; the DQ
+            # liveness classifier buckets it as server_error.
+            return 599, "", None
 
     def fetch_session_header(self, cfg: SiteConfig, epoch: int = 0) -> str:
         """Hit the session endpoint and return its raw Set-Cookie header —
@@ -161,24 +169,38 @@ class HttpTransport:
         with ThreadPoolExecutor(max_workers=min(self.max_in_flight, len(urls))) as pool:
             results = list(pool.map(lambda u: one(u, token), urls))
             # stale session: refresh the cookie ONCE per batch through the
-            # real Set-Cookie flow, then retry exactly the 401'd URLs
+            # real Set-Cookie flow, then retry exactly the 401'd URLs. A
+            # refresh that itself fails (session endpoint briefly 503, or
+            # a response without Set-Cookie) must NOT kill the task: the
+            # 401 rows stay quarantined status rows and the next round
+            # retries them with a fresh session.
             if any(st == 401 for st, _ in results):
-                _n, token, _a = parse_set_cookie(self.fetch_session_header(cfg, epoch))
-                retry_idx = [i for i, (st, _) in enumerate(results) if st == 401]
-                retried = list(pool.map(lambda i: one(urls[i], token), retry_idx))
-                for i, r in zip(retry_idx, retried):
-                    results[i] = r
+                try:
+                    _n, token, _a = parse_set_cookie(self.fetch_session_header(cfg, epoch))
+                except (RuntimeError, ValueError):
+                    token = None
+                if token is not None:
+                    retry_idx = [i for i, (st, _) in enumerate(results) if st == 401]
+                    retried = list(pool.map(lambda i: one(urls[i], token), retry_idx))
+                    for i, r in zip(retry_idx, retried):
+                        results[i] = r
 
         statuses = [st for st, _ in results]
         if as_json:
             return statuses, [body for _, body in results]
         # html-mode parse on the worker: the wire body is the site's span
-        # serialization; decode it to the same tuple shape render_page emits
+        # serialization; decode it to the same tuple shape render_page emits.
+        # A 200 with an undecodable body (truncated response, hostile
+        # server) quarantines as 598 instead of raising through the task.
         payloads: list = []
-        for st, body in results:
+        for i, (st, body) in enumerate(results):
             if st != 200 or not body:
                 payloads.append([])
                 continue
-            spans = json.loads(body)["spans"]
-            payloads.append([tuple(s[k] for k in SPAN_TUPLE_KEYS) for s in spans])
+            try:
+                spans = json.loads(body)["spans"]
+                payloads.append([tuple(s[k] for k in SPAN_TUPLE_KEYS) for s in spans])
+            except (ValueError, KeyError, TypeError):
+                statuses[i] = 598  # malformed body: quarantine, don't crash
+                payloads.append([])
         return statuses, payloads

@@ -20,7 +20,7 @@ bitmap broadcast to all workers (same code path, fewer shards).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Iterator
 
 import numpy as np
@@ -37,6 +37,36 @@ class BloomFilterModel:
     k: int  # number of hash probes
     n_items: int
     version: int = 0
+    # lazily-created broadcast of (bits, m, k) — ONE per model instance,
+    # reused across every split_by_bloom call (the stream probes the same
+    # model many times per wave) and released via unpersist_broadcast()
+    # when the engine replaces the model. Without this, every round/batch
+    # broadcast a fresh bitmap-sized copy that was never cleaned up:
+    # rounds x bitmap-size of executor memory leaked over a long crawl.
+    _bc: object = field(default=None, repr=False, compare=False)
+
+    def broadcast(self, spark):
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast((self.bits, self.m, self.k))
+        return self._bc
+
+    def unpersist_broadcast(self) -> None:
+        """Drop executor copies of this model's bitmap broadcast (the
+        driver keeps the value, so a late lineage replay just re-fetches).
+        Call when the model is superseded — never mid-round."""
+        if self._bc is not None:
+            self._bc.unpersist(blocking=False)
+            self._bc = None
+
+    def estimated_fpp(self) -> float:
+        """Current expected false-positive rate at n_items insertions:
+        (1 - e^(-k n / m))^k. The incremental update path grows n_items,
+        so a filter outgrowing its sizing is DETECTABLE — the engine
+        rebuilds (resized) once this passes its saturation threshold
+        instead of silently degrading the admission gate."""
+        if self.m <= 0:
+            return 1.0
+        return float((1.0 - math.exp(-self.k * self.n_items / self.m)) ** self.k)
 
     def might_contain_vec(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         """Vectorized membership test over two 64-bit hash columns
@@ -92,41 +122,42 @@ def build_bloom(
             pos = (h1a + np.uint64(i) * h2a) % mm
             np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64), (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
 
+    def shard_pd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow-vectorized shard build: hash columns stream through numpy
+        # batch by batch (the per-partition peak is one Arrow batch + the
+        # bitmap — NEVER the partition's rows as boxed Python objects);
+        # one bitmap row per partition comes out.
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf):
+                set_bits(bits, pdf["_h1"].to_numpy().astype(np.uint64), pdf["_h2"].to_numpy().astype(np.uint64))
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
     if nbytes <= 64 * 1024 * 1024:
-        # Arrow-vectorized shard build: one bitmap row per partition,
-        # collected and OR'd on the driver (shards are small at this m).
-        # Driver-memory guard: the collect brings nbytes * n_partitions
-        # onto the driver — a many-file url_seen union could exceed the
-        # heap, so coalesce the hashed rows first when the shard volume
-        # would pass ~2 GiB (the treeReduce path below stays the giant-
-        # filter escape hatch).
+        # Small shards: collect the per-partition bitmaps and OR on the
+        # driver. Driver-memory guard: the collect brings nbytes *
+        # n_partitions onto the heap — a many-file url_seen union could
+        # exceed it, so coalesce first when the shard volume would pass
+        # ~2 GiB (the treeReduce path below stays the giant escape hatch).
         max_collect = 2 << 30
         n_parts = hashed.rdd.getNumPartitions()
         if nbytes * max(n_parts, 1) > max_collect:
             hashed = hashed.coalesce(max(1, max_collect // nbytes))
 
-        def shard_pd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            bits = np.zeros(nbytes, dtype=np.uint8)
-            for pdf in batches:
-                if len(pdf):
-                    set_bits(bits, pdf["_h1"].to_numpy().astype(np.uint64), pdf["_h2"].to_numpy().astype(np.uint64))
-            yield pd.DataFrame({"bits": [bits.tobytes()]})
-
         bits = np.zeros(nbytes, dtype=np.uint8)
         for row in hashed.mapInPandas(shard_pd, schema="bits binary").collect():
             bits |= np.frombuffer(row["bits"], dtype=np.uint8)
     else:
-        # Giant filters (10^10-URL regime): shards stay executor-resident and
-        # merge pairwise via treeReduce — never collected in one piece.
-        def shard(rows) -> Iterator[np.ndarray]:
-            bits = np.zeros(nbytes, dtype=np.uint8)
-            h1 = [r[0] for r in rows]
-            h2 = [r[1] for r in rows]
-            if h1:
-                set_bits(bits, np.array(h1, dtype=np.int64).astype(np.uint64), np.array(h2, dtype=np.int64).astype(np.uint64))
-            yield bits
-
-        shards = hashed.rdd.mapPartitions(shard)
+        # Giant filters (10^10-URL regime): the SAME Arrow-batched shard
+        # kernel, but the per-partition bitmaps stay executor-resident and
+        # merge pairwise via treeReduce — never collected in one piece,
+        # and never a partition's rows materialized as Python lists (that
+        # was tens of GB of boxed ints per task in exactly the regime this
+        # branch exists for).
+        shards = (
+            hashed.mapInPandas(shard_pd, schema="bits binary")
+            .rdd.map(lambda r: np.frombuffer(r["bits"], dtype=np.uint8))
+        )
         if shards.isEmpty():
             bits = np.zeros(nbytes, dtype=np.uint8)
         else:
@@ -134,16 +165,25 @@ def build_bloom(
     return BloomFilterModel(bits=bits, m=m, k=k, n_items=n, version=version)
 
 
-def update_bloom(bloom: BloomFilterModel, delta: DataFrame, url_col: str = "url") -> BloomFilterModel:
+def update_bloom(
+    bloom: BloomFilterModel, delta: DataFrame, url_col: str = "url", n_new: int | None = None
+) -> BloomFilterModel:
     """Incremental filter maintenance: OR the delta's shard into the
     existing bitmap (same m/k). Avoids rescanning the full seen set every
-    round — at a 10^10-URL frontier the rebuild would dominate the round."""
-    shard = build_bloom(delta, url_col=url_col, expected_items=bloom.n_items, m=bloom.m, k=bloom.k)
+    round — at a 10^10-URL frontier the rebuild would dominate the round.
+
+    n_items GROWS by the delta size (pass n_new to skip the count job if
+    the caller already knows it): a frozen n_items made estimated_fpp()
+    blind, so a filter outgrowing its sizing silently degraded the
+    admission gate with no rebuild trigger."""
+    if n_new is None:
+        n_new = delta.count()
+    shard = build_bloom(delta, url_col=url_col, expected_items=max(n_new, 1), m=bloom.m, k=bloom.k)
     return BloomFilterModel(
         bits=np.bitwise_or(bloom.bits, shard.bits),
         m=bloom.m,
         k=bloom.k,
-        n_items=bloom.n_items,
+        n_items=bloom.n_items + n_new,
         version=bloom.version + 1,
     )
 
@@ -156,7 +196,7 @@ def split_by_bloom(
     the exact anti-join backstop. Membership test is Arrow-batched numpy —
     no per-row Python."""
     spark = frontier.sparkSession
-    bc = spark.sparkContext.broadcast((bloom.bits, bloom.m, bloom.k))
+    bc = bloom.broadcast(spark)  # one broadcast per model, not per call
     hashed = _hash_cols(frontier, url_col)
     # copy the fields: df.schema is cached by the DataFrame and .add mutates
     out_schema = T.StructType(list(hashed.schema.fields)).add("_maybe_seen", "boolean")

@@ -55,11 +55,20 @@ def dedup_for_export(name: str, df: DataFrame) -> DataFrame:
     key = UNIQUE_KEYS.get(name)
     if not key:
         return df
+    # SQLite UNIQUE indexes treat NULLs as DISTINCT: a NULL-key row never
+    # collides, so the reference keeps every one. groupBy would collapse
+    # them into a single group — split them out and pass them through
+    # unchanged so the 'same end state' contract holds for malformed rows.
+    null_key = F.lit(False)
+    for c in key:
+        null_key = null_key | F.col(c).isNull()
+    keyed, nullkeyed = df.filter(~null_key), df.filter(null_key)
     others = sorted(c for c in df.columns if c not in key)
     if not others:
-        return df.dropDuplicates(key)
-    win = df.groupBy(*key).agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_w"))
-    return win.select(*key, *[F.col(f"_w.{c}").alias(c) for c in others]).select(*df.columns)
+        return keyed.dropDuplicates(key).unionByName(nullkeyed)
+    win = keyed.groupBy(*key).agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_w"))
+    deduped = win.select(*key, *[F.col(f"_w.{c}").alias(c) for c in others]).select(*df.columns)
+    return deduped.unionByName(nullkeyed.select(*df.columns))
 
 
 _SQLITE_AFFINITY = {

@@ -239,7 +239,16 @@ class CrawlEngine:
                         m=meta["m"], k=meta["k"], n_items=n_seen, version=meta["version"],
                     )
                     self._bloom_round = rnd - 1
-            if self._bloom is not None and self._bloom_round == rnd - 1:
+            if (
+                self._bloom is not None
+                and self._bloom_round == rnd - 1
+                # saturation gate: a filter outgrowing its sizing degrades
+                # fpp silently (n_items grows each update, so this is now
+                # detectable); past ~4x the design fpp the admission gate
+                # stops earning its keep — rebuild resized (n_seen * 4
+                # headroom) instead of updating in place
+                and self._bloom.estimated_fpp() <= min(4 * s.bloom_fpp, 0.5)
+            ):
                 # incremental: OR in only last round's delta
                 delta = self.store.read_state("url_seen", rnd - 1)
                 bloom = US.update_bloom(self._bloom, delta)
@@ -273,6 +282,8 @@ class CrawlEngine:
                                                        "budgets_df": self.budgets_df is not None})
             for df in (candidates, seen):  # the early return must not leak caches
                 df.unpersist()
+            if bloom is not None and bloom is not self._bloom:
+                bloom.unpersist_broadcast()  # never became engine state
             return manifest
 
         _mark('candidates_count')
@@ -515,6 +526,11 @@ class CrawlEngine:
             )
             self._cuckoo_upto = 0
         if bloom is not None:
+            # release the SUPERSEDED model's bitmap broadcast (this round's
+            # jobs used `bloom`, never the old model) — without this every
+            # round leaked one bitmap-sized broadcast on the executors
+            if self._bloom is not None and self._bloom is not bloom:
+                self._bloom.unpersist_broadcast()
             self._bloom, self._bloom_round = bloom, rnd
         elif s.seen_filter == "bloom" and s.use_bloom and rnd == 0:
             # bootstrap the incremental filter from round 0's delta

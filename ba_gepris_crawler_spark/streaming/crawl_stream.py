@@ -157,7 +157,11 @@ class StreamingCrawl:
             if self._bloom is None:
                 self._bloom = US.build_bloom(delta, expected_items=self.bloom_expected_items)
             else:
-                self._bloom = US.update_bloom(self._bloom, delta)
+                old = self._bloom
+                self._bloom = US.update_bloom(old, delta)
+                # the previous batch's jobs are complete (foreachBatch is
+                # synchronous): release the superseded bitmap broadcast
+                old.unpersist_broadcast()
             self._bloom_dirs |= {p.name for p in fresh}
         return self._bloom
 

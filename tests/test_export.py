@@ -90,3 +90,29 @@ def test_tables_without_key_pass_through(spark):
     df = spark.range(5).select(F.col("id").alias("x"))
     assert dedup_for_export("no_such_table", df).count() == 5
     assert set(UNIQUE_KEYS) >= {"projects", "persons", "institutions"}
+
+
+def test_null_key_rows_stay_distinct(spark):
+    """SQLite UNIQUE indexes treat NULLs as DISTINCT: rows with a NULL key
+    column never collide, so the export dedup must pass every one through
+    unchanged instead of collapsing them into a single groupBy group
+    (review r5 engine #6 — the 'same end state as the reference's UNIQUE
+    index' contract)."""
+    df = spark.createDataFrame(
+        [("p1", None, "A"), ("p1", None, "B"), ("p1", "x1", "A"), ("p1", "x1", "A"), ("p2", "x2", "C")],
+        "project_id string, person_id string, relation_type string",
+    )
+    key = lambda t: tuple("" if x is None else x for x in t)  # noqa: E731
+    out = [(r.project_id, r.person_id, r.relation_type)
+           for r in dedup_for_export("project_person_relations", df).collect()]
+    # both NULL-key rows survive; the duplicated real key collapses to one
+    assert sorted(out, key=key) == sorted(
+        [("p1", None, "A"), ("p1", None, "B"), ("p1", "x1", "A"), ("p2", "x2", "C")], key=key
+    )
+    # and a keyed table WITH payload columns keeps NULL-key rows too
+    p = spark.createDataFrame(
+        [(None, "t1"), (None, "t2"), ("id1", "t3"), ("id1", "t4")],
+        "project_id string, title string",
+    )
+    got = sorted(((r.project_id, r.title) for r in dedup_for_export("projects", p).collect()), key=key)
+    assert got == [(None, "t1"), (None, "t2"), ("id1", "t3")]

@@ -85,3 +85,28 @@ def test_engine_unchanged_on_trapfree_site(spark, tmp_path):
         seen[name] = sorted((r["url"], r["seq"], r["round"]) for r in df.collect())
     assert seen["on"] == seen["off"]
     assert len(seen["on"]) > 100
+
+
+def test_hostile_catalog_total_is_capped(spark):
+    """The catalog pagination total is PAGE-SUPPLIED data: a hostile or
+    misrendered 'out of 2,000,000,000 on' page must expand to at most
+    MAX_CATALOG_PAGES page URLs, not a 40M-element struct array inside one
+    row's projection (executor OOM) — the same hostile-input discipline as
+    the robots caps (review r5 engine #2)."""
+    from ba_gepris_crawler_spark.operators.frontier import (
+        MAX_CATALOG_PAGES,
+        discovered_catalog_urls,
+        discovered_urls,
+    )
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    cfg = SiteConfig(hosts=("h.example.org",), n_projects=4, n_persons=2,
+                     n_institutions=1, hits_per_page=50, seed=1)
+    span = "array<struct<kind string, text string, media_ref string, offset int>>"
+    docs = spark.createDataFrame(
+        [("h.example.org", "project", None, 0,
+          [("text", "Result 1 out of 2,000,000,000 on this server", None, 0)])],
+        f"host string, resource_type string, resource_id string, crawl_depth int, spans {span}",
+    )
+    assert discovered_urls(docs, cfg, 1).count() == MAX_CATALOG_PAGES
+    assert discovered_catalog_urls(docs, cfg, 1).count() == MAX_CATALOG_PAGES

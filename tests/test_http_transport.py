@@ -161,3 +161,48 @@ def test_engine_crawl_over_http_byte_equal_to_in_process(spark, site, server, tm
     dh, ds = docs(store_http, last_h), docs(store_syn, last_s)
     assert dh == ds
     assert any(t[2] == 503 for t in dh)  # quarantine rows travelled over HTTP
+
+
+def test_network_errors_quarantine_not_crash(site):
+    """A connection refused / dead server must surface as a 599 status row
+    (one quarantined URL), never an exception that kills the Spark task:
+    urllib raises URLError (not HTTPError) for socket-level failures and
+    the old handler let it escape (review r5 engine #1)."""
+    # port 9 (discard) on localhost: nothing listens -> immediate refusal
+    t = HttpTransport("http://127.0.0.1:9", timeout=0.5)
+    sts, payloads = t.fetch_batch(site, _urls(site)[:2], session_token(site, 0), 0, as_json=False)
+    assert sts == [599, 599]
+    assert payloads == [[], []]
+
+
+def test_malformed_200_body_quarantines_as_598(site, server, monkeypatch):
+    """A 200 whose body is not the site's span serialization (truncated /
+    hostile response) must quarantine as 598, not raise through the Arrow
+    batch (review r5 engine hardening)."""
+    t = HttpTransport(server.base_url)
+    real = HttpTransport._request
+
+    def corrupt(self, url, token, epoch):
+        st, body, sc = real(self, url, token, epoch)
+        return st, "<html>not json</html>" if st == 200 else body, sc
+
+    monkeypatch.setattr(HttpTransport, "_request", corrupt)
+    sts, payloads = t.fetch_batch(site, _urls(site)[:1], session_token(site, 0), 0, as_json=False)
+    assert sts == [598] and payloads == [[]]
+
+
+def test_failed_session_refresh_leaves_401_quarantined(site, server, monkeypatch):
+    """If the mid-batch session refresh itself fails (endpoint briefly
+    down), the 401 rows must stay quarantined status rows — the task must
+    not die on the refresh exception (review r5 engine #3)."""
+    t = HttpTransport(server.base_url)
+
+    def broken_refresh(self, cfg, epoch=0):
+        raise RuntimeError("session endpoint returned 503")
+
+    monkeypatch.setattr(HttpTransport, "fetch_session_header", broken_refresh)
+    # stale token for epoch 1 -> 401s; refresh fails -> rows stay 401
+    stale = session_token(site, 0)
+    sts, payloads = t.fetch_batch(site, _urls(site)[:2], stale, 1, as_json=False)
+    assert all(st in (401, 404, 200, 503) for st in sts)
+    assert 401 in sts  # the stale rows stayed quarantined, nothing raised

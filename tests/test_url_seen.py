@@ -75,3 +75,62 @@ def test_new_urls_exact_path_has_no_seen_side_shuffle_aggregate(spark):
     dup_seen = seen.unionByName(seen)  # duplicate-tolerance backstop
     got = {r.url for r in US.new_urls(frontier, dup_seen).collect()}
     assert len(got) == 40
+
+
+def test_bloom_broadcast_reused_and_released(spark):
+    """One bitmap broadcast PER MODEL, reused across split calls, released
+    by unpersist_broadcast(): the old per-call broadcast was never cleaned
+    up — rounds x bitmap-size of executor memory leaked over a long crawl
+    (review r5 engine #4)."""
+    seen = _urls(spark, 200).withColumn("round", F.lit(0))
+    bloom = US.build_bloom(seen, fpp=0.01)
+    frontier = _urls(spark, 50)
+    US.split_by_bloom(frontier, bloom)
+    bc1 = bloom._bc
+    US.split_by_bloom(frontier, bloom)
+    assert bloom._bc is bc1  # reused, not re-broadcast
+    bloom.unpersist_broadcast()
+    assert bloom._bc is None
+    # a released model still works (lazy re-broadcast on next use)
+    d, m = US.split_by_bloom(frontier, bloom)
+    assert d.count() + m.count() == 50
+    bloom.unpersist_broadcast()
+
+
+def test_update_bloom_tracks_growth_and_saturation(spark):
+    """n_items must GROW with each incremental delta so estimated_fpp()
+    detects a filter outgrowing its sizing (the rebuild trigger) — frozen
+    n_items made saturation invisible (review r5 engine #8)."""
+    seen = _urls(spark, 100).withColumn("round", F.lit(0))
+    bloom = US.build_bloom(seen, expected_items=100, fpp=0.01)
+    f0 = bloom.estimated_fpp()
+    assert 0 < f0 < 0.05
+    b2 = US.update_bloom(bloom, _urls(spark, 400, prefix="https://h.example.org/q"))
+    assert b2.n_items == 500
+    assert b2.estimated_fpp() > f0  # saturation is now visible
+    b3 = US.update_bloom(b2, _urls(spark, 100, prefix="https://h.example.org/r"), n_new=100)
+    assert b3.n_items == 600  # caller-supplied count skips the job
+    # no false negatives after growth: every inserted URL still admits
+    hashed = US._hash_cols(_urls(spark, 100, prefix="https://h.example.org/r"), "url").collect()
+    import numpy as np
+
+    h1 = np.array([r["_h1"] for r in hashed])
+    h2 = np.array([r["_h2"] for r in hashed])
+    assert b3.might_contain_vec(h1, h2).all()
+
+
+def test_giant_bloom_path_arrow_shards(spark):
+    """The >64 MiB treeReduce branch must stream Arrow batches into the
+    shard bitmaps (executor-resident merge), not materialize partitions as
+    Python lists (review r5 engine #5). Forced small-scale via explicit m:
+    membership must hold with zero false negatives."""
+    seen = _urls(spark, 1000).withColumn("round", F.lit(0)).repartition(4)
+    m = (65 * 1024 * 1024) * 8  # 65 MiB bitmap -> giant branch
+    bloom = US.build_bloom(seen, expected_items=1000, m=m, k=3)
+    assert bloom.m == m and len(bloom.bits) == m // 8
+    hashed = US._hash_cols(_urls(spark, 1000), "url").collect()
+    import numpy as np
+
+    h1 = np.array([r["_h1"] for r in hashed])
+    h2 = np.array([r["_h2"] for r in hashed])
+    assert bloom.might_contain_vec(h1, h2).all()
