@@ -172,15 +172,19 @@ def discovered_urls(docs: DataFrame, cfg: SiteConfig, next_round: int) -> DataFr
     )
     urltype_expr = "element_at(map('project','projekt','person','person','institution','institution'), resource_type)"
     # total_expr (a regex over the page's FULL text span) is bound ONCE via
-    # a one-element transform (t = the capped total) instead of being
-    # evaluated in both the CASE condition and the sequence bound; the cap
-    # (MAX_CATALOG_PAGES) keeps a hostile page-supplied total from
-    # materializing an unbounded struct array in one row's projection
+    # a one-element transform (t = the RAW total, possibly NULL) instead of
+    # being evaluated in both the CASE condition and the sequence bound.
+    # The MAX_CATALOG_PAGES cap is applied INSIDE the null guard: Spark's
+    # least() SKIPS nulls (least(NULL, cap) = cap), so capping before the
+    # guard turned every unparsable total into a 100k-page phantom fan-out
+    # — the exact hostile-page injection the cap exists to prevent
+    # (review r5 tail #1; politeness.py documents the same least/greatest
+    # null pitfall for budget clamps).
     catalog_structs = f"""
       CASE WHEN resource_id IS NULL THEN
-        flatten(transform(array(least({total_expr}, {hits * MAX_CATALOG_PAGES})), t ->
+        flatten(transform(array({total_expr}), t ->
           CASE WHEN coalesce(t, 0) > 0 THEN
-            transform(sequence(0, cast(ceil(t / {hits}.0) as int) - 1),
+            transform(sequence(0, cast(ceil(least(t, {hits * MAX_CATALOG_PAGES}) / {hits}.0) as int) - 1),
               p -> named_struct(
                 'url', concat('https://', host, '/gepris/OCTOPUS?context=', {urltype_expr},
                               '&hitsPerPage={hits}&index=', cast(p * {hits} as string),

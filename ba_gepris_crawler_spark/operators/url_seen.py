@@ -126,12 +126,17 @@ def build_bloom(
         # Arrow-vectorized shard build: hash columns stream through numpy
         # batch by batch (the per-partition peak is one Arrow batch + the
         # bitmap — NEVER the partition's rows as boxed Python objects);
-        # one bitmap row per partition comes out.
+        # one (bitmap, inserted-row-count) row per partition comes out.
+        # Counting here is FREE (the kernel already scans every row), and
+        # it is what keeps the returned model's n_items the ACTUAL
+        # insertion count rather than the design capacity — see below.
         bits = np.zeros(nbytes, dtype=np.uint8)
+        cnt = 0
         for pdf in batches:
             if len(pdf):
+                cnt += len(pdf)
                 set_bits(bits, pdf["_h1"].to_numpy().astype(np.uint64), pdf["_h2"].to_numpy().astype(np.uint64))
-        yield pd.DataFrame({"bits": [bits.tobytes()]})
+        yield pd.DataFrame({"bits": [bits.tobytes()], "cnt": [cnt]})
 
     if nbytes <= 64 * 1024 * 1024:
         # Small shards: collect the per-partition bitmaps and OR on the
@@ -145,8 +150,10 @@ def build_bloom(
             hashed = hashed.coalesce(max(1, max_collect // nbytes))
 
         bits = np.zeros(nbytes, dtype=np.uint8)
-        for row in hashed.mapInPandas(shard_pd, schema="bits binary").collect():
+        n_inserted = 0
+        for row in hashed.mapInPandas(shard_pd, schema="bits binary, cnt long").collect():
             bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+            n_inserted += row["cnt"]
     else:
         # Giant filters (10^10-URL regime): the SAME Arrow-batched shard
         # kernel, but the per-partition bitmaps stay executor-resident and
@@ -155,14 +162,23 @@ def build_bloom(
         # was tens of GB of boxed ints per task in exactly the regime this
         # branch exists for).
         shards = (
-            hashed.mapInPandas(shard_pd, schema="bits binary")
-            .rdd.map(lambda r: np.frombuffer(r["bits"], dtype=np.uint8))
+            hashed.mapInPandas(shard_pd, schema="bits binary, cnt long")
+            .rdd.map(lambda r: (np.frombuffer(r["bits"], dtype=np.uint8), int(r["cnt"])))
         )
         if shards.isEmpty():
-            bits = np.zeros(nbytes, dtype=np.uint8)
+            bits, n_inserted = np.zeros(nbytes, dtype=np.uint8), 0
         else:
-            bits = shards.treeReduce(np.bitwise_or)
-    return BloomFilterModel(bits=bits, m=m, k=k, n_items=n, version=version)
+            bits, n_inserted = shards.treeReduce(
+                lambda a, b: (np.bitwise_or(a[0], b[0]), a[1] + b[1])
+            )
+    # n_items is the ACTUAL inserted row count (aggregated for free by the
+    # shard kernel), NOT the design capacity: seeding it with
+    # expected_items made estimated_fpp() start at the design fpp on a
+    # near-empty filter, so the round loop's saturation gate fired after
+    # ~1.4x capacity of phantom growth and forced recurring full-seen-set
+    # rebuilds — the scan the incremental path exists to avoid (review r5
+    # tail #2). expected_items only sizes (m, k).
+    return BloomFilterModel(bits=bits, m=m, k=k, n_items=n_inserted, version=version)
 
 
 def update_bloom(
@@ -172,18 +188,17 @@ def update_bloom(
     existing bitmap (same m/k). Avoids rescanning the full seen set every
     round — at a 10^10-URL frontier the rebuild would dominate the round.
 
-    n_items GROWS by the delta size (pass n_new to skip the count job if
-    the caller already knows it): a frozen n_items made estimated_fpp()
-    blind, so a filter outgrowing its sizing silently degraded the
-    admission gate with no rebuild trigger."""
-    if n_new is None:
-        n_new = delta.count()
-    shard = build_bloom(delta, url_col=url_col, expected_items=max(n_new, 1), m=bloom.m, k=bloom.k)
+    n_items GROWS by the delta size so estimated_fpp() sees saturation (a
+    frozen n_items made the gate blind). The size comes FREE from the
+    shard build's own row counting — no delta.count() job per round/
+    trigger (review r5 tail #3); n_new remains accepted for callers that
+    want to assert a known size onto the model."""
+    shard = build_bloom(delta, url_col=url_col, expected_items=0, m=bloom.m, k=bloom.k)
     return BloomFilterModel(
         bits=np.bitwise_or(bloom.bits, shard.bits),
         m=bloom.m,
         k=bloom.k,
-        n_items=bloom.n_items + n_new,
+        n_items=bloom.n_items + (shard.n_items if n_new is None else n_new),
         version=bloom.version + 1,
     )
 

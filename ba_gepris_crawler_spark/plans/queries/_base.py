@@ -29,6 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ba_gepris_crawler_spark.functions.textkit import TOKENIZE
 from ba_gepris_crawler_spark.operators.canonicalize import canonical_url
 
 SparkFn = Callable[[SparkSession, str], DataFrame]
@@ -81,5 +82,11 @@ def _q(name: str, oracle: str | None):
 # Shared tokenization expressions (used by the text_* AND dedup_* families)
 # --------------------------------------------------------------------------
 
-_TOKS_SPARK = "filter(split(trim(text), '\\\\s+'), t -> t != '')"
+# Spark side DERIVES from the one shared tokenizer definition (textkit) —
+# a third verbatim copy here drifted-by-construction out of the module
+# whose docstring promises a single definition (review r5 tail #4).
+# _TOKS_DUCK is the DuckDB twin of that same fragment: it cannot be
+# shared (different engine dialect), so it lives next to the oracle SQL
+# that uses it.
+_TOKS_SPARK = TOKENIZE.format(col="text")
 _TOKS_DUCK = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"

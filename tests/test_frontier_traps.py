@@ -110,3 +110,33 @@ def test_hostile_catalog_total_is_capped(spark):
     )
     assert discovered_urls(docs, cfg, 1).count() == MAX_CATALOG_PAGES
     assert discovered_catalog_urls(docs, cfg, 1).count() == MAX_CATALOG_PAGES
+
+
+def test_unparsable_catalog_total_emits_nothing(spark):
+    """A catalog page whose total does NOT parse (garbled/truncated text,
+    try_cast -> NULL) must emit ZERO page URLs — not the cap's worth.
+    least() SKIPS nulls (least(NULL, cap) = cap), so capping the total
+    before the null guard turned every unparsable page into a 100k-URL
+    phantom fan-out (review r5 tail #1). Both discovery paths must agree."""
+    from ba_gepris_crawler_spark.operators.frontier import (
+        discovered_catalog_urls,
+        discovered_urls,
+    )
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    cfg = SiteConfig(hosts=("h.example.org",), n_projects=4, n_persons=2,
+                     n_institutions=1, hits_per_page=50, seed=1)
+    span = "array<struct<kind string, text string, media_ref string, offset int>>"
+    docs = spark.createDataFrame(
+        [
+            # no 'out of N on' match at all
+            ("h.example.org", "project", None, 0,
+             [("text", "Result 1 out of — truncated", None, 0)]),
+            # matches the regex but the digits are empty -> try_cast NULL
+            ("h.example.org", "person", None, 0,
+             [("text", "Result 1 out of , on this server", None, 0)]),
+        ],
+        f"host string, resource_type string, resource_id string, crawl_depth int, spans {span}",
+    )
+    assert discovered_urls(docs, cfg, 1).count() == 0
+    assert discovered_catalog_urls(docs, cfg, 1).count() == 0

@@ -119,6 +119,29 @@ def test_update_bloom_tracks_growth_and_saturation(spark):
     assert b3.might_contain_vec(h1, h2).all()
 
 
+def test_build_bloom_counts_actual_insertions_not_capacity(spark):
+    """n_items must be the ACTUAL inserted row count (aggregated for free
+    by the shard kernel), not the expected_items design capacity: seeding
+    it with capacity made a near-empty bootstrap filter report the design
+    fpp immediately, so the round loop's `estimated_fpp() <= 4*fpp`
+    saturation gate fired after ~1.4x capacity of phantom growth and
+    forced recurring full-seen-set rebuilds (review r5 tail #2)."""
+    seen = _urls(spark, 12).withColumn("round", F.lit(0))
+    bloom = US.build_bloom(seen, expected_items=131072, fpp=0.01)
+    assert bloom.n_items == 12  # actual, not 131072
+    # a filter 0.01% full reports a vanishing fpp, nowhere near 4x design
+    assert bloom.estimated_fpp() < 1e-6
+    # growth still accumulates from the shard-counted deltas (no count job)
+    b2 = US.update_bloom(bloom, _urls(spark, 30, prefix="https://h.example.org/q"))
+    assert b2.n_items == 42
+    # and the treeReduce (giant) branch counts identically
+    giant = US.build_bloom(
+        seen.repartition(4), expected_items=12,
+        m=(65 * 1024 * 1024) * 8, k=3,
+    )
+    assert giant.n_items == 12
+
+
 def test_giant_bloom_path_arrow_shards(spark):
     """The >64 MiB treeReduce branch must stream Arrow batches into the
     shard bitmaps (executor-resident merge), not materialize partitions as
