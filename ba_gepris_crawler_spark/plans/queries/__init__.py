@@ -109,14 +109,17 @@ _CANONICAL_ORDER = [
     "text_inverted_index",
     "crawl_trap_filter",
     "crawl_cuckoo_gate",
+    "crawl_catalog_null_guard",
 ]
 
 # Round-5 rotation: the 23 names rowed only in round 3 (the round-4 head
-# displaced them past the 50-row cap) plus the brand-new cuckoo-gate query.
-# Every other registry query has a green round-4 row, so after this
-# rotation every query has a driver row at most two rounds old.
+# displaced them past the 50-row cap) plus the brand-new round-5 queries
+# (cuckoo gate, catalog null guard). Every other registry query has a
+# green round-4 row, so after this rotation every query has a driver row
+# at most two rounds old.
 _HEAD_FIRST = [
     "crawl_cuckoo_gate",
+    "crawl_catalog_null_guard",
     "dedup_clusters",
     "emb_cosine_topk",
     "emb_ivf_assign",

@@ -974,3 +974,86 @@ def crawl_cuckoo_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = urls.filter(F.col("doc_id") % 3 == 0).select("url")
     gated = portable_cuckoo_gate(urls.select("url"), seen, m=4096)
     return gated.select("url", "fp", "i1", "i2", "member", "action").orderBy("url")
+
+
+@_q(
+    "crawl_catalog_null_guard",
+    """
+    WITH d AS (SELECT doc_id,
+        CASE WHEN doc_id % 5 IN (0, 1) THEN NULL
+             ELSE CAST(doc_id % 199 AS BIGINT) END AS total,
+        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'project'
+             WHEN 1 THEN 'person' ELSE 'institution' END AS resource_type
+      FROM documents)
+    SELECT resource_type,
+           CAST(SUM(CASE WHEN coalesce(total, 0) > 0
+                         THEN CAST(ceil(total / 50.0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS n_page_urls,
+           CAST(SUM(CASE WHEN total IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unparsable_docs
+    FROM d GROUP BY resource_type ORDER BY resource_type
+    """,
+)
+def crawl_catalog_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5+F9 null-guard: catalog pagination over the REAL discovery kernel
+    (operators/frontier.discovered_urls), pinning that an unparsable
+    result total (regex miss -> try_cast NULL, or empty digit run) emits
+    ZERO page URLs — not the hostile-input cap's worth. least() skips
+    nulls in Spark, so the capped total must be computed inside the null
+    guard; the oracle replays the per-doc page-count arithmetic
+    (ceil(total/hits)) and the null/zero cases in plain SQL."""
+    from ba_gepris_crawler_spark.operators.frontier import discovered_urls
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    cfg = SiteConfig(hosts=("h.example.org",), n_projects=3, n_persons=3,
+                     n_institutions=3, hits_per_page=50, seed=1)
+    d = _t(spark, sf_dir, "documents")
+    line = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Results 1 to 50 out of — truncated"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("Results 1 to 50 out of , on 2018-10-20"))
+        .otherwise(F.concat(
+            F.lit("Results 1 to 50 out of "),
+            (F.col("doc_id") % 199).cast("string"),
+            F.lit(" on 2018-10-20"),
+        ))
+    )
+    rtype = F.element_at(
+        F.expr("map(0, 'project', 1, 'person', 2, 'institution')"),
+        (F.col("doc_id") % 3).cast("int"),
+    )
+    docs = d.select(
+        F.lit("h.example.org").alias("host"),
+        rtype.alias("resource_type"),
+        F.lit(None).cast("string").alias("resource_id"),
+        F.lit(0).cast("int").alias("crawl_depth"),
+        F.array(F.struct(
+            F.lit("text").alias("kind"),
+            line.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )).alias("spans"),
+    )
+    pages = discovered_urls(docs, cfg, 1).groupBy("resource_type").agg(
+        F.count("*").cast("bigint").alias("n_page_urls")
+    )
+    # unparsable docs contribute no rows to `pages`, so count them on the
+    # input side and join — a type whose docs were ALL unparsable still
+    # appears (left join from the input-type frame, zero-filled)
+    unparsable = docs.withColumn(
+        "is_null_total",
+        # EXACTLY the engine's parse: a regex miss yields '' and a lone
+        # comma strips to '' — both try_cast to NULL ('[0-9,]+' rlike
+        # would wrongly call the comma case parsable)
+        F.expr(
+            "CASE WHEN try_cast(replace(regexp_extract(spans[0].text,"
+            " 'out of ([0-9,]*) on', 1), ',', '') AS int) IS NULL"
+            " THEN 1 ELSE 0 END"
+        ),
+    ).groupBy("resource_type").agg(
+        F.sum("is_null_total").cast("bigint").alias("n_unparsable_docs")
+    )
+    return unparsable.join(pages, "resource_type", "left").select(
+        "resource_type",
+        F.coalesce("n_page_urls", F.lit(0).cast("bigint")).alias("n_page_urls"),
+        "n_unparsable_docs",
+    ).orderBy("resource_type")
