@@ -34,6 +34,20 @@ _TYPE_FROM_URL_SQL = "map('projekt','project','person','person','institution','i
 # generous for any real catalog; anything above is a trap by definition.
 MAX_CATALOG_PAGES = 100_000
 
+# F9 catalog-total parse, THE single source of truth for "what counts as a
+# parsable result total": regex miss -> '' and a lone comma strips to '' —
+# both try_cast to NULL. Format `{text}` with the text-bearing expression.
+# Shared by both discovery kernels below AND the registry query that pins
+# the null-guard semantics (queries/crawl.py crawl_catalog_null_guard) —
+# a hand-copied fragment there would silently stop pinning the kernel the
+# moment this parse is tweaked (review r5 tail).
+CATALOG_TOTAL_SQL = (
+    "try_cast(replace(regexp_extract({text},"
+    " 'out of ([\\\\d,]*) on', 1), ',', '') AS int)"
+)
+# the engine's text-span accessor: first 'text'-kind span, '' when absent
+SPANS_TEXT_SQL = "coalesce(get(filter(spans, s -> s.kind = 'text'), 0).text, '')"
+
 
 def seed_frontier(spark, cfg: SiteConfig) -> DataFrame:
     """Stage-0 seeds: catalog page 0 for every (type, host) — built from
@@ -93,12 +107,7 @@ def discovered_catalog_urls(docs: DataFrame, cfg: SiteConfig, next_round: int) -
     the round loop's anti-joins."""
     catalogs = docs.filter(F.col("resource_id").isNull())
     totals = catalogs.withColumn(
-        "total",
-        F.expr(
-            "try_cast(replace(regexp_extract("
-            "  coalesce(get(filter(spans, s -> s.kind = 'text'), 0).text, ''),"
-            "  'out of ([\\\\d,]*) on', 1), ',', '') AS int)"
-        ),
+        "total", F.expr(CATALOG_TOTAL_SQL.format(text=SPANS_TEXT_SQL))
     ).filter(F.col("total").isNotNull() & (F.col("total") > 0))
     hits = cfg.hits_per_page
     # cap the page-supplied total BEFORE the sequence explode (see
@@ -165,11 +174,7 @@ def discovered_urls(docs: DataFrame, cfg: SiteConfig, next_round: int) -> DataFr
           'resource_id', split_part(m, '/', 4),
           'crawl_depth', cast(crawl_depth + 1 as int)))
     """
-    total_expr = (
-        "try_cast(replace(regexp_extract("
-        "  coalesce(get(filter(spans, s -> s.kind = 'text'), 0).text, ''),"
-        "  'out of ([\\\\d,]*) on', 1), ',', '') AS int)"
-    )
+    total_expr = CATALOG_TOTAL_SQL.format(text=SPANS_TEXT_SQL)
     urltype_expr = "element_at(map('project','projekt','person','person','institution','institution'), resource_type)"
     # total_expr (a regex over the page's FULL text span) is bound ONCE via
     # a one-element transform (t = the RAW total, possibly NULL) instead of

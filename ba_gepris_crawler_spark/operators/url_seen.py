@@ -165,7 +165,13 @@ def build_bloom(
             hashed.mapInPandas(shard_pd, schema="bits binary, cnt long")
             .rdd.map(lambda r: (np.frombuffer(r["bits"], dtype=np.uint8), int(r["cnt"])))
         )
-        if shards.isEmpty():
+        # shard_pd yields exactly one row per input partition (even an
+        # empty partition emits its zero bitmap), so the RDD is empty iff
+        # it has ZERO partitions — a free driver-side check. isEmpty()
+        # here was take(1): it ran shard_pd over partition 0 and threw the
+        # multi-GB-regime bitmap away, one full extra shard-build task per
+        # giant build/delta (review r5 tail).
+        if shards.getNumPartitions() == 0:
             bits, n_inserted = np.zeros(nbytes, dtype=np.uint8), 0
         else:
             bits, n_inserted = shards.treeReduce(
@@ -182,7 +188,7 @@ def build_bloom(
 
 
 def update_bloom(
-    bloom: BloomFilterModel, delta: DataFrame, url_col: str = "url", n_new: int | None = None
+    bloom: BloomFilterModel, delta: DataFrame, url_col: str = "url"
 ) -> BloomFilterModel:
     """Incremental filter maintenance: OR the delta's shard into the
     existing bitmap (same m/k). Avoids rescanning the full seen set every
@@ -191,14 +197,17 @@ def update_bloom(
     n_items GROWS by the delta size so estimated_fpp() sees saturation (a
     frozen n_items made the gate blind). The size comes FREE from the
     shard build's own row counting — no delta.count() job per round/
-    trigger (review r5 tail #3); n_new remains accepted for callers that
-    want to assert a known size onto the model."""
+    trigger (review r5 tail #3). There is deliberately no caller-supplied
+    count override: the kernel's count is authoritative, and an override
+    taken before a dedup/filter on the delta would silently skew
+    estimated_fpp() — the exact blind-saturation-gate drift the kernel
+    count exists to prevent."""
     shard = build_bloom(delta, url_col=url_col, expected_items=0, m=bloom.m, k=bloom.k)
     return BloomFilterModel(
         bits=np.bitwise_or(bloom.bits, shard.bits),
         m=bloom.m,
         k=bloom.k,
-        n_items=bloom.n_items + (shard.n_items if n_new is None else n_new),
+        n_items=bloom.n_items + shard.n_items,
         version=bloom.version + 1,
     )
 

@@ -1039,15 +1039,22 @@ def crawl_catalog_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unparsable docs contribute no rows to `pages`, so count them on the
     # input side and join — a type whose docs were ALL unparsable still
     # appears (left join from the input-type frame, zero-filled)
+    # EXACTLY the engine's parse — the literal shared fragment, not a
+    # copy: a regex miss yields '' and a lone comma strips to '' — both
+    # try_cast to NULL ('[0-9,]+' rlike would wrongly call the comma case
+    # parsable). Formatting frontier.CATALOG_TOTAL_SQL in means a future
+    # parse tweak cannot silently diverge this pin from discovered_urls.
+    from ba_gepris_crawler_spark.operators.frontier import (
+        CATALOG_TOTAL_SQL,
+        SPANS_TEXT_SQL,
+    )
+
     unparsable = docs.withColumn(
         "is_null_total",
-        # EXACTLY the engine's parse: a regex miss yields '' and a lone
-        # comma strips to '' — both try_cast to NULL ('[0-9,]+' rlike
-        # would wrongly call the comma case parsable)
         F.expr(
-            "CASE WHEN try_cast(replace(regexp_extract(spans[0].text,"
-            " 'out of ([0-9,]*) on', 1), ',', '') AS int) IS NULL"
-            " THEN 1 ELSE 0 END"
+            "CASE WHEN "
+            + CATALOG_TOTAL_SQL.format(text=SPANS_TEXT_SQL)
+            + " IS NULL THEN 1 ELSE 0 END"
         ),
     ).groupBy("resource_type").agg(
         F.sum("is_null_total").cast("bigint").alias("n_unparsable_docs")

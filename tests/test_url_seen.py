@@ -108,8 +108,8 @@ def test_update_bloom_tracks_growth_and_saturation(spark):
     b2 = US.update_bloom(bloom, _urls(spark, 400, prefix="https://h.example.org/q"))
     assert b2.n_items == 500
     assert b2.estimated_fpp() > f0  # saturation is now visible
-    b3 = US.update_bloom(b2, _urls(spark, 100, prefix="https://h.example.org/r"), n_new=100)
-    assert b3.n_items == 600  # caller-supplied count skips the job
+    b3 = US.update_bloom(b2, _urls(spark, 100, prefix="https://h.example.org/r"))
+    assert b3.n_items == 600  # the shard kernel's own count, no count job
     # no false negatives after growth: every inserted URL still admits
     hashed = US._hash_cols(_urls(spark, 100, prefix="https://h.example.org/r"), "url").collect()
     import numpy as np
