@@ -329,12 +329,15 @@ def relation_tables(projects_df: DataFrame) -> dict[str, DataFrame]:
 
 
 def catalog_totals(docs_with_fields: DataFrame) -> DataFrame:
-    """F9 count parse over catalog pages: 'out of ([\\d,]*) on' -> int."""
+    """F9 count parse over catalog pages — the SAME shared fragment the
+    discovery kernel paginates on (frontier.CATALOG_TOTAL_SQL), not a
+    hand copy that could silently diverge from what the crawler fetches
+    (review r5 final #4)."""
+    from ba_gepris_crawler_spark.operators.frontier import (
+        CATALOG_TOTAL_SQL,
+        SPANS_TEXT_SQL,
+    )
+
     return docs_with_fields.withColumn(
-        "total",
-        F.expr(
-            "try_cast(replace(regexp_extract("
-            "  coalesce(get(filter(spans, s -> s.kind = 'text'), 0).text, ''),"
-            "  'out of ([\\\\d,]*) on', 1), ',', '') AS int)"
-        ),
+        "total", F.expr(CATALOG_TOTAL_SQL.format(text=SPANS_TEXT_SQL))
     )

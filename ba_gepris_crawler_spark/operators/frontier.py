@@ -37,16 +37,32 @@ MAX_CATALOG_PAGES = 100_000
 # F9 catalog-total parse, THE single source of truth for "what counts as a
 # parsable result total": regex miss -> '' and a lone comma strips to '' —
 # both try_cast to NULL. Format `{text}` with the text-bearing expression.
-# Shared by both discovery kernels below AND the registry query that pins
-# the null-guard semantics (queries/crawl.py crawl_catalog_null_guard) —
-# a hand-copied fragment there would silently stop pinning the kernel the
-# moment this parse is tweaked (review r5 tail).
+# Shared by both discovery kernels below, the DQ population-coverage check
+# (plans/dq.py q8), AND the registry query that pins the null-guard
+# semantics (queries/crawl.py crawl_catalog_null_guard) — a hand-copied
+# fragment there would silently stop pinning the kernel the moment this
+# parse is tweaked (review r5 tail).
+# bigint, not int: the cap comment below advertises 'out of 2,000,000,000
+# on' handling, and an int cast made any declared total above 2^31-1 NULL
+# (silently unparsable — zero pages, cap never engaged). With bigint the
+# only remaining unparsable-by-overflow class is >9.2e18 (20 digits),
+# which no real catalog declares; that class stays NULL by design.
 CATALOG_TOTAL_SQL = (
     "try_cast(replace(regexp_extract({text},"
-    " 'out of ([\\\\d,]*) on', 1), ',', '') AS int)"
+    " 'out of ([\\\\d,]*) on', 1), ',', '') AS bigint)"
 )
 # the engine's text-span accessor: first 'text'-kind span, '' when absent
 SPANS_TEXT_SQL = "coalesce(get(filter(spans, s -> s.kind = 'text'), 0).text, '')"
+
+# Detail-link recognizer. The id run is bounded at 18 digits, not \d+:
+# media_ref is PAGE-SUPPLIED data and the id is later cast to long for
+# host assignment — under ANSI mode (Spark 4 default) a plain cast of a
+# 19+-digit run crashes the task and, after stage retries, the round
+# (the same one-hostile-row-kills-the-crawl mode the catalog-total cap
+# guards). 18 digits always fits int64; a longer run is a trap/bogus link
+# by definition and simply doesn't match (same outcome as any other
+# non-detail href). testing/golden_crawl.py pins the identical bound.
+_LINK_RE_SQL = "^/gepris/(projekt|person|institution)/(\\d{1,18})$"
 
 
 def seed_frontier(spark, cfg: SiteConfig) -> DataFrame:
@@ -78,8 +94,8 @@ def discovered_detail_urls(docs: DataFrame, cfg: SiteConfig, next_round: int) ->
         .filter(F.col("s.kind") == "link")
         .select(
             "parent_depth",
-            F.regexp_extract("s.media_ref", "^/gepris/(projekt|person|institution)/(\\d+)$", 1).alias("urltype"),
-            F.regexp_extract("s.media_ref", "^/gepris/(projekt|person|institution)/(\\d+)$", 2).alias("rid"),
+            F.regexp_extract("s.media_ref", _LINK_RE_SQL, 1).alias("urltype"),
+            F.regexp_extract("s.media_ref", _LINK_RE_SQL, 2).alias("rid"),
         )
         .filter(F.col("rid") != "")
     )
@@ -164,7 +180,7 @@ def discovered_urls(docs: DataFrame, cfg: SiteConfig, next_round: int) -> DataFr
       transform(
         filter(transform(
           filter(spans, s -> s.kind = 'link'),
-          s -> regexp_extract(s.media_ref, '^/gepris/(projekt|person|institution)/(\\\\d+)$', 0)),
+          s -> regexp_extract(s.media_ref, '^/gepris/(projekt|person|institution)/(\\\\d{{1,18}})$', 0)),
           m -> m != ''),
         m -> named_struct(
           'url', concat('https://', element_at({hosts_arr}, cast(cast(split_part(m, '/', 4) as long) % {nh} as int) + 1),

@@ -112,6 +112,7 @@ class HttpTransport:
         the same (status, body) shape — a non-200 is DATA here, the round
         loop quarantines it (the reference throws and dies,
         CrawledResourceDetailDataGraph.scala:43-46)."""
+        import http.client
         import urllib.error
         import urllib.request
 
@@ -123,19 +124,34 @@ class HttpTransport:
         req = urllib.request.Request(self.base_url + path, headers=headers)
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                return r.status, r.read().decode("utf-8"), r.headers.get("Set-Cookie")
+                status, raw, sc = r.status, r.read(), r.headers.get("Set-Cookie")
         except urllib.error.HTTPError as e:
-            body = e.read().decode("utf-8") if e.fp is not None else ""
+            try:
+                raw = e.read() if e.fp is not None else b""
+            except (OSError, http.client.HTTPException):
+                raw = b""  # error body died mid-read: keep the status row
             sc = e.headers.get("Set-Cookie") if e.headers is not None else None
-            return e.code, body, sc
-        except (urllib.error.URLError, OSError, TimeoutError):
-            # No HTTP response at all (refused/reset connection, DNS
-            # failure, socket timeout): still DATA, not an exception — one
-            # flaky socket among millions of URLs must quarantine one row,
-            # not kill the task and (after 4 stage retries) the whole
-            # round. 599 is the informal network-error status; the DQ
-            # liveness classifier buckets it as server_error.
+            status = e.code
+        except (urllib.error.URLError, OSError, TimeoutError, http.client.HTTPException):
+            # No usable HTTP response at all (refused/reset connection, DNS
+            # failure, socket timeout, garbled status line / truncated
+            # chunked body — HTTPException is NOT an OSError): still DATA,
+            # not an exception — one flaky socket among millions of URLs
+            # must quarantine one row, not kill the task and (after 4 stage
+            # retries) the whole round. 599 is the informal network-error
+            # status; the DQ liveness classifier buckets it as server_error.
             return 599, "", None
+        try:
+            body = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            # A live server answered with undecodable bytes: same quarantine
+            # class as a malformed 200 body (598 in fetch_batch), NOT a
+            # network failure. UnicodeDecodeError is a ValueError, so it
+            # escaped the socket-error arm above and killed the task
+            # (review r5 final #2). A non-200 keeps its own status — its
+            # body is discarded downstream anyway.
+            return (598 if status == 200 else status), "", sc
+        return status, body, sc
 
     def fetch_session_header(self, cfg: SiteConfig, epoch: int = 0) -> str:
         """Hit the session endpoint and return its raw Set-Cookie header —

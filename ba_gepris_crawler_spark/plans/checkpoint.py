@@ -143,9 +143,15 @@ class SnapshotStore:
         return json.loads(p.read_text()) if p.exists() else None
 
     # -- bloom persistence (resume without a full seen-set rescan) -------
-    def save_bloom(self, rnd: int, bits: bytes, m: int, k: int, version: int) -> None:
+    def save_bloom(
+        self, rnd: int, bits: bytes, m: int, k: int, version: int, n_items: int
+    ) -> None:
         """Persist the merged URL-seen bloom bitmap as of round `rnd`
         (tmp + atomic rename; one `latest` slot, not per-round history).
+        n_items rides the meta so a resume restores the EXACT insertion
+        count — approximating it from the manifest's seen_total overcounted
+        by one round's delta, inflating estimated_fpp and tripping the
+        saturation gate into spurious full rebuilds (review r5 final #3).
         In the sharded 10^10 regime the executor-resident shards would be
         persisted per shard; the read contract is the same."""
         d = self.root / "bloom"
@@ -154,7 +160,8 @@ class SnapshotStore:
         tmp.write_bytes(bits)
         os.replace(tmp, d / "latest.bits")
         self._write_json_atomic(
-            d / "latest.json", {"round": rnd, "m": m, "k": k, "version": version},
+            d / "latest.json",
+            {"round": rnd, "m": m, "k": k, "version": version, "n_items": n_items},
             indent=None,
         )
 

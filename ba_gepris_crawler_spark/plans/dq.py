@@ -146,16 +146,20 @@ def q7_sample_audit(
 
 def q8_population_coverage(documents: DataFrame) -> DataFrame:
     """Population coverage (Rmd:452-479): crawled detail pages vs the
-    catalog-declared totals (F9 'out of N' parse), per resource type."""
+    catalog-declared totals, per resource type. The total comes from the
+    SAME parse fragment the discovery kernel paginates on
+    (frontier.CATALOG_TOTAL_SQL) — a hand-copied regex here would let a
+    future parse tweak change what the crawler fetches while this metric
+    silently kept scoring against the old parse (review r5 final #4)."""
+    from ba_gepris_crawler_spark.operators.frontier import (
+        CATALOG_TOTAL_SQL,
+        SPANS_TEXT_SQL,
+    )
+
     catalogs = documents.filter(F.col("resource_id").isNull())
     totals = (
         catalogs.withColumn(
-            "total",
-            F.expr(
-                "try_cast(replace(regexp_extract("
-                "  coalesce(get(filter(spans, s -> s.kind = 'text'), 0).text, ''),"
-                "  'out of ([\\\\d,]*) on', 1), ',', '') AS int)"
-            ),
+            "total", F.expr(CATALOG_TOTAL_SQL.format(text=SPANS_TEXT_SQL))
         )
         .groupBy("resource_type")
         .agg(F.sum(F.when(F.col("url").contains("index=0&"), F.col("total")).otherwise(0)).alias("declared_total"))
@@ -204,9 +208,11 @@ def liveness_class(status, body) -> F.Column:
 def q9_url_liveness(url_seen: DataFrame, documents: DataFrame) -> DataFrame:
     """Per-class liveness counts over the crawl log, with the false-200
     body check against the fetched page text (first text span)."""
+    from ba_gepris_crawler_spark.operators.frontier import SPANS_TEXT_SQL
+
     body = documents.select(
         "url",
-        F.expr("coalesce(get(filter(spans, s -> s.kind = 'text'), 0).text, '')").alias("_body"),
+        F.expr(SPANS_TEXT_SQL).alias("_body"),  # the engine's span accessor
     )
     return (
         url_seen.join(body, "url", "left")

@@ -226,22 +226,33 @@ class CrawlEngine:
             splitter = lambda f: CK.split_by_cuckoo(f, cuckoo)  # noqa: E731
         elif s.use_bloom and n_seen > 0:
             if self._bloom is None:
-                # resume path: load the persisted bitmap as of round rnd-1
-                # instead of rebuilding from the full seen union (at 10^10
-                # URLs the rebuild is a full-scan job per resume)
-                loaded = self.store.load_bloom(rnd - 1)
-                if loaded is not None:
+                # resume path: load the persisted bitmap instead of
+                # rebuilding from the full seen union (at 10^10 URLs the
+                # rebuild is a full-scan job per resume). Tag r = usable at
+                # round r, i.e. covers deltas through r-1; accept one round
+                # behind — the incremental arm below ORs the gap delta.
+                for upto in (rnd, rnd - 1):
+                    loaded = self.store.load_bloom(upto)
+                    if loaded is None:
+                        continue
                     import numpy as np
 
                     bits, meta = loaded
                     self._bloom = US.BloomFilterModel(
                         bits=np.frombuffer(bits, dtype=np.uint8).copy(),
-                        m=meta["m"], k=meta["k"], n_items=n_seen, version=meta["version"],
+                        m=meta["m"], k=meta["k"],
+                        # the EXACT persisted insertion count: seeding from
+                        # the manifest's seen_total overcounted by one
+                        # round's delta, inflating estimated_fpp toward
+                        # spurious full rebuilds (review r5 final #3)
+                        n_items=meta.get("n_items", n_seen),
+                        version=meta["version"],
                     )
-                    self._bloom_round = rnd - 1
+                    self._bloom_round = upto
+                    break
             if (
                 self._bloom is not None
-                and self._bloom_round == rnd - 1
+                and self._bloom_round in (rnd, rnd - 1)
                 # saturation gate: a filter outgrowing its sizing degrades
                 # fpp silently (n_items grows each update, so this is now
                 # detectable); past ~4x the design fpp the admission gate
@@ -249,9 +260,18 @@ class CrawlEngine:
                 # headroom) instead of updating in place
                 and self._bloom.estimated_fpp() <= min(4 * s.bloom_fpp, 0.5)
             ):
-                # incremental: OR in only last round's delta
-                delta = self.store.read_state("url_seen", rnd - 1)
-                bloom = US.update_bloom(self._bloom, delta)
+                if self._bloom_round == rnd - 1:
+                    # incremental: OR in only last round's delta
+                    delta = self.store.read_state("url_seen", rnd - 1)
+                    bloom = US.update_bloom(self._bloom, delta)
+                else:
+                    # already covers deltas through rnd-1 (round-0 bootstrap
+                    # at round 1, or a resume that loaded the exact-tag
+                    # snapshot): ORing the delta again is NOT harmless —
+                    # bits are idempotent but n_items is not, and the
+                    # double count walks estimated_fpp into the saturation
+                    # gate early (review r5 final #3)
+                    bloom = self._bloom
             else:
                 bloom = US.build_bloom(
                     seen, expected_items=max(n_seen * 4, s.bloom_expected_items), fpp=s.bloom_fpp, version=rnd
@@ -525,24 +545,35 @@ class CrawlEngine:
                 mode=s.cuckoo_mode, n_shards=s.cuckoo_shards,
             )
             self._cuckoo_upto = 0
+        bloom_advanced = False
         if bloom is not None:
             # release the SUPERSEDED model's bitmap broadcast (this round's
             # jobs used `bloom`, never the old model) — without this every
             # round leaked one bitmap-sized broadcast on the executors
-            if self._bloom is not None and self._bloom is not bloom:
+            bloom_advanced = bloom is not self._bloom
+            if self._bloom is not None and bloom_advanced:
                 self._bloom.unpersist_broadcast()
+            # _bloom_round = rnd: usable at round rnd (covers deltas
+            # through rnd-1); next round's incremental arm ORs delta rnd
             self._bloom, self._bloom_round = bloom, rnd
         elif s.seen_filter == "bloom" and s.use_bloom and rnd == 0:
-            # bootstrap the incremental filter from round 0's delta
+            # bootstrap the incremental filter from round 0's delta — it
+            # covers delta 0, so it is usable at round 1 (_bloom_round=0
+            # made round 1's incremental arm re-OR delta 0, double-counting
+            # n_items; review r5 final #3)
             self._bloom = US.build_bloom(
                 seen_delta, expected_items=s.bloom_expected_items, fpp=s.bloom_fpp, version=0
             )
-            self._bloom_round = 0
-        if self._bloom is not None and self._bloom_round == rnd:
+            self._bloom_round = 1
+            bloom_advanced = True
+        if self._bloom is not None and bloom_advanced:
             # persist the bitmap so a RESUMED engine skips the full seen-set
-            # rebuild (load_bloom + one delta OR instead of a full scan)
+            # rebuild (load_bloom + one delta OR instead of a full scan);
+            # skipped when this round reused the model unchanged — the
+            # identical snapshot is already on disk under the same tag
             self.store.save_bloom(
-                rnd, self._bloom.bits.tobytes(), self._bloom.m, self._bloom.k, self._bloom.version
+                self._bloom_round, self._bloom.bits.tobytes(), self._bloom.m,
+                self._bloom.k, self._bloom.version, self._bloom.n_items,
             )
         if self._cuckoo is not None and hasattr(self._cuckoo, "df"):
             # table regime: persist the shard rows (executor-written

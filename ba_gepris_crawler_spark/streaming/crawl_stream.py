@@ -183,9 +183,21 @@ class StreamingCrawl:
         candidates = (batch if seen is None else US.new_urls(
             batch, seen, bloom=self._bloom_gate()
         )).cache()
-        if candidates.isEmpty():
+        # try/finally, not an exit-path unpersist: a micro-batch that dies
+        # mid-flight (transport failure, transient FS error in a write)
+        # must not leak the cached frame — availableNow replays the batch
+        # with a FRESH cache, and over a long stream with intermittent
+        # failures the leaked copies accumulate in executor storage
+        try:
+            wrote = self._process_batch_body(batch_id, candidates)
+        finally:
             candidates.unpersist()
-            return  # write nothing: lets drain() detect quiescence
+        if wrote:
+            self._marker(batch_id).touch()  # the batch's atomic commit point
+
+    def _process_batch_body(self, batch_id: int, candidates: DataFrame) -> bool:
+        if candidates.isEmpty():
+            return False  # write nothing: lets drain() detect quiescence
         if self.budgets_df is not None and not self._budgets_ckpt:
             self.budgets_df = self.budgets_df.localCheckpoint(eager=True)
             self._budgets_ckpt = True
@@ -233,8 +245,7 @@ class StreamingCrawl:
             import shutil as _shutil
 
             _shutil.rmtree(feed_dir, ignore_errors=True)
-        candidates.unpersist()
-        self._marker(batch_id).touch()  # the batch's atomic commit point
+        return True
 
     # -- driving -------------------------------------------------------
     def drain(self, max_waves: int = 50) -> int:

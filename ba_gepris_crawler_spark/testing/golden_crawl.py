@@ -31,7 +31,10 @@ from ba_gepris_crawler_spark.sources.synthetic_site import (
 )
 
 _PRIORITY = {"catalog": 0, "project": 1, "person": 2, "institution": 3}
-_LINK_RE = re.compile(r"^/gepris/(projekt|person|institution)/(\d+)$")
+# id run bounded at 18 digits, matching the engine's frontier._LINK_RE_SQL:
+# a 19+-digit id is a trap/bogus link, not a detail page (the engine casts
+# the id to long for host assignment; unbounded \d+ would ANSI-crash there)
+_LINK_RE = re.compile(r"^/gepris/(projekt|person|institution)/(\d{1,18})$")
 _COUNT_RE = re.compile(r".*out of ([\d,]*) on.*", re.DOTALL)
 
 

@@ -773,3 +773,24 @@ def test_cli_robots_file_budgets_and_resume_reload(spark, tmp_path, capsys):
     ]) == 0
     capsys.readouterr()
     assert _json.load(open(root / "config.json"))["robots_file"] == str(bodies2)
+
+
+def test_bloom_n_items_exact_across_bootstrap_and_resume(spark, crawl_cfg, tmp_path_factory):
+    """n_items must equal the TRUE insertion count. Two overcounts existed
+    (review r5 final #3): the round-0 bootstrap covered delta 0 but was
+    tagged so round 1 re-ORed the same delta (bits idempotent, n_items
+    not), and resume seeded n_items from seen_total — one round's delta
+    ahead of the bitmap's actual coverage. Both inflated estimated_fpp
+    toward spurious full-seen-set saturation rebuilds."""
+    store = SnapshotStore(spark, tmp_path_factory.mktemp("crawl_nitems"))
+    eng = CrawlEngine(spark, crawl_cfg, store, _settings())
+    eng.run(max_rounds=3)
+    last = store.latest_round()
+    assert last >= 2
+    # the incremental bloom held after round r covers deltas through r-1
+    covered = store.manifest(last - 1)["counters"]["seen_total"]
+    assert eng._bloom is not None and eng._bloom.n_items == covered
+    # resume: a fresh engine loads the persisted bitmap + its EXACT count
+    eng2 = CrawlEngine(spark, crawl_cfg, store, _settings())
+    eng2.run_round(last + 1)
+    assert eng2._bloom.n_items == store.manifest(last)["counters"]["seen_total"]

@@ -140,3 +140,62 @@ def test_unparsable_catalog_total_emits_nothing(spark):
     )
     assert discovered_urls(docs, cfg, 1).count() == 0
     assert discovered_catalog_urls(docs, cfg, 1).count() == 0
+
+
+def test_int32_overflow_total_is_capped_not_unparsable(spark):
+    """'out of 3,000,000,000 on' is above int32: the old `AS int` cast made
+    it try_cast-NULL — silently UNPARSABLE (zero pages), so the hostile-
+    input cap never engaged despite its own comment advertising exactly
+    this case (review r5 final #5). With bigint the cap binds; only a
+    total above int64 range (20 digits) stays unparsable, by design."""
+    from ba_gepris_crawler_spark.operators.frontier import (
+        MAX_CATALOG_PAGES,
+        discovered_catalog_urls,
+        discovered_urls,
+    )
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    cfg = SiteConfig(hosts=("h.example.org",), n_projects=4, n_persons=2,
+                     n_institutions=1, hits_per_page=50, seed=1)
+    span = "array<struct<kind string, text string, media_ref string, offset int>>"
+    above_i32 = spark.createDataFrame(
+        [("h.example.org", "project", None, 0,
+          [("text", "Result 1 out of 3,000,000,000 on this server", None, 0)])],
+        f"host string, resource_type string, resource_id string, crawl_depth int, spans {span}",
+    )
+    above_i64 = spark.createDataFrame(
+        [("h.example.org", "person", None, 0,
+          [("text", "Result 1 out of 99,999,999,999,999,999,999 on this server", None, 0)])],
+        f"host string, resource_type string, resource_id string, crawl_depth int, spans {span}",
+    )
+    assert discovered_urls(above_i32, cfg, 1).count() == MAX_CATALOG_PAGES
+    assert discovered_catalog_urls(above_i32, cfg, 1).count() == MAX_CATALOG_PAGES
+    assert discovered_urls(above_i64, cfg, 1).count() == 0
+    assert discovered_catalog_urls(above_i64, cfg, 1).count() == 0
+
+
+def test_overlong_link_id_dropped_not_ansi_crash(spark):
+    """A page link whose resource id runs past 18 digits is PAGE-SUPPLIED
+    hostile data: the id is cast to long for host assignment, and an
+    unbounded \\d+ match let one such row ANSI-crash the task — and after
+    stage retries the whole round (review r5 final #1). Both discovery
+    kernels must drop the bogus link and keep well-formed siblings."""
+    from ba_gepris_crawler_spark.operators.frontier import (
+        discovered_detail_urls,
+        discovered_urls,
+    )
+    from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+    cfg = SiteConfig(hosts=("h.example.org", "h2.example.org"), n_projects=4,
+                     n_persons=2, n_institutions=1, hits_per_page=50, seed=1)
+    span = "array<struct<kind string, text string, media_ref string, offset int>>"
+    docs = spark.createDataFrame(
+        [("h.example.org", "project", "7", 1,
+          [("link", "x", "/gepris/projekt/99999999999999999999", 0),   # 20 digits
+           ("link", "x", "/gepris/person/123", 1)])],
+        f"host string, resource_type string, resource_id string, crawl_depth int, spans {span}",
+    )
+    for fn in (discovered_urls, discovered_detail_urls):
+        rows = fn(docs, cfg, 2).collect()
+        assert [r["resource_id"] for r in rows] == ["123"], fn.__name__
+        assert rows[0]["resource_type"] == "person"

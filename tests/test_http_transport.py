@@ -206,3 +206,36 @@ def test_failed_session_refresh_leaves_401_quarantined(site, server, monkeypatch
     sts, payloads = t.fetch_batch(site, _urls(site)[:2], stale, 1, as_json=False)
     assert all(st in (401, 404, 200, 503) for st in sts)
     assert 401 in sts  # the stale rows stayed quarantined, nothing raised
+
+
+def test_undecodable_body_quarantines_as_598(site):
+    """A LIVE server answering 200 with non-UTF8 bytes must quarantine as
+    598: UnicodeDecodeError is a ValueError, so it escaped the socket-error
+    arm (URLError/OSError) and raised through the Arrow batch — one hostile
+    response killing the task and, after stage retries, the whole round
+    (review r5 final #2)."""
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", "4")
+            self.end_headers()
+            self.wfile.write(b"\xff\xfe\xfd\xfc")
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        t = HttpTransport(f"http://127.0.0.1:{srv.server_address[1]}")
+        sts, payloads = t.fetch_batch(site, _urls(site)[:1], None, 0, as_json=False)
+        assert sts == [598] and payloads == [[]]
+        # json-API mode takes the same _request path below the split
+        sts2, bodies = t.fetch_batch(site, _urls(site)[:1], None, 0, as_json=True)
+        assert sts2 == [598] and bodies == [""]
+    finally:
+        srv.shutdown()
+        srv.server_close()
