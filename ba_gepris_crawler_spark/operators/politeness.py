@@ -682,7 +682,13 @@ def schedule_round(
         # unlimited grant, the opposite of the invariant. Guard explicitly:
         # null budgets stay null, min() skips them, and an all-null host
         # falls through the coalesce to cfg defaults.
-        budget_long = F.col("budget").cast("long")
+        # try_cast, NOT cast: the budget/rate columns of an arbitrary
+        # relation can be string-typed with unparsable values, and under
+        # ANSI mode (Spark 4 default) a plain cast THROWS on 'abc' instead
+        # of yielding the NULL this guard is built around — one malformed
+        # row killing the schedule is exactly what the clamp exists to
+        # prevent (review r5 final, same class as the link-id cast).
+        budget_long = F.col("budget").try_cast("long")
         budget_clamped = F.when(
             budget_long.isNotNull(),
             F.greatest(
@@ -692,9 +698,14 @@ def schedule_round(
         )
         agg = [F.min(budget_clamped).cast("int").alias("_budget_df")]
         if has_ext_rate:
+            rate_double = F.col("rate").try_cast("double")
             rate_valid = F.when(
-                F.col("rate").cast("double") > 0,
-                F.least(F.col("rate").cast("double"), F.lit(float(_INT32_MAX))),
+                # NaN must be excluded EXPLICITLY: Spark orders NaN greater
+                # than any number, so NaN > 0 is true and least(NaN, MAX)
+                # returns MAX — a NaN rate silently granted the fastest
+                # possible rate instead of falling back to the default
+                (rate_double > 0) & ~F.isnan(rate_double),
+                F.least(rate_double, F.lit(float(_INT32_MAX))),
             )
             agg.append(F.min(rate_valid).alias("_rate_df"))
         ext = budgets_df.groupBy("host").agg(*agg)

@@ -814,3 +814,37 @@ def test_hostile_robots_caps_star_runs_rule_len_body_size(spark):
     body = sliced[:_MAX_ROBOTS_BODY]
     assert body.rsplit("\n", 1)[1] == "Crawl-delay: 6"  # trap is live
     assert parse_crawl_delay(sliced) is None  # partial directive dropped
+
+
+def test_budgets_df_string_garbage_and_nan_rate_fall_back(spark):
+    """schedule_round accepts ARBITRARY relations, so the clamp must
+    survive the two remaining hostile shapes (review r5 final):
+    a STRING-typed budget/rate column with unparsable values — under ANSI
+    mode (Spark 4 default) a plain cast('abc' AS long) THROWS instead of
+    yielding the NULL the guard is built around, killing the schedule —
+    and a NaN rate, which Spark orders greater than every number, so
+    `NaN > 0` is true and least(NaN, INT32_MAX) silently granted the
+    fastest possible rate instead of the documented default fallback."""
+    from ba_gepris_crawler_spark.operators.politeness import schedule_round
+
+    # default budget = ceil(2.0 * 1.0) = 2 pages/round, default rate 2.0
+    cfg = PolitenessConfig(per_host_rate=2.0, round_seconds=1.0, max_in_flight=10)
+    fr = spark.createDataFrame(
+        [(f"https://{h}/p/{i}", h, 0, 1) for h in ("garbage.org", "nanrate.org")
+         for i in range(6)],
+        "url string, host string, crawl_depth int, priority int",
+    )
+    hostile = spark.createDataFrame(
+        [("garbage.org", "abc", "xyz"), ("nanrate.org", "4", "nan")],
+        "host string, budget string, rate string",
+    )
+    now, _ = schedule_round(fr, cfg, n_buckets=4, budgets_df=hostile)
+    by_host = {r.host: r.n for r in now.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    # uncastable budget -> NULL -> cfg default budget, not a task crash
+    assert by_host.get("garbage.org") == 2, by_host
+    assert by_host.get("nanrate.org") == 4, by_host
+    rates = {r.host: r.host_rate for r in now.select("host", "host_rate").distinct().collect()}
+    # uncastable/NaN rates fall back: garbage.org to the cfg default rate,
+    # nanrate.org to its own budget-derived rate — never INT32_MAX
+    assert rates["garbage.org"] == 2.0, rates
+    assert rates["nanrate.org"] < 100, rates
