@@ -329,11 +329,13 @@ def _sharded_hashes(df: DataFrame, url_col: str, n_shards: int) -> DataFrame:
     return _hash_cols(df, url_col).withColumn("_shard", _shard_col(n_shards))
 
 
-def _shard_from_row(row: pd.Series) -> CuckooShard:
+def _shard_from_row(row: pd.Series, copy: bool = True) -> CuckooShard:
+    """copy=True for the mutating insert/delete kernels (frombuffer views
+    are read-only); copy=False for the read-only probe — copying there
+    memcpy'd up to 32 MiB per shard per probe round for nothing."""
+    table = np.frombuffer(row["table"], dtype=np.uint16).reshape(int(row["m"]), _SLOTS)
     return CuckooShard(
-        table=np.frombuffer(row["table"], dtype=np.uint16)
-        .reshape(int(row["m"]), _SLOTS)
-        .copy(),
+        table=table.copy() if copy else table,
         m=int(row["m"]),
         n_items=int(row["n_items"]),
     )
@@ -428,7 +430,13 @@ def _delete_table(ct: CuckooShardTable, gone: DataFrame, url_col: str) -> int:
             return table_pdf[["shard", "table", "m", "n_items"]]
         sid = int(table_pdf["shard"].iloc[0])
         sh = _shard_from_row(table_pdf.iloc[0])
-        h1, h2 = _sorted_hashes(gone_pdf)
+        # dedup BEFORE deleting: a URL arriving twice in `gone` (two
+        # discovery paths quarantined it) would remove two fingerprint
+        # copies — the second one belonging to a DIFFERENT url colliding
+        # on (bucket, fp), a false negative the gate contract forbids.
+        # Inserts deliberately keep duplicates (see insert_many's NOTE);
+        # deletes must remove at most one copy per distinct key.
+        h1, h2 = _sorted_hashes(gone_pdf.drop_duplicates(["_h1", "_h2"]))
         sh.delete_many(h1, h2)
         return pd.DataFrame([_shard_row(sid, sh)])
 
@@ -456,7 +464,7 @@ def _split_by_table(
             return left.assign(_maybe_seen=np.zeros(0, dtype=bool))
         if right.empty:  # no shard row: nothing from this key range was seen
             return left.assign(_maybe_seen=False)
-        sh = _shard_from_row(right.iloc[0])
+        sh = _shard_from_row(right.iloc[0], copy=False)  # read-only probe
         hit = sh.contains_many(
             left["_h1"].to_numpy(dtype=np.int64).astype(np.uint64),
             left["_h2"].to_numpy(dtype=np.int64).astype(np.uint64),
@@ -511,13 +519,11 @@ def build_cuckoo(
                 acc.setdefault(int(sid), []).append(grp)
         out = []
         for sid, grps in acc.items():
-            # canonical insert order: table layout depends on it, and a
-            # resume rebuild must produce bit-identical shards no matter
-            # how the scan partitioned the rows
-            g = pd.concat(grps).sort_values(["_h1", "_h2"])
-            out.append({"shard": sid,
-                        "h1": g["_h1"].to_numpy(dtype=np.int64).tobytes(),
-                        "h2": g["_h2"].to_numpy(dtype=np.int64).tobytes()})
+            # canonical insert order via THE shared helper (_sorted_hashes
+            # is the single definition both regimes' bit-identical-shards
+            # guarantee rests on; uint64 and int64 share a byte layout)
+            h1, h2 = _sorted_hashes(pd.concat(grps))
+            out.append({"shard": sid, "h1": h1.tobytes(), "h2": h2.tobytes()})
         yield pd.DataFrame(out, columns=["shard", "h1", "h2"])
 
     shards = {i: CuckooShard.sized_for(per_shard) for i in range(n_shards)}
@@ -562,7 +568,11 @@ def delete_urls(cf, gone: DataFrame, url_col: str = "url") -> int:
         _sharded_hashes(gone, url_col, cf.n_shards).collect()
     )
     removed = 0
+    seen_keys = set()  # same dedup-before-delete contract as _delete_table
     for r in rows:
+        if (r["_h1"], r["_h2"]) in seen_keys:
+            continue
+        seen_keys.add((r["_h1"], r["_h2"]))
         a1 = np.array([r["_h1"]], dtype=np.int64).astype(np.uint64)
         a2 = np.array([r["_h2"]], dtype=np.int64).astype(np.uint64)
         removed += cf.shards[r["_shard"]].delete_many(a1, a2)

@@ -48,14 +48,27 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical content: (content_hash, keeper_id, n_copies,
-    member_ids). Keeper = min id (deterministic)."""
+    member_ids). Keeper = min id (deterministic).
+
+    Grouped on TWO independently-salted xxhash64 values (128 bits), not
+    one: at the 10^10-document regime a single 64-bit hash expects n²/2^65
+    ≈ a few collisions, each silently merging two DISTINCT documents into
+    one group and dropping a unique doc from the corpus via member_ids.
+    At 128 bits the expectation is ~10^-19 — a second cheap hash pass
+    buys collision-free grouping without a byte-compare verify stage.
+    content_hash (the unsalted value) is kept as the group label."""
+    salted = F.xxhash64(F.concat(F.col(text_col), F.lit("\x01exact")))
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("content_hash"))
+        df.groupBy(
+            F.xxhash64(F.col(text_col)).alias("content_hash"),
+            salted.alias("_content_hash2"),
+        )
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count("*").alias("n_copies"),
             F.sort_array(F.collect_list(id_col)).alias("member_ids"),
         )
+        .drop("_content_hash2")
     )
 
 
@@ -83,10 +96,30 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", num_perm: int = 16, bands: int = 4
+    sig: DataFrame, id_col: str = "doc_id", num_perm: int = 16, bands: int = 4,
+    max_bucket: int = 256,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidates: docs sharing any band bucket, paired with
-    the bucket's min-id anchor (linear in bucket size).
+    """(doc_a, doc_b) candidates: ALL (a<b) pairs of docs sharing any band
+    bucket, via a co-keyed self-join on (band, band-key) — up to
+    `max_bucket` members per bucket; beyond that the bucket degrades to
+    (min-id anchor, member) star edges.
+
+    All-pairs, not anchor-only, in the normal regime: anchor pairing
+    silently LOST every near-dup pair where neither doc is the bucket's
+    min id — when the anchor itself is a band false positive, both its
+    edges fail the Jaccard verify stage downstream, so connected
+    components never sees the true pair either (the identical defect
+    already fixed in similarity.sketch_bucket_pairs).
+
+    The `max_bucket` guard is the scale bound: a bucket holding a large
+    corpus fraction (measured: one 2-row band bucket held 77% of the
+    synthetic corpus) means the banding parameters have failed for this
+    corpus, and all-pairs there is O(n^2) — at 10^10 docs an executor
+    killer. Degenerate buckets get linear anchor-star edges instead
+    (recall there rests on the anchor verifying, the documented
+    tradeoff); the rule is deterministic on bucket size, so the DuckDB
+    oracle replays it exactly. Run exact_dedup FIRST so byte-identical
+    mega-clusters never reach banding at all.
 
     One signature computation -> `bands` rows per doc via a SINGLE explode
     of a band-struct array. A per-band unionByName would re-run the whole
@@ -104,11 +137,24 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(F.expr(f"array({band_structs})")).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     w = Window.partitionBy("band", "bkey")
+    parts = parts.withColumn("_bsz", F.count("*").over(w)).withColumn(
+        "_anchor", F.min(id_col).over(w)
+    )
+    # LEFT side: every member of a normal bucket, but ONLY the anchor row
+    # of a degenerate one — the join then yields full all-pairs where that
+    # is cheap and exactly the linear (anchor, member) star where it is
+    # not, in ONE pass (a separate star-branch union would scan — and
+    # re-run — the whole signature pipeline a third time; the join's
+    # match count in a degenerate bucket is 1 x n, never n^2)
+    pa = parts.filter(
+        (F.col("_bsz") <= max_bucket) | (F.col(id_col) == F.col("_anchor"))
+    ).select(F.col(id_col).alias("doc_a"), "band", "bkey")
+    pb = parts.select(F.col(id_col).alias("doc_b"), "band", "bkey")
     return (
-        parts.withColumn("anchor", F.min(id_col).over(w))
-        .filter(F.col(id_col) > F.col("anchor"))
-        .select(F.col("anchor").alias("doc_a"), F.col(id_col).alias("doc_b"))
-        .distinct()
+        pa.join(pb, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()  # a pair sharing several bands appears once
     )
 
 
@@ -168,8 +214,9 @@ def simhash_near_dups(sim: DataFrame, id_col: str = "doc_id", max_hamming: int =
     pairing silently missed any near-dup pair where neither doc is the
     bucket's min id (e.g. bucket {a,b,c} with hamming(b,c)=2 but a far
     from both), which broke the pigeonhole completeness guarantee this
-    docstring promises — and unlike the MinHash LSH path there is no
-    connected-components stage downstream to recover it. Quadratic only
+    docstring promises. lsh_candidate_pairs tests all pairs for the same
+    reason — a downstream connected-components stage cannot recover a
+    pair whose anchor edges both failed verification. Quadratic only
     within one 16-bit-quarter bucket; the simhash columns ride the join,
     so no lookup joins back to `sim` are needed."""
     # single explode of quarter-structs (not a 4-way union: unpersisted

@@ -156,14 +156,27 @@ class SnapshotStore:
         persisted per shard; the read contract is the same."""
         d = self.root / "bloom"
         d.mkdir(parents=True, exist_ok=True)
-        tmp = d / "latest.bits.tmp"
-        tmp.write_bytes(bits)
-        os.replace(tmp, d / "latest.bits")
+        # NEVER overwrite the bits file latest.json currently points at
+        # (the save_cuckoo generation-dir discipline): replacing the live
+        # slot in place and THEN swapping the meta leaves a crash window
+        # where new bits (possibly a resized m) pair with stale meta — the
+        # round tag still matches after a --from-round rewind, so
+        # load_bloom would hand back a bitmap probed modulo the WRONG m,
+        # turning seen URLs into 'provably unseen' (review r5 store #2).
+        # Fresh generation file, atomic manifest swap, then prune.
+        gen = 0
+        while (bits_p := d / f"r{rnd}-g{gen}.bits").exists():
+            gen += 1
+        bits_p.write_bytes(bits)
         self._write_json_atomic(
             d / "latest.json",
-            {"round": rnd, "m": m, "k": k, "version": version, "n_items": n_items},
+            {"round": rnd, "path": bits_p.name, "m": m, "k": k,
+             "version": version, "n_items": n_items},
             indent=None,
         )
+        for p in d.glob("*.bits"):
+            if p.name != bits_p.name:
+                p.unlink(missing_ok=True)
 
     def load_bloom(self, rnd: int) -> tuple[bytes, dict] | None:
         """The persisted bitmap, iff it is exactly the state AS OF round
@@ -171,13 +184,18 @@ class SnapshotStore:
         — returns None and the caller rebuilds; the bloom is an admission
         gate only, so correctness never depends on it)."""
         meta_p = self.root / "bloom" / "latest.json"
-        bits_p = self.root / "bloom" / "latest.bits"
-        if not (meta_p.exists() and bits_p.exists()):
+        if not meta_p.exists():
             return None
         meta = json.loads(meta_p.read_text())
         if meta.get("round") != rnd:
             return None
-        return bits_p.read_bytes(), meta
+        bits_p = self.root / "bloom" / meta.get("path", "latest.bits")
+        if not bits_p.exists():
+            return None
+        bits = bits_p.read_bytes()
+        if len(bits) * 8 != meta.get("m", len(bits) * 8):
+            return None  # torn/mismatched bitmap: rebuild, never mis-probe
+        return bits, meta
 
     # -- cuckoo shard-table persistence (table regime only) --------------
     def save_cuckoo(self, rnd: int, rows_df: DataFrame, meta: dict) -> None:
@@ -295,6 +313,12 @@ class SnapshotStore:
             and prev["upto"] == upto
             and prev.get("n_buckets") == n_buckets
             and prev.get("key_col", key_col) == key_col
+            # a TIERED manifest (compact_tiered, carries `paths`) is NOT
+            # this full hash-clustered rewrite even at identical
+            # upto/buckets/key — treating it as committed would leave the
+            # caller reading the multi-tier layout while believing the
+            # single clustered snapshot exists (review r5 store #7)
+            and not prev.get("paths")
         ):
             return prev  # identical compaction already committed
         df = self.read_union(name, upto)

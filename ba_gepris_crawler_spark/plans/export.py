@@ -93,6 +93,18 @@ def export_sqlite(tables: dict[str, DataFrame], db_path: str, batch_size: int = 
     con = sqlite3.connect(db_path)
     counts: dict[str, int] = {}
     try:
+        # one export == exactly this table set: a re-export into an
+        # existing db must not leave STALE tables from a previous export
+        # behind (e.g. fetch_errors exists only when url_seen is present —
+        # a consumer querying the leftover would read the prior crawl's
+        # rows). Dropping only what we rewrite missed that case.
+        existing = [
+            r[0] for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type = 'table'"
+            )
+        ]
+        for stale in set(existing) - set(tables):
+            con.execute(f'DROP TABLE IF EXISTS "{stale}"')
         for name, df in tables.items():
             out = dedup_for_export(name, df)
             flat = _flat_columns(out)

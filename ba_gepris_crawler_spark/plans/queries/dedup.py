@@ -144,8 +144,14 @@ def _minhash_cols_spark() -> list:
       UNION ALL SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || '_' || CAST(m3 AS VARCHAR)) FROM sig
       UNION ALL SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || '_' || CAST(m5 AS VARCHAR)) FROM sig
       UNION ALL SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || '_' || CAST(m7 AS VARCHAR)) FROM sig),
-    anch AS (SELECT doc_id, band, bkey, min(doc_id) OVER (PARTITION BY band, bkey) AS anchor FROM bands),
-    cand AS (SELECT DISTINCT anchor AS doc_a, doc_id AS doc_b FROM anch WHERE doc_id > anchor),
+    bsz AS (SELECT doc_id, band, bkey,
+                   count(*) OVER (PARTITION BY band, bkey) AS n,
+                   min(doc_id) OVER (PARTITION BY band, bkey) AS anchor
+            FROM bands),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bsz a JOIN bsz b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+             WHERE a.n <= 256 OR a.doc_id = a.anchor),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
     common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
                FROM cand c JOIN tok a ON a.doc_id = c.doc_a JOIN tok b ON b.doc_id = c.doc_b AND b.tok = a.tok
@@ -161,13 +167,18 @@ def _minhash_cols_spark() -> list:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 perms) + LSH banding (4 bands x 2 rows) through the REAL
     module (operators/dedup.py minhash_signatures + lsh_candidate_pairs +
-    verified_near_dups): candidates are (bucket-anchor, member) pairs —
-    LINEAR in bucket size, never the full clique — then verified by true
-    token Jaccard >= 0.7; the anchor pairing keeps the candidate join
-    bounded at 100 TB. The portable md5 token hash is injected as a
-    precomputed `hv` so DuckDB replays the identical signatures; band-key
-    hash differences (md5 vs xxhash64) don't matter — only the grouping
-    does.
+    verified_near_dups): candidates are ALL (a<b) pairs sharing a band
+    bucket — anchor-only pairing lost true near-dups whose bucket anchor
+    was a band false positive (both anchor edges fail the verify stage,
+    so connected components never recovers the pair) — up to the
+    max_bucket=256 degenerate-bucket guard, beyond which a bucket gets
+    linear anchor-star edges (one 2-row band bucket held 77% of this
+    synthetic corpus; all-pairs there is O(n^2), an executor killer at
+    scale). Candidates are then verified by true token Jaccard >= 0.7.
+    The bucket-size rule is deterministic, so the oracle replays it; the
+    portable md5 token hash is injected as a precomputed `hv` so DuckDB
+    replays the identical signatures; band-key hash differences (md5 vs
+    xxhash64) don't matter — only the grouping does.
 
     tok is persisted (it feeds the signature, both verify-join sides, and
     the size table; Spark re-runs unpersisted shared subplans). The bounded

@@ -794,3 +794,51 @@ def test_bloom_n_items_exact_across_bootstrap_and_resume(spark, crawl_cfg, tmp_p
     eng2 = CrawlEngine(spark, crawl_cfg, store, _settings())
     eng2.run_round(last + 1)
     assert eng2._bloom.n_items == store.manifest(last)["counters"]["seen_total"]
+
+
+def test_bloom_snapshot_never_overwrites_live_slot(spark, tmp_path):
+    """save_bloom must write a fresh generation file and swap the manifest
+    LAST (the save_cuckoo discipline): overwriting the live bits slot in
+    place left a crash window where new bits (possibly a resized m) paired
+    with stale meta — same round tag after a --from-round rewind, wrong m,
+    and every probe reads garbage positions, turning seen URLs 'provably
+    unseen' (review r5 store #2)."""
+    store = SnapshotStore(spark, tmp_path / "bl")
+    store.save_bloom(3, b"\x00" * 16, 128, 3, 0, 10)
+    # crash simulation: a later save wrote its bits file but died before
+    # the meta swap — the committed pairing must be untouched
+    (store.root / "bloom" / "r3-g1.bits").write_bytes(b"\xff" * 32)
+    bits, meta = store.load_bloom(3)
+    assert bits == b"\x00" * 16 and meta["m"] == 128 and meta["n_items"] == 10
+    # a bits file whose size disagrees with meta's m is rejected outright
+    (store.root / "bloom" / meta["path"]).write_bytes(b"\x00" * 8)
+    assert store.load_bloom(3) is None
+    # a completed re-save (resize) supersedes cleanly and prunes orphans
+    store.save_bloom(3, b"\x01" * 32, 256, 3, 1, 10)
+    bits2, meta2 = store.load_bloom(3)
+    assert bits2 == b"\x01" * 32 and meta2["m"] == 256
+    assert len(list((store.root / "bloom").glob("*.bits"))) == 1
+
+
+def test_full_compact_not_satisfied_by_tiered_manifest(spark, tmp_path):
+    """compact()'s no-op check must not accept a TIERED manifest at the
+    same upto/buckets/key as 'already committed': the caller wants the
+    single hash-clustered snapshot (the anti-join layout), and returning
+    the tiered manifest leaves reads on the multi-tier layout forever
+    (review r5 store #7)."""
+    store = SnapshotStore(spark, tmp_path / "cc")
+    expect: set[str] = set()
+    for rnd in range(3):
+        df = spark.range(rnd * 10, (rnd + 1) * 10).select(
+            F.concat(F.lit("https://h/p/"), F.col("id").cast("string")).alias("url")
+        )
+        store.commit(rnd, {"url_seen": store.write_table("url_seen", rnd, df)}, {"round": rnd})
+        expect |= {f"https://h/p/{i}" for i in range(rnd * 10, (rnd + 1) * 10)}
+    tiered = store.compact_tiered("url_seen", 2, key_col="url", n_buckets=4)
+    assert tiered.get("paths")  # precondition: tiered manifest committed
+    full = store.compact("url_seen", 2, key_col="url", n_buckets=4)
+    assert full.get("path") and not full.get("paths")  # real full rewrite
+    assert {r.url for r in store.read_union("url_seen", 2).collect()} == expect
+    # and the full manifest IS accepted as the no-op on the next call
+    again = store.compact("url_seen", 2, key_col="url", n_buckets=4)
+    assert again == full

@@ -427,3 +427,28 @@ def test_portable_gate_no_false_negatives_and_structure(spark):
     # structure: i2 = i1 ^ (H(fp) % m), all buckets < m, fp nonzero 16-bit
     for r in rows.values():
         assert 1 <= r.fp <= 65535 and 0 <= r.i1 < 1024 and 0 <= r.i2 < 1024
+
+
+def test_delete_duplicate_gone_rows_remove_one_copy_per_key(spark):
+    """`gone` can carry the same URL twice (quarantined via two discovery
+    paths): each extra row used to remove one MORE fingerprint copy, and
+    past the key's own copies the theft hits a DIFFERENT url colliding on
+    (bucket, fp) — a false negative the gate contract forbids (review r5
+    store #3). Deletes must remove at most ONE copy per distinct key, in
+    both regimes; the surviving duplicate copy is a safe false positive."""
+    for mode in ("driver", "table"):
+        cf = build_cuckoo(_urls(spark, 0, 1_000, tag=f"dd{mode}"),
+                          expected_items=4_000, n_shards=4, mode=mode)
+        # insert url 0..100 a SECOND time (duplicate copies are kept by
+        # design — see insert_many's delete-safety NOTE)
+        insert_urls(cf, _urls(spark, 0, 100, tag=f"dd{mode}"))
+        n_before = cf.n_items
+        dup_gone = _urls(spark, 0, 100, tag=f"dd{mode}").unionAll(
+            _urls(spark, 0, 100, tag=f"dd{mode}")
+        )
+        removed = delete_urls(cf, dup_gone)
+        assert removed == 100, (mode, removed)  # one per DISTINCT key
+        assert cf.n_items == n_before - 100, mode
+        # the second stored copy survives: still (safely) maybe-seen
+        _new, maybe = split_by_cuckoo(_urls(spark, 0, 100, tag=f"dd{mode}"), cf)
+        assert maybe.count() == 100, mode

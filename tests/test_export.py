@@ -116,3 +116,26 @@ def test_null_key_rows_stay_distinct(spark):
     )
     got = sorted(((r.project_id, r.title) for r in dedup_for_export("projects", p).collect()), key=key)
     assert got == [(None, "t1"), (None, "t2"), ("id1", "t3")]
+
+
+def test_sqlite_reexport_drops_stale_tables(spark, tmp_path):
+    """A re-export into an existing db must publish EXACTLY this export's
+    table set: a table present only in the previous export (renamed, or
+    conditional like fetch_errors) used to survive with the prior crawl's
+    rows — a stale artifact downstream consumers would silently read
+    (review r5 store #8)."""
+    import sqlite3
+
+    from ba_gepris_crawler_spark.plans.export import export_sqlite
+
+    db = str(tmp_path / "gepris.sqlite")
+    rel = spark.createDataFrame(
+        [("p1", "h1", "APPLICANT")],
+        "project_id string, person_id string, relation_type string",
+    )
+    export_sqlite({"projects": _projects(spark), "project_person_relations": rel}, db)
+    export_sqlite({"projects": _projects(spark)}, db)  # shrunken table set
+    con = sqlite3.connect(db)
+    names = {r[0] for r in con.execute("SELECT name FROM sqlite_master WHERE type = 'table'")}
+    con.close()
+    assert names == {"projects"}

@@ -52,7 +52,7 @@ def test_minhash_lsh_finds_near_dups(corpus):
     cand = D.lsh_candidate_pairs(sig, num_perm=16, bands=4)
     found = D.verified_near_dups(cand, toks, unit_col="tok", threshold=0.7)
     pairs = {(r.doc_a, r.doc_b) for r in found.collect()}
-    assert (10, 11) in pairs and (10, 12) in pairs  # exact dups found via anchor
+    assert (10, 11) in pairs and (10, 12) in pairs  # exact dups found
     assert (20, 21) in pairs  # 1-token edit caught
     for a, b in pairs:  # no false positives among random docs
         assert {a, b} <= {10, 11, 12, 20, 21}
@@ -100,7 +100,9 @@ def test_lsh_banding_runs_signature_pipeline_once(corpus):
     toks = D.tokens(corpus)
     sig = D.minhash_signatures(toks, unit_col="tok", num_perm=16)
     plan = D.lsh_candidate_pairs(sig, num_perm=16, bands=4)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan ExistingRDD") == 1
+    # the all-pairs self-join scans the band-exploded frame twice (like
+    # simhash_near_dups below): 2 scans total, never `bands` union scans
+    assert plan.count("Scan ExistingRDD") <= 2
     sim_plan = D.simhash_near_dups(D.simhash(corpus))._jdf.queryExecution().executedPlan().toString()
     # simhash_near_dups self-joins the quarter-exploded frame (the simhash
     # columns ride the join): 2 scans total, never 4+2 from a quarter union
@@ -490,3 +492,34 @@ def test_documents_as_media_negative_id(spark):
     docs = spark.createDataFrame([(-1, "x"), (-2, "y"), (-3, "z"), (0, "w")], "doc_id long, text string")
     mt = {r.doc_id: r.media_type for r in MM.documents_as_media(docs).collect()}
     assert mt == {-3: "image", -2: "audio", -1: "video", 0: "image"}
+
+
+def test_lsh_candidate_pairs_are_all_pairs_not_anchor(spark):
+    """Bucket {1,2,3}: anchor-only pairing emitted (1,2) and (1,3) — if doc
+    1 is a band false positive, both edges fail Jaccard verification and
+    the true pair (2,3) is lost with no recovery (connected components
+    only runs over VERIFIED pairs; review r5 final, same defect as
+    similarity.sketch_bucket_pairs). All (a<b) pairs must be candidates."""
+    sig = spark.createDataFrame(
+        [(1, 5, 5, 101, 102), (2, 5, 5, 201, 202), (3, 5, 5, 301, 302),
+         (4, 9, 9, 401, 402)],
+        "doc_id long, m0 int, m1 int, m2 int, m3 int",
+    )
+    cand = D.lsh_candidate_pairs(sig, num_perm=4, bands=2)
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_lsh_degenerate_bucket_degrades_to_anchor_star(spark):
+    """A bucket past max_bucket is a banding failure (measured: one 2-row
+    band bucket held 77% of the synthetic corpus) — all-pairs there is
+    O(n^2). It must degrade to linear (min-id anchor, member) star edges,
+    while normal buckets keep full all-pairs recall."""
+    rows = [(i, 5, 5, 1000 + i, 2000 + i) for i in range(1, 6)]  # bucket of 5
+    rows.append((100, 9, 9, 3000, 3001))  # pair bucket
+    rows.append((101, 9, 9, 3100, 3101))
+    sig = spark.createDataFrame(rows, "doc_id long, m0 int, m1 int, m2 int, m3 int")
+    cand = D.lsh_candidate_pairs(sig, num_perm=4, bands=2, max_bucket=3)
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    # degenerate bucket {1..5}: anchor-star only (1,x); small bucket {100,101}: all pairs
+    assert pairs == {(1, 2), (1, 3), (1, 4), (1, 5), (100, 101)}
