@@ -48,14 +48,25 @@ def asof_join(
     (key, ts), the payload columns themselves are the final window
     tiebreaker (greatest payload wins), so which row's value is carried
     is stable across runs — the window order would otherwise be
-    nondeterministic under Spark's unstable sort (ADVICE r2)."""
+    nondeterministic under Spark's unstable sort (ADVICE r2).
+
+    ALL payload columns are carried from the SAME winning right row via a
+    single struct fill: filling each column with its own
+    last(ignorenulls) let a NULL in the matched row fall through to an
+    OLDER row's value per column — a frankenrow stitched from different
+    right rows, and a wrong non-NULL where DuckDB ASOF (the documented
+    semantics) returns the matched row's NULL (review r5 ops #1)."""
     left_extras = [c for c in left.columns if c not in (key, left_ts)]
+    payload_t = T.StructType(
+        [T.StructField(f"{c}{suffix}", right.schema[c].dataType) for c in right_cols]
+    )
     l2 = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left_extras],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(payload_t).alias("_p"),
     )
     r2 = right.select(
         F.col(key),
@@ -63,6 +74,7 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extras],
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(*[F.col(c).alias(f"{c}{suffix}") for c in right_cols]).alias("_p"),
     )
     # one window spec, payload columns as trailing tiebreakers; left rows
     # (payloads all null, nulls-first) still sort AFTER right rows on an
@@ -90,16 +102,16 @@ def asof_join(
         "_ts",
         "_is_left",
         *[F.col(c) for c in left_extras],
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        # ONE atomic fill: the struct is non-null for every right row, so
+        # the matched row's own NULL payload fields stay NULL instead of
+        # back-filling column-by-column from older rows
+        F.last("_p", ignorenulls=True).over(w).alias("_p"),
     )
     return filled.filter(F.col("_is_left") == 1).select(
         F.col(key),
         F.col("_ts").alias(left_ts),
         *[F.col(c) for c in left_extras],
-        *[F.col(f"{c}{suffix}") for c in right_cols],
+        *[F.col(f"_p.{c}{suffix}").alias(f"{c}{suffix}") for c in right_cols],
     )
 
 

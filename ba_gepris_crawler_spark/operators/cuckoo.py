@@ -451,7 +451,7 @@ def _delete_table(ct: CuckooShardTable, gone: DataFrame, url_col: str) -> int:
 
 def _split_by_table(
     frontier: DataFrame, ct: CuckooShardTable, url_col: str
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     hashed = _with_hash_cols(frontier, url_col).withColumn(
         "_shard", _shard_col(ct.n_shards)
     )
@@ -476,11 +476,7 @@ def _split_by_table(
         .cogroup(ct.df.groupBy("shard"))
         .applyInPandas(probe, schema=f"{out_fields}, _maybe_seen boolean")
     )
-    cols = frontier.columns
-    return (
-        tested.filter(~F.col("_maybe_seen")).select(*cols),
-        tested.filter(F.col("_maybe_seen")).select(*cols),
-    )
+    return tested.select(*frontier.columns, "_maybe_seen")
 
 
 _TABLE_REGIME_BYTES = 64 << 20  # same spill point as the bloom's two regimes
@@ -580,15 +576,16 @@ def delete_urls(cf, gone: DataFrame, url_col: str = "url") -> int:
     return removed
 
 
-def split_by_cuckoo(
-    frontier: DataFrame, cf, url_col: str = "url"
-) -> tuple[DataFrame, DataFrame]:
-    """(definitely_new, maybe_seen) — the same admission-gate contract as
-    url_seen.split_by_bloom: negatives are PROVABLY unseen (no false
-    negatives) and skip the exact join; positives go through it. The table
-    regime probes via a co-keyed cogroup (no whole-filter broadcast)."""
+def flag_by_cuckoo(frontier: DataFrame, cf, url_col: str = "url") -> DataFrame:
+    """Frontier + boolean `_maybe_seen` — the same admission-gate contract
+    as url_seen.flag_by_bloom: flagged-false rows are PROVABLY unseen (no
+    false negatives) and skip the exact join; flagged rows go through it.
+    ONE probe pass — the tuple split filters the probed frame twice and
+    Spark re-runs the unshared cogroup/mapInPandas probe per branch
+    (review r5 ops #3). The table regime probes via a co-keyed cogroup
+    (no whole-filter broadcast)."""
     if isinstance(cf, CuckooShardTable):
-        return _split_by_table(frontier, cf, url_col)
+        return _split_by_table(frontier, cf, url_col)  # flagged frame
     spark = frontier.sparkSession
     payload = {
         sid: (s.table.tobytes(), s.m) for sid, s in cf.shards.items()
@@ -623,10 +620,19 @@ def split_by_cuckoo(
             yield pdf.assign(_maybe_seen=hit)
 
     tested = hashed.mapInPandas(test, schema=f"{out_fields}, _maybe_seen boolean")
-    cols = frontier.columns
+    return tested.select(*frontier.columns, "_maybe_seen")
+
+
+def split_by_cuckoo(
+    frontier: DataFrame, cf, url_col: str = "url"
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen) tuple view of flag_by_cuckoo — each
+    filter re-runs the probe subtree, so the hot path (new_urls) consumes
+    the flagged frame instead."""
+    flagged = flag_by_cuckoo(frontier, cf, url_col)
     return (
-        tested.filter(~F.col("_maybe_seen")).select(*cols),
-        tested.filter(F.col("_maybe_seen")).select(*cols),
+        flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen"),
+        flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"),
     )
 
 

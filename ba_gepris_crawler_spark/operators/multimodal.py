@@ -124,13 +124,18 @@ def caption_align(docs: DataFrame) -> DataFrame:
     multimodal training pipeline pairs with each image/audio/video clip).
     Input: (doc_id, spans: array<struct<kind,text,media_ref,offset>>) —
     the engine's authoritative interleaved shape (BASELINE.json
-    input_hint). Pure Catalyst: posexplode preserves array order, the
-    alignment is one running last-ignorenulls window per document — no
-    Python, no cross-document shuffle beyond the per-doc partition."""
+    input_hint). Pure Catalyst: posexplode carries the array position so
+    spans SHARING an offset order deterministically by document position
+    (offset alone left the tie to Spark's unstable sort — whether a
+    tied text span fell inside a media row's preceding-frame flipped
+    between runs; review r5 ops #5). The alignment is one running
+    last-ignorenulls window per document — no Python, no cross-document
+    shuffle beyond the per-doc partition."""
     from pyspark.sql import Window
 
-    s = docs.select("doc_id", F.explode("spans").alias("sp")).select(
+    s = docs.select("doc_id", F.posexplode("spans").alias("pos", "sp")).select(
         "doc_id",
+        "pos",
         F.col("sp.kind").alias("kind"),
         F.col("sp.text").alias("text"),
         F.col("sp.media_ref").alias("media_ref"),
@@ -138,7 +143,7 @@ def caption_align(docs: DataFrame) -> DataFrame:
     )
     w = (
         Window.partitionBy("doc_id")
-        .orderBy("span_off")
+        .orderBy("span_off", "pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cap = F.last(F.when(F.col("kind") == "text", F.col("text")), ignorenulls=True).over(w)

@@ -23,15 +23,20 @@ NORM = "sqrt(aggregate({a}, cast(0 as double), (acc, y) -> acc + cast(y as doubl
 
 
 def _cosine(a: str, b: str) -> F.Column:
-    """Cosine similarity, NULL when either vector has zero norm: an
-    all-zero embedding (a routine artifact of failed encodes / padding)
-    would otherwise make the division a hard DIVIDE_BY_ZERO under ANSI
-    mode (the Spark 4 default) and abort the whole job. NULL matches what
-    DuckDB's division returns, so the oracle twins agree on the edge;
-    threshold filters (NULL >= t is NULL) and the top-k rankers drop
-    zero-norm rows."""
+    """Cosine similarity, NULL when either vector has zero norm OR the
+    result is NaN. Zero norm: an all-zero embedding (a routine artifact
+    of failed encodes / padding) would otherwise make the division a hard
+    DIVIDE_BY_ZERO under ANSI mode (the Spark 4 default) and abort the
+    whole job. NaN: one NaN component (the other failed-encode artifact)
+    yields cosine = NaN, which Spark orders ABOVE every real double — it
+    sailed through isNotNull filters, ranked rnk=1 for EVERY query, and
+    passed `>= threshold` as a confirmed near-dup (review r5 ops #2).
+    NULL matches what DuckDB's division returns on the zero edge, so the
+    oracle twins agree; threshold filters (NULL >= t is NULL) and the
+    top-k rankers drop both edge classes."""
     denom = F.expr(NORM.format(a=a)) * F.expr(NORM.format(a=b))
-    return F.when(denom != 0, F.expr(DOT.format(a=a, b=b)) / denom)
+    cos = F.when(denom != 0, F.expr(DOT.format(a=a, b=b)) / denom)
+    return F.when(~F.isnan(cos), cos)  # isnan(NULL) is false: NULL passes through
 
 
 def cosine_topk(
@@ -84,7 +89,12 @@ def ivf_topk(
     probes = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe).select(
         q_id_col, q_vec_col, c_id_col
     )
-    cand = index.join(probes, c_id_col)  # partition-pruned cell scan at scale
+    cand = index.join(probes, c_id_col).filter(
+        # exclude self-matches like the exact cosine_topk baseline: an
+        # in-corpus query's own vector sits in its cell at cosine 1.0 and
+        # always took rnk=1, burning one of the k slots (review r5 ops #4)
+        F.col(id_col) != F.col(q_id_col)
+    )  # partition-pruned cell scan at scale
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), id_col)
     return (
         cand.select(q_id_col, id_col, _cosine(vec_col, q_vec_col).alias("cosine"))
@@ -144,7 +154,9 @@ def ivf_topk_from_store(
         q_id_col, q_vec_col, c_id_col
     )
     index = spark.read.parquet(path)
-    cand = index.join(probes if many_queries else F.broadcast(probes), c_id_col)
+    cand = index.join(probes if many_queries else F.broadcast(probes), c_id_col).filter(
+        F.col(id_col) != F.col(q_id_col)  # no self-matches, like cosine_topk
+    )
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), id_col)
     return (
         cand.select(q_id_col, id_col, _cosine(vec_col, q_vec_col).alias("cosine"))

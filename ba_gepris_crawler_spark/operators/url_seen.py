@@ -212,12 +212,16 @@ def update_bloom(
     )
 
 
-def split_by_bloom(
+def flag_by_bloom(
     frontier: DataFrame, bloom: BloomFilterModel, url_col: str = "url"
-) -> tuple[DataFrame, DataFrame]:
-    """(definitely_new, maybe_seen): bloom-negative rows are provably unseen
-    (no false negatives) and bypass the exact join; bloom-positive rows need
-    the exact anti-join backstop. Membership test is Arrow-batched numpy —
+) -> DataFrame:
+    """Frontier + boolean `_maybe_seen`: bloom-negative rows are provably
+    unseen (no false negatives); positives need the exact anti-join
+    backstop. ONE probe pass — the tuple-returning split filters this
+    frame twice, and Spark re-runs the unshared subtree per branch: the
+    whole frontier lineage (a groupBy) plus the Arrow/numpy membership
+    pass executed twice per round (review r5 ops #3). new_urls consumes
+    the flagged frame directly. Membership test is Arrow-batched numpy —
     no per-row Python."""
     spark = frontier.sparkSession
     bc = bloom.broadcast(spark)  # one broadcast per model, not per call
@@ -232,10 +236,20 @@ def split_by_bloom(
             mask = model.might_contain_vec(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy())
             yield pdf.assign(_maybe_seen=mask)
 
-    tested = hashed.mapInPandas(test, schema=out_schema)
-    definitely_new = tested.filter(~F.col("_maybe_seen")).drop("_h1", "_h2", "_maybe_seen")
-    maybe_seen = tested.filter(F.col("_maybe_seen")).drop("_h1", "_h2", "_maybe_seen")
-    return definitely_new, maybe_seen
+    return hashed.mapInPandas(test, schema=out_schema).drop("_h1", "_h2")
+
+
+def split_by_bloom(
+    frontier: DataFrame, bloom: BloomFilterModel, url_col: str = "url"
+) -> tuple[DataFrame, DataFrame]:
+    """(definitely_new, maybe_seen) tuple view of flag_by_bloom — for
+    callers that genuinely need the two frames; each filter re-runs the
+    probe subtree, so the hot path (new_urls) uses the flagged frame."""
+    flagged = flag_by_bloom(frontier, bloom, url_col)
+    return (
+        flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen"),
+        flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"),
+    )
 
 
 def new_urls(
@@ -247,16 +261,31 @@ def new_urls(
 ) -> DataFrame:
     """J1, THE core crawl operator: frontier minus seen. Exact semantics
     always; an admission gate (when provided) pre-gates the exact join —
-    either `bloom` or an explicit `splitter(frontier) -> (definitely_new,
-    maybe_seen)` such as the cuckoo shards' (operators/cuckoo.py)."""
+    either `bloom` or an explicit `splitter(frontier)` returning a frame
+    flagged with `_maybe_seen` (cuckoo: operators/cuckoo.flag_by_cuckoo)
+    or, legacy, a (definitely_new, maybe_seen) tuple.
+
+    `url_col` names the URL column in BOTH frames — the seen side is no
+    longer hard-coded to "url" (a non-default url_col either crashed or
+    silently joined the wrong keys; review r5 ops #6)."""
     # NO dedup on the seen side: left_anti is duplicate-tolerant on its
     # right, and url_seen rows are unique per URL by construction anyway —
     # a dropDuplicates here would full-shuffle the largest table in the
     # system (10^9+ rows) every round for identical join results
-    seen_keys = url_seen.select(F.col("url").alias(url_col))
+    seen_keys = url_seen.select(F.col(url_col))
     if splitter is None and bloom is not None:
-        splitter = lambda f: split_by_bloom(f, bloom, url_col)  # noqa: E731
+        splitter = lambda f: flag_by_bloom(f, bloom, url_col)  # noqa: E731
     if splitter is None:
         return frontier.join(seen_keys, url_col, "left_anti")
-    definitely_new, maybe_seen = splitter(frontier)
-    return definitely_new.unionByName(maybe_seen.join(seen_keys, url_col, "left_anti"))
+    res = splitter(frontier)
+    if isinstance(res, tuple):  # legacy two-frame splitters
+        definitely_new, maybe_seen = res
+        return definitely_new.unionByName(maybe_seen.join(seen_keys, url_col, "left_anti"))
+    # flagged frame, ONE pass: the anti-join's residual condition applies
+    # the exact backstop only to _maybe_seen rows — flagged-false rows
+    # match nothing and pass straight through, without the two-branch
+    # union re-running the frontier lineage + probe per branch
+    f = res.alias("_f")
+    s = seen_keys.alias("_s")
+    cond = (F.col(f"_f.{url_col}") == F.col(f"_s.{url_col}")) & F.col("_f._maybe_seen")
+    return f.join(s, cond, "left_anti").drop("_maybe_seen")

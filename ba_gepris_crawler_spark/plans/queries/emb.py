@@ -222,7 +222,8 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (SELECT p.qid, a.vec_id,
                {_DOT_DUCK.format(a='a.embedding', b='p.qe')}
                  / ({_NORM_DUCK.format(a='a.embedding')} * {_NORM_DUCK.format(a='p.qe')}) AS cosine
-             FROM probes p JOIN assign a USING (cid))
+             FROM probes p JOIN assign a USING (cid)
+             WHERE a.vec_id <> p.qid)
     SELECT qid, vec_id, round(CAST(cosine AS DOUBLE), 4) AS cosine, rnk FROM (
       SELECT qid, vec_id, cosine,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk

@@ -112,7 +112,9 @@ def events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_asof_join",
     """
     WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-    r AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events WHERE event_type = 'purchase')
+    r AS (SELECT user_id, ts, event_id AS purchase_id,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+          FROM events WHERE event_type = 'purchase')
     SELECT CAST(l.event_id AS BIGINT) AS event_id, CAST(l.user_id AS BIGINT) AS user_id,
            CAST(floor(epoch(l.ts)) AS BIGINT) AS click_epoch,
            CAST(r.purchase_id AS BIGINT) AS purchase_id,
@@ -125,14 +127,19 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join through the REAL custom operator (operators/asof.py):
     each click matched to the user's latest at-or-before purchase. Spark
     has no native as-of join; the operator encodes it as union + ordered
-    window with last(ignorenulls) — one key shuffle, no range cross join.
-    The oracle is DuckDB's native ASOF LEFT JOIN."""
+    window with an atomic struct fill — one key shuffle, no range cross
+    join. The oracle is DuckDB's native ASOF LEFT JOIN. Every 7th
+    purchase's value is NULLed on both sides: the matched row's own NULL
+    must come through as NULL (a per-column ignorenulls fill back-filled
+    it from an OLDER purchase — review r5 ops #1)."""
     from ba_gepris_crawler_spark.operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+        "user_id", "ts", F.col("event_id").alias("purchase_id"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("value"),
     )
     out = asof_join(clicks, purchases, key="user_id", right_cols=("purchase_id", "value"))
     return out.select(

@@ -223,7 +223,10 @@ class CrawlEngine:
                     version=rnd, mode=s.cuckoo_mode, n_shards=s.cuckoo_shards,
                 )
             self._cuckoo, self._cuckoo_upto = cuckoo, rnd - 1
-            splitter = lambda f: CK.split_by_cuckoo(f, cuckoo)  # noqa: E731
+            # flagged frame, not the tuple split: new_urls folds the gate
+            # into ONE anti-join pass (the tuple's two filters re-ran the
+            # cogroup probe per branch)
+            splitter = lambda f: CK.flag_by_cuckoo(f, cuckoo)  # noqa: E731
         elif s.use_bloom and n_seen > 0:
             if self._bloom is None:
                 # resume path: load the persisted bitmap instead of

@@ -523,3 +523,61 @@ def test_lsh_degenerate_bucket_degrades_to_anchor_star(spark):
     pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
     # degenerate bucket {1..5}: anchor-star only (1,x); small bucket {100,101}: all pairs
     assert pairs == {(1, 2), (1, 3), (1, 4), (1, 5), (100, 101)}
+
+
+def test_asof_join_matched_row_null_stays_null(spark):
+    """DuckDB ASOF semantics: the payload comes from THE matched (latest
+    at-or-before) right row — including its NULLs. Per-column
+    last(ignorenulls) back-filled a NULL from an OLDER row, stitching a
+    frankenrow from two different purchases (review r5 ops #1)."""
+    from ba_gepris_crawler_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 100, 5.0), (1, 20, 101, None)],
+        "user_id long, ts long, purchase_id long, value double",
+    )
+    left = spark.createDataFrame([(1, 30)], "user_id long, ts long")
+    row = asof_join(
+        left, right, key="user_id", right_cols=("purchase_id", "value")
+    ).collect()[0]
+    assert row["purchase_id_asof"] == 101 and row["value_asof"] is None
+
+
+def test_cosine_nan_embedding_is_null_not_topk_winner(spark):
+    """A NaN component (failed-encode artifact) made cosine NaN, which
+    Spark orders ABOVE every real double: it passed isNotNull, ranked
+    rnk=1 for every query, and passed >= threshold as a confirmed
+    near-dup (review r5 ops #2). NaN cosine must be NULL like zero-norm."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [float("nan"), 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame([(100, [1.0, 0.0])], "qid long, qe array<float>")
+    top = S.cosine_topk(corpus, queries, k=2)
+    got = [(r.vec_id, r.rnk) for r in top.orderBy("rnk").collect()]
+    assert got == [(1, 1), (3, 2)]  # NaN row never ranks
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "vec_a long, vec_b long")
+    vecs = corpus
+    verified = S.verify_pairs_cosine(pairs, vecs, threshold=0.5)
+    assert {(r.vec_a, r.vec_b) for r in verified.collect()} == {(1, 3)}
+
+
+def test_ivf_topk_excludes_self_matches(spark):
+    """In-corpus queries: the query's own vector sits in its cell at
+    cosine 1.0 and always took rnk=1, burning a k slot and skewing any
+    recall measurement against the cosine_topk baseline (review r5 ops
+    #4) — IVF must exclude id == qid like the exact baseline does."""
+    import math
+
+    rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    queries = emb.filter(F.col("vec_id") == 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    index = S.ivf_index(emb, cents)
+    out = S.ivf_topk(index, cents, queries, k=3, nprobe=2).collect()
+    assert all(r.vec_id != 10 for r in out)
+    assert len(out) == 3

@@ -157,3 +157,47 @@ def test_giant_bloom_path_arrow_shards(spark):
     h1 = np.array([r["_h1"] for r in hashed])
     h2 = np.array([r["_h2"] for r in hashed])
     assert bloom.might_contain_vec(h1, h2).all()
+
+
+def test_new_urls_bloom_gate_is_single_probe_pass(spark):
+    """The bloom gate must appear ONCE in the anti-join plan: the old
+    two-branch union (definitely_new ∪ maybe_seen⟕seen) filtered the
+    probed frame twice, and Spark re-ran the unshared mapInPandas probe —
+    plus the whole frontier lineage — per branch, every round (review r5
+    ops #3). The flagged-frame form folds the gate into one anti-join
+    whose residual condition exempts flagged-false rows."""
+    frontier = spark.range(0, 1000).select(
+        F.concat(F.lit("https://h/p/"), F.col("id").cast("string")).alias("url")
+    )
+    seen = spark.range(0, 500).select(
+        F.concat(F.lit("https://h/p/"), F.col("id").cast("string")).alias("url")
+    )
+    bloom = US.build_bloom(seen, expected_items=2000)
+    out = US.new_urls(frontier, seen, bloom)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    assert {r.url for r in out.collect()} == {
+        f"https://h/p/{i}" for i in range(500, 1000)
+    }
+
+
+def test_new_urls_respects_url_col_on_both_sides(spark):
+    """url_col names the URL column in BOTH frames: the seen side was
+    hard-coded to `url`, so a non-default url_col crashed — or, if the
+    seen table carried both columns, silently anti-joined the WRONG key
+    and re-fetched already-crawled URLs (review r5 ops #6)."""
+    frontier = spark.range(0, 10).select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("canon_url")
+    )
+    seen = spark.range(0, 6).select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("canon_url"),
+        F.lit("https://decoy").alias("url"),  # decoy: must NOT be the join key
+    )
+    got = {r.canon_url for r in US.new_urls(frontier, seen, url_col="canon_url").collect()}
+    assert got == {f"c{i}" for i in range(6, 10)}
+    bloom = US.build_bloom(seen, url_col="canon_url", expected_items=100)
+    got_b = {
+        r.canon_url
+        for r in US.new_urls(frontier, seen, bloom, url_col="canon_url").collect()
+    }
+    assert got_b == got
