@@ -1,0 +1,135 @@
+"""Sitemap ingestion: sitemap.xml bodies -> frontier seed relation.
+
+The reference seeds its crawl from hard-coded catalog URLs
+(PaginatedResourceCatalogUrlsGraph.scala:12-28); an open-web crawl also
+seeds from sitemaps (sitemaps.org protocol). Like the distributed robots
+pipeline (operators/politeness.parse_robots_rules_distributed), sitemap
+BODIES arrive as a DataFrame relation — fetched by the normal fetch
+stage — and are parsed entirely in the plan: `regexp_extract_all` pulls
+the `<url>`/`<sitemap>` blocks, per-block fields come out with one
+anchored regex each, and nothing (bodies, entries, decisions) ever
+transits the driver. At 10^6 hosts x 50k URLs per sitemap that is a
+50-billion-row relation built by a single explode over the body scan.
+
+Hostile-input caps, same discipline as the robots caps (politeness.py)
+and the catalog-total cap (frontier.py): the protocol limits a sitemap
+to 50,000 URLs and 50 MB uncompressed; bodies are sliced before the
+regex pass and the per-sitemap entry array is `slice`d to the cap, so
+one hostile 10^9-entry body cannot OOM an executor.
+
+XML subtleties handled without an XML parser (the protocol's structure
+is flat by spec — url blocks cannot nest): (?s) DOTALL regexes across
+newlines, whitespace-trimmed `<loc>`, and the five standard XML entities
+decoded (&amp; LAST so `&amp;lt;` decodes to `&lt;` not `<`). The spec
+requires entity-escaped URLs, so this is the exact inverse of a
+conforming generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ba_gepris_crawler_spark.operators.canonicalize import host_of
+
+# protocol limits (sitemaps.org): 50k URLs, 50 MB uncompressed per file
+MAX_SITEMAP_URLS = 50_000
+MAX_SITEMAP_CHARS = 50 * 1024 * 1024
+
+_VALID_CHANGEFREQ = ("always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
+
+
+def _xml_unescape(c: Column) -> Column:
+    """The five predefined XML entities; &amp; last (spec-conforming
+    escapers double-escape, so `&amp;lt;` must yield `&lt;`)."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _field(block: Column, tag: str) -> Column:
+    """<tag>value</tag> within one block -> trimmed value, NULL if absent."""
+    raw = F.regexp_extract(block, f"(?s)<{tag}[^>]*>\\s*(.*?)\\s*</{tag}>", 1)
+    return F.nullif(raw, F.lit(""))
+
+
+def parse_sitemap_entries(
+    bodies: DataFrame,
+    url_col: str = "sitemap_url",
+    body_col: str = "body",
+    max_urls: int = MAX_SITEMAP_URLS,
+    max_chars: int = MAX_SITEMAP_CHARS,
+) -> DataFrame:
+    """<urlset> bodies -> one row per <url> entry:
+    (sitemap_url, loc, lastmod, changefreq, priority).
+
+    loc is entity-decoded and trimmed; entries without a loc drop (the
+    protocol makes loc mandatory); changefreq is lowercased and nulled
+    unless it is one of the seven spec values; priority try_casts to
+    double (the spec range is 0.0-1.0; out-of-range values clamp, the
+    spec default 0.5 fills absent/unparsable ones). All other columns of
+    `bodies` pass through."""
+    body = F.substring(F.col(body_col), 1, max_chars)
+    blocks = F.slice(
+        F.regexp_extract_all(body, F.lit("(?s)<url>(.*?)</url>"), 1),
+        1,
+        max_urls,
+    )
+    passthrough = [c for c in bodies.columns if c != body_col]
+    exploded = bodies.select(*passthrough, F.explode(blocks).alias("_block"))
+    b = F.col("_block")
+    cf = F.lower(_field(b, "changefreq"))
+    pr = F.expr(
+        "try_cast(regexp_extract(_block, '(?s)<priority[^>]*>\\\\s*(.*?)\\\\s*</priority>', 1) as double)"
+    )
+    out = exploded.select(
+        *passthrough,
+        _xml_unescape(_field(b, "loc")).alias("loc"),
+        _field(b, "lastmod").alias("lastmod"),
+        F.when(cf.isin(*_VALID_CHANGEFREQ), cf).alias("changefreq"),
+        F.greatest(F.least(F.coalesce(pr, F.lit(0.5)), F.lit(1.0)), F.lit(0.0)).alias("priority"),
+    )
+    return out.filter(F.col("loc").isNotNull())
+
+
+def sitemap_index_children(
+    bodies: DataFrame,
+    url_col: str = "sitemap_url",
+    body_col: str = "body",
+    max_urls: int = MAX_SITEMAP_URLS,
+    max_chars: int = MAX_SITEMAP_CHARS,
+) -> DataFrame:
+    """<sitemapindex> bodies -> one row per child sitemap:
+    (passthrough cols..., child_url). One level only, BY SPEC: an index
+    file must not list other index files, so child expansion is a single
+    extra fetch round, never a recursion."""
+    body = F.substring(F.col(body_col), 1, max_chars)
+    blocks = F.slice(
+        F.regexp_extract_all(body, F.lit("(?s)<sitemap>(.*?)</sitemap>"), 1),
+        1,
+        max_urls,
+    )
+    passthrough = [c for c in bodies.columns if c != body_col]
+    exploded = bodies.select(*passthrough, F.explode(blocks).alias("_block"))
+    out = exploded.select(
+        *passthrough,
+        _xml_unescape(_field(F.col("_block"), "loc")).alias("child_url"),
+    )
+    return out.filter(F.col("child_url").isNotNull())
+
+
+def sitemap_frontier(entries: DataFrame, next_round: int = 0) -> DataFrame:
+    """Parsed sitemap entries -> FRONTIER_SCHEMA candidate rows. The
+    sitemap priority (1.0 = most important) maps onto the scheduler's
+    integer priority (0 = most urgent): priority_int = round((1-p)*10).
+    Dedup against url_seen stays the round loop's J1 anti-join, identical
+    to link discovery; resource metadata is unknown until fetch."""
+    return entries.select(
+        F.col("loc").alias("url"),
+        host_of(F.col("loc")).alias("host"),
+        F.lit(None).cast("string").alias("resource_type"),
+        F.lit(None).cast("string").alias("resource_id"),
+        F.lit(0).cast("int").alias("crawl_depth"),
+        F.round((1.0 - F.col("priority")) * 10).cast("int").alias("priority"),
+        F.lit(next_round).cast("int").alias("discovered_round"),
+    )

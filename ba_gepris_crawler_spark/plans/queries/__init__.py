@@ -110,6 +110,9 @@ _CANONICAL_ORDER = [
     "crawl_trap_filter",
     "crawl_cuckoo_gate",
     "crawl_catalog_null_guard",
+    "crawl_redirect_resolve",
+    "crawl_sitemap_parse",
+    "crawl_recrawl_schedule",
 ]
 
 # Round-5 rotation: the 23 names rowed only in round 3 (the round-4 head
@@ -120,6 +123,9 @@ _CANONICAL_ORDER = [
 _HEAD_FIRST = [
     "crawl_cuckoo_gate",
     "crawl_catalog_null_guard",
+    "crawl_redirect_resolve",
+    "crawl_sitemap_parse",
+    "crawl_recrawl_schedule",
     "dedup_clusters",
     "emb_cosine_topk",
     "emb_ivf_assign",

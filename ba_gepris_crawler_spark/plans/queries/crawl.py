@@ -1064,3 +1064,207 @@ def crawl_catalog_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_page_urls", F.lit(0).cast("bigint")).alias("n_page_urls"),
         "n_unparsable_docs",
     ).orderBy("resource_type")
+
+
+@_q(
+    "crawl_redirect_resolve",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id AS i, CAST(doc_id % 10 AS INT) AS m FROM documents),
+    e AS (
+      SELECT 'https://r.example.org/u' || CAST(i AS VARCHAR) AS src,
+             CASE WHEN m IN (0, 1, 2, 5)
+                    THEN 'https://r.example.org/u' || CAST(i + 1 AS VARCHAR)
+                  WHEN m = 6
+                    THEN 'https://r.example.org/u' || CAST(i - 1 AS VARCHAR)
+                  ELSE 'https://gone.example.org/' || CAST(i AS VARCHAR) END AS dst
+      FROM d WHERE m IN (0, 1, 2, 5, 6, 8)),
+    walk(src, cur, hops) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT w.src, e2.dst, w.hops + 1 FROM walk w
+        JOIN e e2 ON w.cur = e2.src WHERE w.hops < 2),
+    last AS (
+      SELECT src, max_by(cur, hops) AS cur, max(hops) AS hops
+      FROM walk GROUP BY src),
+    srcs AS (SELECT DISTINCT src FROM e)
+    SELECT l.src,
+           coalesce(CASE WHEN s.src IS NULL AND l.hops <= 2 THEN l.cur END,
+                    '') AS final_url,
+           CAST(l.hops AS INT) AS hops,
+           (s.src IS NULL AND l.hops <= 2) AS resolved
+    FROM last l LEFT JOIN srcs s ON l.cur = s.src
+    ORDER BY l.src
+    """,
+)
+def crawl_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP 3xx chain resolution through the REAL modules
+    (operators/redirects.redirect_edges -> resolve_redirects): Location
+    headers absolutize against the source URL (path-only '/u{i+1}' forms
+    exercise RFC 3986 resolution), then POINTER DOUBLING chases chains in
+    ceil(log2(max_hops)) co-keyed self-joins instead of max_hops
+    sequential ones — the log-round trick that keeps a 10^10-edge
+    redirect graph at 4 shuffles for a 10-hop cap. Fixture classes by
+    doc_id % 10: 0/1/2 form 3-hop chains (the head exceeds max_hops=2 ->
+    unresolved), 5/6 form 2-loops (never terminate -> unresolved), 8
+    redirects once to a terminal. The oracle replays the walk with a
+    recursive CTE bounded at the doubling horizon. Beyond the reference
+    (its fetch treats every non-200 as fatal,
+    CrawledResourceDetailDataGraph.scala:43-46)."""
+    from ba_gepris_crawler_spark.operators.redirects import (
+        redirect_edges,
+        resolve_redirects,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 10).cast("int")
+    i = F.col("doc_id").cast("string")
+    nxt = (F.col("doc_id") + 1).cast("string")
+    prv = (F.col("doc_id") - 1).cast("string")
+    status = (
+        F.when(m.isin(0, 1, 2), F.lit(301))
+        .when(m.isin(5, 6), F.lit(302))
+        .when(m == 8, F.lit(308))
+        .otherwise(F.lit(200))
+    ).cast("int")
+    location = (
+        F.when(m.isin(0, 1, 2, 5), F.concat(F.lit("/u"), nxt))  # path-only form
+        .when(m == 6, F.concat(F.lit("https://r.example.org/u"), prv))
+        .when(m == 8, F.concat(F.lit("https://gone.example.org/"), i))
+    )
+    fetched = d.select(
+        F.concat(F.lit("https://r.example.org/u"), i).alias("url"),
+        status.alias("status"),
+        location.alias("location"),
+    )
+    edges = redirect_edges(fetched)
+    res = resolve_redirects(edges, max_hops=2)
+    # unresolved rows carry final_url NULL by contract; the driver's
+    # row-sort compare can't order NULL vs str, so '' stands in here
+    return res.select(
+        "src", F.coalesce("final_url", F.lit("")).alias("final_url"),
+        "hops", "resolved",
+    ).orderBy("src")
+
+
+@_q(
+    "crawl_sitemap_parse",
+    """
+    SELECT 'h' || CAST(doc_id % 3 AS VARCHAR) || '.example.org' AS host,
+           'https://h' || CAST(doc_id % 3 AS VARCHAR) || '.example.org/p?id='
+             || CAST(doc_id AS VARCHAR) || '&lang=en' AS loc,
+           '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'daily'
+                WHEN 1 THEN 'weekly' ELSE '(invalid)' END AS changefreq,
+           round(CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE), 2) AS priority
+    FROM documents ORDER BY loc
+    """,
+)
+def crawl_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion end to end through the REAL module
+    (operators/sitemaps.parse_sitemap_entries): per-host <urlset> XML is
+    BUILT in the plan (entity-escaped &amp; in the locs, mixed-case
+    changefreq validity, single-digit priorities), then parsed back as a
+    DataFrame relation — regexp_extract_all block split + per-field
+    anchored regex + XML entity decode, nothing on the driver (the
+    distributed-robots transport pattern). 'bogus' changefreq nulls out
+    (not one of the seven spec values); the oracle emits the expected
+    entries directly, so the build->parse round-trip must be lossless."""
+    from ba_gepris_crawler_spark.operators.sitemaps import parse_sitemap_entries
+
+    d = _t(spark, sf_dir, "documents")
+    j = (F.col("doc_id") % 3).cast("string")
+    i = F.col("doc_id").cast("string")
+    frag = F.concat(
+        F.lit("<url>\n  <loc> https://h"), j, F.lit(".example.org/p?id="), i,
+        F.lit("&amp;lang=en </loc>\n  <lastmod>2026-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod>\n  <changefreq>"),
+        F.element_at(F.array(F.lit("DAILY"), F.lit("weekly"), F.lit("bogus")),
+                     (F.col("doc_id") % 3).cast("int") + 1),
+        F.lit("</changefreq>\n  <priority>0."), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority>\n</url>\n"),
+    )
+    bodies = (
+        d.select(F.concat(F.lit("h"), j, F.lit(".example.org")).alias("host"),
+                 F.struct(F.col("doc_id"), frag.alias("frag")).alias("s"))
+        .groupBy("host")
+        .agg(F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+            F.array_join(F.transform(F.array_sort(F.collect_list("s")), lambda x: x["frag"]), ""),
+            F.lit("</urlset>"),
+        ).alias("body"))
+        .withColumn("sitemap_url", F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")))
+    )
+    entries = parse_sitemap_entries(bodies.select("host", "sitemap_url", "body"))
+    # spec-invalid changefreq nulls out by contract; '(invalid)' stands in
+    # for the driver's NULL-unsortable row compare
+    return entries.select(
+        "host", "loc", "lastmod",
+        F.coalesce("changefreq", F.lit("(invalid)")).alias("changefreq"),
+        F.round(F.col("priority"), 2).alias("priority"),
+    ).orderBy("loc")
+
+
+@_q(
+    "crawl_recrawl_schedule",
+    """
+    WITH h AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, CAST(r.r AS INT) AS rnd,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'a'
+               WHEN 1 THEN 'h' || CAST(r.r AS VARCHAR)
+               ELSE CASE WHEN r.r < 3 THEN 'a' ELSE 'b' END END AS ch
+      FROM documents, (SELECT unnest(range(5)) AS r) r),
+    m AS (
+      SELECT url, rnd,
+             CASE WHEN lag(ch) OVER w IS NULL THEN 0
+                  WHEN ch <> lag(ch) OVER w THEN 1 ELSE 0 END AS c
+      FROM h WINDOW w AS (PARTITION BY url ORDER BY rnd)),
+    p AS (
+      SELECT url, CAST(count(*) AS BIGINT) AS n_obs, CAST(sum(c) AS BIGINT) AS n_changes,
+             min(rnd) AS fr, CAST(max(rnd) AS INT) AS last_round
+      FROM m GROUP BY url),
+    s AS (
+      SELECT url, n_obs, n_changes, last_round,
+             CAST(CASE WHEN n_obs < 2 THEN 4
+                       WHEN n_changes = 0 THEN 8
+                       ELSE greatest(least((last_round - fr) // n_changes, 8), 1)
+                  END AS INT) AS interval_rounds
+      FROM p)
+    SELECT url, n_obs, n_changes, last_round, interval_rounds,
+           CAST(last_round + interval_rounds AS INT) AS next_due,
+           (last_round + interval_rounds <= 6) AS due
+    FROM s ORDER BY url
+    """,
+)
+def crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate revisit scheduling through the REAL module
+    (operators/recrawl.recrawl_schedule — Cho & Garcia-Molina TODS'03
+    revisit-proportional-to-change-rate, clamped): every URL gets 5
+    observations; doc_id % 3 picks never-changes (backs off to
+    max_interval), changes-every-round (interval 1, due now), and
+    changed-once (interval = span/1). One shuffle on url (window +
+    groupBy co-partitioned); the oracle replays the lag()-based change
+    marking and the clamp arithmetic. Beyond the reference (one-shot
+    crawl, no revisit policy)."""
+    from ba_gepris_crawler_spark.operators.recrawl import recrawl_schedule
+
+    d = _t(spark, sf_dir, "documents")
+    hist = d.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("round"),
+        (F.col("doc_id") % 3).cast("int").alias("m"),
+    ).select(
+        "url", F.col("round").cast("int").alias("round"),
+        F.when(F.col("m") == 0, F.lit("a"))
+        .when(F.col("m") == 1, F.concat(F.lit("h"), F.col("round").cast("string")))
+        .otherwise(F.when(F.col("round") < 3, F.lit("a")).otherwise(F.lit("b")))
+        .alias("content_hash"),
+    )
+    sched = recrawl_schedule(hist, now_round=6, min_interval=1, max_interval=8,
+                             bootstrap_interval=4)
+    return sched.select(
+        "url", "n_obs", "n_changes", "last_round",
+        F.col("interval").alias("interval_rounds"), "next_due", "due",
+    ).orderBy("url")
