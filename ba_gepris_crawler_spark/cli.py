@@ -56,6 +56,33 @@ def _settings(args: argparse.Namespace) -> CrawlSettings:
     )
 
 
+def _rebuild_from_config(
+    cfg: dict, fallback: CrawlSettings | None = None
+) -> tuple[SiteConfig, CrawlSettings]:
+    """Persisted config.json -> (site, settings). A crawl folder is
+    self-describing: replaying anything else would 404 every frontier URL
+    and poison the seen set. Raises ValueError/TypeError/KeyError on a
+    hand-edited/corrupt config (callers map to the JSON-error contract)."""
+    fb = fallback or CrawlSettings()
+    sc = dict(cfg["site"])
+    sc["hosts"] = tuple(sc["hosts"])
+    sc["disallow"] = tuple(tuple(x) for x in sc.get("disallow", ()))
+    site = SiteConfig(**{k: v for k, v in sc.items() if k in SiteConfig.__dataclass_fields__})
+    pol = dict(cfg["politeness"])
+    pol["disallow"] = tuple(tuple(x) for x in pol.get("disallow", ()))
+    pol["host_rates"] = tuple(tuple(x) for x in pol.get("host_rates", ()))
+    settings = CrawlSettings(
+        n_buckets=cfg.get("n_buckets", fb.n_buckets),
+        politeness=PolitenessConfig(**pol),
+        fetch_format=cfg.get("fetch_format", fb.fetch_format),
+        seen_filter=cfg.get("seen_filter", fb.seen_filter),
+        cuckoo_mode=cfg.get("cuckoo_mode", fb.cuckoo_mode),
+        cuckoo_shards=cfg.get("cuckoo_shards", fb.cuckoo_shards),
+        span_transport=cfg.get("span_transport", fb.span_transport),
+    )
+    return site, settings
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ba-gepris-crawler-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,6 +141,18 @@ def main(argv: list[str] | None = None) -> int:
             )
     d = sub.add_parser("dq")
     d.add_argument("root")
+    rc = sub.add_parser(
+        "recrawl",
+        help="stage the change-rate revisit due set (Cho & Garcia-Molina) and "
+             "run refetch rounds; config replays from the store's config.json",
+    )
+    rc.add_argument("root")
+    rc.add_argument("--max-rounds", type=int, default=10)
+    rc.add_argument("--now-round", dest="now_round", type=int, default=None,
+                    help="policy clock (default: latest committed round + 1)")
+    rc.add_argument("--min-interval", dest="min_interval", type=int, default=1)
+    rc.add_argument("--max-interval", dest="max_interval", type=int, default=64)
+    rc.add_argument("--bootstrap-interval", dest="bootstrap_interval", type=int, default=4)
     k = sub.add_parser("compact", help="merge delta dirs of the given tables into hash-clustered snapshots")
     k.add_argument("root")
     k.add_argument("--tables", nargs="+", default=["url_seen", "documents"])
@@ -130,7 +169,7 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--dry-run", dest="dry_run", action="store_true")
     args = p.parse_args(argv)
 
-    if args.cmd in ("gc", "compact", "export", "dq", "resume-crawl"):
+    if args.cmd in ("gc", "compact", "export", "dq", "resume-crawl", "recrawl"):
         # these operate on an EXISTING store; constructing one would mkdir
         # a skeleton at a mistyped path and report clean-looking empty
         # results — refuse pre-JVM instead (new-/stream-crawl create)
@@ -305,22 +344,7 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             if cfg is not None:
                 try:
-                    sc = dict(cfg["site"])
-                    sc["hosts"] = tuple(sc["hosts"])
-                    sc["disallow"] = tuple(tuple(x) for x in sc.get("disallow", ()))
-                    site = SiteConfig(**{k: v for k, v in sc.items() if k in SiteConfig.__dataclass_fields__})
-                    pol = dict(cfg["politeness"])
-                    pol["disallow"] = tuple(tuple(x) for x in pol.get("disallow", ()))
-                    pol["host_rates"] = tuple(tuple(x) for x in pol.get("host_rates", ()))
-                    settings = CrawlSettings(
-                        n_buckets=cfg.get("n_buckets", settings.n_buckets),
-                        politeness=PolitenessConfig(**pol),
-                        fetch_format=cfg.get("fetch_format", settings.fetch_format),
-                        seen_filter=cfg.get("seen_filter", settings.seen_filter),
-                        cuckoo_mode=cfg.get("cuckoo_mode", settings.cuckoo_mode),
-                        cuckoo_shards=cfg.get("cuckoo_shards", settings.cuckoo_shards),
-                        span_transport=cfg.get("span_transport", settings.span_transport),
-                    )
+                    site, settings = _rebuild_from_config(cfg, fallback=settings)
                     if not args.robots_file:
                         # the budgets relation is data, not config — but the
                         # bodies FILE path is replayable; reload it so resume
@@ -367,6 +391,46 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         for m in manifests:
             print(json.dumps(m["counters"]))
+        return 0
+
+    if args.cmd == "recrawl":
+        try:
+            cfg = store.load_config()
+        except (ValueError, OSError) as e:
+            print(json.dumps({"error": f"invalid persisted config: {e}"}))
+            return 2
+        if cfg is None:
+            print(json.dumps({"error": "no persisted config.json: recrawl "
+                                       "replays the crawl's own site/politeness"}))
+            return 2
+        try:
+            site, settings = _rebuild_from_config(cfg)
+            budgets = _budgets_from(cfg.get("robots_file"))
+        except (ValueError, TypeError, KeyError) as e:
+            print(json.dumps({"error": f"invalid persisted config: {e}"}))
+            return 2
+        engine = CrawlEngine(spark, site, store, settings)
+        engine.budgets_df = budgets
+        if not (1 <= args.min_interval <= args.max_interval):
+            print(json.dumps({"error": "need 1 <= --min-interval <= --max-interval"}))
+            return 2
+        n = engine.enqueue_recrawl(
+            now_round=args.now_round,
+            min_interval=args.min_interval,
+            max_interval=args.max_interval,
+            bootstrap_interval=args.bootstrap_interval,
+        )
+        print(json.dumps({"recrawl_enqueued": n}))
+        if n:
+            try:
+                manifests = engine.resume(max_rounds=args.max_rounds)
+            except ValueError as e:
+                # e.g. a budgets relation set via the Python API that
+                # config.json cannot reload — same contract as resume-crawl
+                print(json.dumps({"error": str(e)}))
+                return 2
+            for m in manifests:
+                print(json.dumps(m["counters"]))
         return 0
 
     if args.cmd == "compact":

@@ -64,6 +64,11 @@ SPANS_TEXT_SQL = "coalesce(get(filter(spans, s -> s.kind = 'text'), 0).text, '')
 # non-detail href). testing/golden_crawl.py pins the identical bound.
 _LINK_RE_SQL = "^/gepris/(projekt|person|institution)/(\\d{1,18})$"
 
+# absolute-URL splitter (scheme, authority, path) + the detail-path form,
+# shared by frontier_rows_from_urls and operators/redirects.py
+_URL_PARTS = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)"
+_DETAIL_PATH_RE = _LINK_RE_SQL
+
 
 def seed_frontier(spark, cfg: SiteConfig) -> DataFrame:
     """Stage-0 seeds: catalog page 0 for every (type, host) — built from
@@ -225,6 +230,46 @@ def discovered_urls(docs: DataFrame, cfg: SiteConfig, next_round: int) -> DataFr
         F.col("crawl_depth").cast("int"),
         F.col("priority").cast("int"),
         F.lit(next_round).cast("int").alias("discovered_round"),
+    )
+
+
+def frontier_rows_from_urls(
+    urls: DataFrame, next_round: int, url_col: str = "url", depth_col: str | None = None
+) -> DataFrame:
+    """Bare URL strings -> FRONTIER_SCHEMA rows, for feeds that supply
+    URLs without resource metadata (sitemap <loc> entries, redirect
+    Location targets): the detail form yields (type, id) from the path,
+    the catalog form yields type from resourceTypeQuery; anything else is
+    outside the site model and drops. depth_col (if given) carries the
+    SOURCE depth — rows come out one deeper (a redirect hop is one more
+    discovery step); absent, rows seed at depth 0. One projection, no
+    UDF, no shuffle (merge_frontier dedups downstream)."""
+    src = urls.select(
+        F.col(url_col).alias("_u"),
+        (F.col(depth_col) + 1).cast("int").alias("_d")
+        if depth_col
+        else F.lit(0).cast("int").alias("_d"),
+    )
+    host = F.regexp_extract("_u", _URL_PARTS, 2)
+    path = F.regexp_extract("_u", _URL_PARTS, 3)
+    d_type = F.regexp_extract(path, _DETAIL_PATH_RE, 1)
+    d_id = F.regexp_extract(path, _DETAIL_PATH_RE, 2)
+    c_type = F.when(
+        path == "/gepris/OCTOPUS",
+        F.regexp_extract("_u", "[?&]resourceTypeQuery=(projekt|person|institution)(&|$)", 1),
+    ).otherwise(F.lit(""))
+    urltype = F.when(d_type != "", d_type).otherwise(c_type)
+    cand = src.select(
+        F.col("_u").alias("url"),
+        host.alias("host"),
+        F.element_at(F.expr(_TYPE_FROM_URL_SQL), urltype).alias("resource_type"),
+        F.when(d_id != "", d_id).alias("resource_id"),
+        F.col("_d").alias("crawl_depth"),
+    ).filter(F.col("resource_type").isNotNull() & (F.col("host") != ""))
+    return _with_priority(cand).select(
+        "url", "host", "resource_type", "resource_id", "crawl_depth",
+        F.col("priority").cast("int"),
+        F.lit(int(next_round)).cast("int").alias("discovered_round"),
     )
 
 

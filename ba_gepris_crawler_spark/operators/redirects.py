@@ -226,3 +226,40 @@ def redirect_frontier(
             F.lit(next_round).cast("int").alias("discovered_round"),
         )
     )
+
+
+def round_redirect_frontier(docs: DataFrame, next_round: int) -> DataFrame:
+    """One crawl round's stored documents -> frontier candidates for its
+    redirect targets (the round loop's follow_redirects arm). Unlike
+    redirect_frontier above (offline: full chains already resolved from
+    historical fetch logs), a LIVE crawl learns each Location only by
+    fetching, so this advances every chain exactly one hop per round.
+
+    3xx rows carry their Location as a 'location' span — the one shape all
+    three span transports, the JSON-API body format, and HttpTransport's
+    real Location header all normalize to. The target absolutizes against
+    the source URL (RFC 3986), then must parse as a frontier-representable
+    form: a detail URL (type + id from the path) or a catalog URL (type
+    from resourceTypeQuery). Anything else is a redirect out of the site
+    model and drops (the source row is already quarantined + seen).
+
+    Chains and loops need no hop cap here: each hop costs one round, the
+    target re-enters through the SAME seen anti-join as every discovered
+    URL, so a loop (a->b->a) dies the moment it points at a seen URL —
+    the crawl-integrated analog of resolve_redirects' loop defense, and
+    strictly stronger (a crawl never refetches anything). Depth increments
+    per hop, so trap limits and depth-based policies see redirects as one
+    more discovery step. One projection over the already-written round
+    parquet: no UDF, no shuffle (merge_frontier dedups downstream)."""
+    from ba_gepris_crawler_spark.operators.frontier import frontier_rows_from_urls
+
+    loc = F.expr(
+        "get(filter(spans, s -> s.kind = 'location'), 0).media_ref"
+    )
+    targets = docs.filter(F.col("status").isin(*REDIRECT_STATUSES)).select(
+        absolutize_location(F.col("url"), loc).alias("target"),
+        F.col("crawl_depth").alias("src_depth"),
+    ).filter(F.col("target").isNotNull())
+    return frontier_rows_from_urls(
+        targets, next_round, url_col="target", depth_col="src_depth"
+    )

@@ -106,12 +106,16 @@ class HttpTransport:
     # -- one physical request -------------------------------------------
     def _request(
         self, logical_url: str, token: str | None, epoch: int
-    ) -> tuple[int, str, str | None]:
+    ) -> tuple[int, str, str | None, str | None]:
         """GET the logical URL through base_url. Returns (status, body,
-        set_cookie_header). urllib raises on >=400; both arms funnel into
-        the same (status, body) shape — a non-200 is DATA here, the round
-        loop quarantines it (the reference throws and dies,
-        CrawledResourceDetailDataGraph.scala:43-46)."""
+        set_cookie_header, location_header). urllib raises on >=400; both
+        arms funnel into the same (status, body) shape — a non-200 is DATA
+        here, the round loop quarantines it (the reference throws and dies,
+        CrawledResourceDetailDataGraph.scala:43-46). Redirects are NOT
+        auto-followed (urllib's default handler would chase them silently,
+        hiding the hop from politeness budgets and the seen set): a 3xx
+        surfaces as a status row whose Location header the engine turns
+        into a frontier candidate (operators/redirects.py)."""
         import http.client
         import urllib.error
         import urllib.request
@@ -122,15 +126,23 @@ class HttpTransport:
         if token is not None:
             headers["Cookie"] = f"JSESSIONID={token}"
         req = urllib.request.Request(self.base_url + path, headers=headers)
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, *a, **k):  # 3xx -> HTTPError arm below
+                return None
+
+        opener = urllib.request.build_opener(_NoRedirect)
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                status, raw, sc = r.status, r.read(), r.headers.get("Set-Cookie")
+            with opener.open(req, timeout=self.timeout) as r:
+                status, raw = r.status, r.read()
+                sc, loc = r.headers.get("Set-Cookie"), r.headers.get("Location")
         except urllib.error.HTTPError as e:
             try:
                 raw = e.read() if e.fp is not None else b""
             except (OSError, http.client.HTTPException):
                 raw = b""  # error body died mid-read: keep the status row
             sc = e.headers.get("Set-Cookie") if e.headers is not None else None
+            loc = e.headers.get("Location") if e.headers is not None else None
             status = e.code
         except (urllib.error.URLError, OSError, TimeoutError, http.client.HTTPException):
             # No usable HTTP response at all (refused/reset connection, DNS
@@ -140,7 +152,7 @@ class HttpTransport:
             # must quarantine one row, not kill the task and (after 4 stage
             # retries) the whole round. 599 is the informal network-error
             # status; the DQ liveness classifier buckets it as server_error.
-            return 599, "", None
+            return 599, "", None, None
         try:
             body = raw.decode("utf-8")
         except UnicodeDecodeError:
@@ -150,15 +162,15 @@ class HttpTransport:
             # escaped the socket-error arm above and killed the task
             # (review r5 final #2). A non-200 keeps its own status — its
             # body is discarded downstream anyway.
-            return (598 if status == 200 else status), "", sc
-        return status, body, sc
+            return (598 if status == 200 else status), "", sc, loc
+        return status, body, sc, loc
 
     def fetch_session_header(self, cfg: SiteConfig, epoch: int = 0) -> str:
         """Hit the session endpoint and return its raw Set-Cookie header —
         the reference reads Set-Cookie off the landing page
         (CookieFlowGraph.scala:39-44)."""
         host = cfg.hosts[0]
-        st, _body, sc = self._request(f"https://{host}{self.SESSION_PATH}", None, epoch)
+        st, _body, sc, _loc = self._request(f"https://{host}{self.SESSION_PATH}", None, epoch)
         if st != 200 or not sc:
             raise RuntimeError(f"session endpoint returned {st} with Set-Cookie={sc!r}")
         return sc
@@ -178,9 +190,9 @@ class HttpTransport:
         if not urls:
             return [], []
 
-        def one(url: str, tok: str | None) -> tuple[int, str]:
-            st, body, _sc = self._request(url, tok, epoch)
-            return st, body
+        def one(url: str, tok: str | None) -> tuple[int, str, str | None]:
+            st, body, _sc, loc = self._request(url, tok, epoch)
+            return st, body, loc
 
         with ThreadPoolExecutor(max_workers=min(self.max_in_flight, len(urls))) as pool:
             results = list(pool.map(lambda u: one(u, token), urls))
@@ -190,26 +202,45 @@ class HttpTransport:
             # a response without Set-Cookie) must NOT kill the task: the
             # 401 rows stay quarantined status rows and the next round
             # retries them with a fresh session.
-            if any(st == 401 for st, _ in results):
+            if any(st == 401 for st, _, _ in results):
                 try:
                     _n, token, _a = parse_set_cookie(self.fetch_session_header(cfg, epoch))
                 except (RuntimeError, ValueError):
                     token = None
                 if token is not None:
-                    retry_idx = [i for i, (st, _) in enumerate(results) if st == 401]
+                    retry_idx = [i for i, (st, _, _) in enumerate(results) if st == 401]
                     retried = list(pool.map(lambda i: one(urls[i], token), retry_idx))
                     for i, r in zip(retry_idx, retried):
                         results[i] = r
 
-        statuses = [st for st, _ in results]
+        statuses = [st for st, _, _ in results]
         if as_json:
-            return statuses, [body for _, body in results]
+            # a 3xx body is empty on the wire; re-encode the Location header
+            # as the location-span body the in-process server emits, so the
+            # plan-side from_json parse is transport-agnostic
+            bodies = []
+            for st, body, loc in results:
+                if 300 <= st < 400 and loc:
+                    bodies.append(json.dumps(
+                        {"spans": [{"kind": "location", "text": "",
+                                    "media_ref": loc, "offset": 0}]},
+                        separators=(",", ":"),
+                    ))
+                else:
+                    bodies.append(body)
+            return statuses, bodies
         # html-mode parse on the worker: the wire body is the site's span
         # serialization; decode it to the same tuple shape render_page emits.
         # A 200 with an undecodable body (truncated response, hostile
         # server) quarantines as 598 instead of raising through the task.
         payloads: list = []
-        for i, (st, body) in enumerate(results):
+        for i, (st, body, loc) in enumerate(results):
+            if 300 <= st < 400 and loc:
+                # Location header -> the same 'location' span the in-process
+                # render_page emits: the engine's redirect-following path is
+                # transport-agnostic by construction
+                payloads.append([("location", "", loc, 0)])
+                continue
             if st != 200 or not body:
                 payloads.append([])
                 continue

@@ -90,6 +90,12 @@ class CrawlSettings:
     # GEPRIS site cannot produce traps; real discovery feeds should pass
     # e.g. {} for the operators/frontier.py trap_heuristics defaults).
     trap_limits: dict | None = None
+    # follow HTTP 3xx: redirect targets become frontier candidates for the
+    # NEXT round (operators/redirects.round_redirect_frontier) — one hop per
+    # round, loops defused by the seen anti-join, depth +1 per hop. Off by
+    # default: the reference treats every non-200 as fatal, and with this
+    # off a 3xx is just another quarantined status row.
+    follow_redirects: bool = False
 
 
 class CrawlEngine:
@@ -122,6 +128,18 @@ class CrawlEngine:
         # serialized config — resume() keeps whatever the caller set on
         # the instance (the synthetic default replays identically).
         self.transport = None
+        # Optional extra-seed RELATION (one `url` column — e.g. sitemap
+        # <loc> entries via operators/sitemaps.parse_sitemap_entries):
+        # round 0 merges site-representable rows
+        # (frontier.frontier_rows_from_urls) into the catalog seeds. A
+        # live DataFrame like budgets_df; only round 0 consumes it, so
+        # resume needs no replay guard (round 0 is already committed).
+        self.seed_urls_df: DataFrame | None = None
+        # Staged recrawl set (enqueue_recrawl): frontier rows whose URLs
+        # re-enter the crawl; consumed by the next run_round, which also
+        # commits the matching seen-tombstones delta so the readmission
+        # replays on resume.
+        self._recrawl_df: DataFrame | None = None
         # session cookie cache (one Set-Cookie fetch+parse per epoch;
         # reference: CookieFlowGraph.scala:30-58)
         self._jar = CookieJar()
@@ -130,12 +148,34 @@ class CrawlEngine:
     def _prev_state(self, rnd: int) -> tuple[DataFrame, DataFrame]:
         if rnd == 0:
             frontier = FR.seed_frontier(self.spark, self.site)
+            if self.seed_urls_df is not None:
+                # extra seeds (e.g. sitemap locs): site-representable URLs
+                # become depth-0 frontier rows next to the catalog seeds
+                frontier = FR.merge_frontier(
+                    frontier,
+                    FR.frontier_rows_from_urls(self.seed_urls_df, next_round=0),
+                )
             seen = self.spark.createDataFrame([], URL_SEEN_SCHEMA)
         else:
             frontier = self.store.read_state("frontier", rnd - 1)
             seen = self.store.read_union("url_seen", rnd - 1)
             if seen is None:
                 seen = self.spark.createDataFrame([], URL_SEEN_SCHEMA)
+            else:
+                # recrawl tombstones: a (url, upto) row cancels that URL's
+                # seen rows THROUGH round `upto` — the refetch row (round >
+                # upto) re-seens it, so a tombstone is a one-shot
+                # readmission, not a permanent hole. Bounded: tombstones
+                # exist only for enqueued recrawl sets, and the join is
+                # co-keyed on url like every other seen-side op.
+                tomb = self.store.read_union("seen_tombstones", rnd - 1)
+                if tomb is not None:
+                    t = tomb.groupBy("url").agg(F.max("upto").alias("_upto"))
+                    seen = (
+                        seen.join(t, "url", "left")
+                        .filter(F.col("_upto").isNull() | (F.col("round") > F.col("_upto")))
+                        .drop("_upto")
+                    )
         return frontier, seen
 
     # ---------------- one round ----------------
@@ -153,6 +193,16 @@ class CrawlEngine:
                 _t = now
 
         frontier_prev, seen = self._prev_state(rnd)
+        recrawl = self._recrawl_df
+        if recrawl is not None:
+            # staged refetch set (enqueue_recrawl): rows join the frontier,
+            # and their PAST seen rows drop for this round (the persisted
+            # tombstone delta below replays the same exclusion for later
+            # rounds + resume). The bloom/cuckoo gate may still flag them
+            # maybe-seen — harmless, the exact anti-join against this
+            # effective seen set is what admits them.
+            frontier_prev = FR.merge_frontier(frontier_prev, recrawl)
+            seen = seen.join(recrawl.select("url"), "url", "left_anti")
         seen = seen.cache()
         # ONE manifest read per round (resume-critical path): counters are
         # carried forward, so no per-round count jobs and no re-reads
@@ -294,6 +344,9 @@ class CrawlEngine:
         n_candidates = (
             prev_counters.get("frontier_next")
             if prev_counters is not None and prev_counters.get("frontier_exact")
+            # a staged recrawl set changes the candidate count, so the
+            # carried-forward shortcut is stale — take the honest count
+            and recrawl is None
             else None
         )
         if n_candidates is None:
@@ -369,6 +422,7 @@ class CrawlEngine:
             F.min("host_rank").alias("min_rank"),
             F.max("virtual_cost_sec").alias("cost"),
             F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("errs"),
+            F.sum(F.when(F.col("status").between(300, 399), 1).otherwise(0)).alias("redirs"),
         ).cache()
         bucket_rows = (
             stats.groupBy("host_bucket")
@@ -376,6 +430,7 @@ class CrawlEngine:
                 F.sum("n").alias("fetched"),
                 F.max("cost").alias("virtual_cost_sec"),
                 F.sum("errs").alias("errs"),
+                F.sum("redirs").alias("redirs"),
             )
             .orderBy("host_bucket")
             .collect()
@@ -449,6 +504,13 @@ class CrawlEngine:
         # observed during the frontier write, not a separate job.
         disc_obs = Observation(f"disc-{rnd}")
         disc = FR.discovered_urls(docs, self.site, rnd + 1).observe(disc_obs, F.count(F.lit(1)).alias("n"))
+        if s.follow_redirects:
+            # 3xx targets -> next-round frontier candidates; same seen
+            # anti-join, same trap hygiene, same politeness as any
+            # discovered URL (operators/redirects.redirect_frontier)
+            from ba_gepris_crawler_spark.operators.redirects import round_redirect_frontier
+
+            disc = disc.unionByName(round_redirect_frontier(docs_stored, rnd + 1))
         if s.trap_limits is not None:
             # trap hygiene fuses into the discovery scan (no UDF, no shuffle)
             disc = FR.drop_traps(disc, **s.trap_limits)
@@ -470,6 +532,15 @@ class CrawlEngine:
         tables["url_seen"] = self.store.write_table("url_seen", rnd, seen_delta)
         _mark('write_seen')
         tables["frontier"] = self.store.write_table("frontier", rnd, next_frontier)
+        if recrawl is not None:
+            # persist the readmission: (url, upto=rnd-1) cancels every seen
+            # row written BEFORE this round, while this round's refetch row
+            # (round = rnd > upto) re-seens the URL — resume replays the
+            # exact same effective seen set from the store alone
+            tables["seen_tombstones"] = self.store.write_table(
+                "seen_tombstones", rnd,
+                recrawl.select("url", F.lit(rnd - 1).cast("int").alias("upto")),
+            )
 
         # the frontier write above executed the discovery sub-plan; the
         # observed metric is available now without its own job
@@ -508,7 +579,9 @@ class CrawlEngine:
             "round": rnd,
             "candidates": n_candidates,
             "fetched": n_fetched,
-            "errors": n_errors,
+            "errors": n_errors,  # every non-200 incl. redirects (quarantine class)
+            "redirects": int(sum(r["redirs"] for r in bucket_rows)),
+            "recrawl_enqueued": tables.get("seen_tombstones", 0),
             "discovered_raw": n_discovered_raw,
             "frontier_next": tables["frontier"],
             "frontier_exact": True,  # engine-written: already seen-anti-joined
@@ -527,6 +600,7 @@ class CrawlEngine:
         if timing:
             counters["phase_secs"] = phases
         manifest = self.store.commit(rnd, tables, counters, lineage_rows)
+        self._recrawl_df = None  # consumed; the tombstone delta is committed
         if s.compact_every and rnd > 0 and rnd % s.compact_every == 0:
             # post-commit so a compaction crash never loses a round; the
             # round's own manifest is already visible. url_seen gets the
@@ -620,6 +694,62 @@ class CrawlEngine:
                 )
         start = 0 if latest is None else latest + 1
         return self.run(max_rounds=max_rounds, start_round=start)
+
+    def enqueue_recrawl(
+        self,
+        now_round: int | None = None,
+        min_interval: int = 1,
+        max_interval: int = 64,
+        bootstrap_interval: int = 4,
+    ) -> int:
+        """Stage the DUE set of the change-rate revisit policy
+        (operators/recrawl.recrawl_schedule, Cho & Garcia-Molina TODS'03)
+        for the next run_round: per-URL change history comes from the
+        crawl's OWN documents table (content hash = xxhash64 over the span
+        payload), due URLs rejoin the frontier with their last-known
+        metadata, and the consuming round commits a seen-tombstones delta
+        so the readmission — and the refetch that re-seens each URL —
+        replays deterministically on resume. Returns the number staged
+        (0 = nothing due, nothing staged).
+
+        Scale: history aggregation is one shuffle on url (window + groupBy
+        co-partitioned, recrawl.py); the staged set is localCheckpointed
+        executor-resident rows, never driver-collected."""
+        from ba_gepris_crawler_spark.operators.recrawl import due_frontier, recrawl_schedule
+
+        latest = self.store.latest_round()
+        if latest is None:
+            return 0
+        docs = self.store.read_union("documents", latest)
+        if docs is None:
+            return 0
+        ok = docs.filter(F.col("status") == 200)
+        hist = ok.select(
+            "url", "round", F.xxhash64(F.to_json(F.col("spans"))).alias("content_hash")
+        )
+        sched = recrawl_schedule(
+            hist,
+            now_round=latest + 1 if now_round is None else now_round,
+            min_interval=min_interval,
+            max_interval=max_interval,
+            bootstrap_interval=bootstrap_interval,
+        )
+        # last-known frontier metadata per url (deterministic: newest round)
+        meta = ok.groupBy("url").agg(
+            F.max_by(
+                F.struct("host", "resource_type", "resource_id", "crawl_depth", "priority"),
+                F.col("round"),
+            ).alias("m")
+        ).select(
+            "url", "m.host", "m.resource_type", "m.resource_id",
+            F.col("m.crawl_depth").cast("int").alias("crawl_depth"),
+            F.col("m.priority").cast("int").alias("priority"),
+            F.lit(latest + 1).cast("int").alias("discovered_round"),
+        )
+        rows = due_frontier(sched, meta).localCheckpoint(eager=True)
+        n = rows.count()
+        self._recrawl_df = rows if n else None
+        return n
 
 
 def official_subject_areas(spark: SparkSession) -> DataFrame:

@@ -61,6 +61,21 @@ def _make_handler(cfg: SiteConfig):
             host = (self.headers.get("Host") or "").split(":")[0]
             logical_url = f"https://{host}{self.path}"
             status, body = render_page_json(cfg, logical_url, self._cookie_token(), epoch)
+            if 300 <= status < 400:
+                # a REAL redirect: the in-process model carries the target
+                # as a 'location' span (synthetic_site.render_page); on the
+                # wire it is the Location header and an empty body, which
+                # HttpTransport maps back to the same span shape
+                import json as _json
+
+                spans = _json.loads(body).get("spans") or []
+                loc = next((s["media_ref"] for s in spans if s["kind"] == "location"), None)
+                self.send_response(status)
+                if loc:
+                    self.send_header("Location", loc)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             payload = body.encode("utf-8")
             self.send_response(status)
             self.send_header("Content-Type", "application/json")

@@ -147,6 +147,15 @@ class SiteConfig:
     # answer 401 otherwise — the synthetic analog of the reference's
     # cookie-gated session (CookieFlowGraph.scala:30-58). 0 = no cookie.
     session_rounds: int = 0
+    # HTTP 3xx: when > 0, every detail page whose id % redirect_mod == 0
+    # answers 301 with a RELATIVE Location (RFC 9110 §10.2.2 allows it)
+    # pointing at the same resource's canonical form (…&canonical=1),
+    # which then answers 200 with identical spans. Exercises the engine's
+    # redirect-following path (operators/redirects.py + round loop);
+    # page CONTENT is unaffected, so a redirect-following crawl extracts
+    # byte-equal typed tables. 0 = no redirects (reference behavior: its
+    # fetch treats any non-200 as fatal).
+    redirect_mod: int = 0
 
     @property
     def id_base(self) -> dict[str, int]:
@@ -444,6 +453,17 @@ def render_page(
     base = cfg.id_base[rtype]
     if not (base <= int(rid) < base + cfg.n_of(rtype)) or cfg.host_of(rtype, rid) != p.host:
         return 404, []
+    if cfg.redirect_mod and int(rid) % cfg.redirect_mod == 0:
+        # non-canonical form moved permanently: RELATIVE Location (path +
+        # query), resolved by the engine via RFC 3986 merge
+        # (operators/redirects.absolutize_location). The wire carries the
+        # target as a 'location' span so every span transport and the
+        # JSON-API body format ship it unchanged; real HTTP maps it to/from
+        # the Location header (sources/http_site.py, HttpTransport).
+        if parse_qs(urlparse(url).query).get("canonical") != ["1"]:
+            return 301, [
+                ("location", "", f"/gepris/{URL_TYPE[rtype]}/{rid}?language=en&canonical=1", 0)
+            ]
     if cfg.error_mod and int(rid) % cfg.error_mod == 0:
         return 503, []
     spans = {"project": _project_spans, "person": _person_spans, "institution": _institution_spans}[rtype](cfg, rid)

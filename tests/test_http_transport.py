@@ -92,7 +92,7 @@ def test_http_set_cookie_header_and_401_retry(site, server):
 
     url = f"https://{site.hosts[0]}/gepris/projekt/100000"
     # stale epoch-0 token against epoch-3 pages: direct request is 401...
-    st, _body, _sc = t._request(url, session_token(site, 0), 3)
+    st, _body, _sc, _loc = t._request(url, session_token(site, 0), 3)
     assert st == 401
     # ...but the batched fetch recovers through the Set-Cookie flow
     statuses, bodies = t.fetch_batch(
@@ -183,8 +183,8 @@ def test_malformed_200_body_quarantines_as_598(site, server, monkeypatch):
     real = HttpTransport._request
 
     def corrupt(self, url, token, epoch):
-        st, body, sc = real(self, url, token, epoch)
-        return st, "<html>not json</html>" if st == 200 else body, sc
+        st, body, sc, loc = real(self, url, token, epoch)
+        return st, "<html>not json</html>" if st == 200 else body, sc, loc
 
     monkeypatch.setattr(HttpTransport, "_request", corrupt)
     sts, payloads = t.fetch_batch(site, _urls(site)[:1], session_token(site, 0), 0, as_json=False)

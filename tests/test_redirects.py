@@ -143,3 +143,122 @@ def test_redirect_frontier_rows(spark):
     assert r["host"] == "h2.org"
     assert r["crawl_depth"] == 4
     assert r["discovered_round"] == 7
+
+
+# ---------------------------------------------------------------------------
+# Engine integration: follow_redirects in the round loop, over BOTH the
+# in-process transport and real HTTP (Location header round-trip).
+# ---------------------------------------------------------------------------
+
+from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig
+from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+from ba_gepris_crawler_spark.plans.round_loop import CrawlEngine, CrawlSettings
+from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig
+
+
+def _site(redirect_mod: int) -> SiteConfig:
+    return SiteConfig(
+        hosts=("h0.example.org", "h1.example.org"),
+        n_projects=14, n_persons=8, n_institutions=4,
+        hits_per_page=6, seed=19, redirect_mod=redirect_mod,
+    )
+
+
+def _crawl(spark, tmp, site, follow: bool, extract: bool = True):
+    store = SnapshotStore(spark, tmp)
+    eng = CrawlEngine(
+        spark, site, store,
+        CrawlSettings(
+            n_buckets=4, extract=extract, follow_redirects=follow,
+            politeness=PolitenessConfig(per_host_rate=50, round_seconds=1.0),
+        ),
+    )
+    manifests = eng.run(max_rounds=20)
+    return store, manifests
+
+
+def _moved_ids(site: SiteConfig) -> set[str]:
+    out = set()
+    for rtype in ("project", "person", "institution"):
+        base = site.id_base[rtype]
+        out |= {str(base + i) for i in range(site.n_of(rtype))
+                if (base + i) % site.redirect_mod == 0}
+    return out
+
+
+def test_engine_follow_redirects_extraction_equality(spark, tmp_path_factory):
+    """A crawl over the redirecting site with follow_redirects=True must
+    extract byte-equal typed tables to a crawl of the same site without
+    redirects: the 301 hop adds a round and a quarantined status row but
+    never changes WHAT is extracted."""
+    site_r = _site(redirect_mod=4)
+    site_p = _site(redirect_mod=0)
+    store_r, man_r = _crawl(spark, tmp_path_factory.mktemp("red"), site_r, follow=True)
+    store_p, man_p = _crawl(spark, tmp_path_factory.mktemp("plain"), site_p, follow=False)
+
+    for table in ("projects", "persons", "institutions", "eav"):
+        a = store_r.read_union(table, store_r.latest_round())
+        b = store_p.read_union(table, store_p.latest_round())
+        cols = sorted(c for c in a.columns if c != "round")
+        got = sorted(map(tuple, a.select(*cols).collect()))
+        want = sorted(map(tuple, b.select(*cols).collect()))
+        assert got == want, table
+
+    # every moved resource left a 301 source row AND a 200 canonical row
+    seen = store_r.read_union("url_seen", store_r.latest_round())
+    moved = _moved_ids(site_r)
+    got301 = {r["url"] for r in seen.filter(F.col("status") == 301).collect()}
+    got200 = {r["url"] for r in seen.filter(F.col("status") == 200).collect()}
+    for rid in moved:
+        assert any(f"/{rid}?" in u and "canonical=1" not in u for u in got301), rid
+        assert any(f"/{rid}?" in u and "canonical=1" in u for u in got200), rid
+    # manifest counters account for exactly the moved set
+    assert sum(m["counters"].get("redirects", 0) for m in man_r) == len(moved)
+    assert sum(m["counters"].get("redirects", 0) for m in man_p) == 0
+
+
+def test_engine_redirects_off_quarantines_targets_unfetched(spark, tmp_path_factory):
+    """follow_redirects=False (reference semantics): the 301 rows quarantine
+    and their canonical targets are never fetched."""
+    site = _site(redirect_mod=4)
+    store, _ = _crawl(spark, tmp_path_factory.mktemp("noff"), site, follow=False, extract=False)
+    seen = store.read_union("url_seen", store.latest_round())
+    assert seen.filter(F.col("status") == 301).count() == len(_moved_ids(site))
+    assert seen.filter(F.col("url").contains("canonical=1")).count() == 0
+
+
+def test_http_transport_redirect_crawl_equals_in_process(spark, tmp_path_factory):
+    """Real-socket redirects: the Location HEADER emitted by the localhost
+    server must round-trip through HttpTransport into the same crawl the
+    in-process location-span path produces (url_seen set + statuses equal,
+    documents span-equal)."""
+    from ba_gepris_crawler_spark.operators.transport import HttpTransport
+    from ba_gepris_crawler_spark.sources.http_site import SyntheticSiteHTTPServer
+
+    site = _site(redirect_mod=5)
+    store_a, _ = _crawl(spark, tmp_path_factory.mktemp("inproc"), site, follow=True, extract=False)
+
+    with SyntheticSiteHTTPServer(site) as srv:
+        store_b = SnapshotStore(spark, tmp_path_factory.mktemp("http"))
+        eng = CrawlEngine(
+            spark, site, store_b,
+            CrawlSettings(
+                n_buckets=4, extract=False, follow_redirects=True,
+                politeness=PolitenessConfig(per_host_rate=50, round_seconds=1.0),
+            ),
+        )
+        eng.transport = HttpTransport(srv.base_url)
+        eng.run(max_rounds=20)
+
+    a = store_a.read_union("url_seen", store_a.latest_round())
+    b = store_b.read_union("url_seen", store_b.latest_round())
+    key = lambda df: sorted((r["url"], r["round"], r["seq"], r["status"]) for r in df.collect())
+    assert key(a) == key(b)
+
+    da = store_a.read_union("documents", store_a.latest_round())
+    db = store_b.read_union("documents", store_b.latest_round())
+    span_key = lambda df: sorted(
+        (r["doc_id"], r["status"], tuple(map(tuple, r["spans"] or [])))
+        for r in df.collect()
+    )
+    assert span_key(da) == span_key(db)

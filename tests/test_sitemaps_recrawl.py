@@ -149,3 +149,121 @@ def test_due_frontier_semi_join(spark):
     )
     kept = sorted(r["url"] for r in due_frontier(sched, frontier).collect())
     assert kept == ["u1"]  # u2 never changed (backoff), u3 unknown
+
+
+# ---------------------------------------------------------------------------
+# Engine integration: sitemap-seeded round 0 and the recrawl/tombstone cycle.
+# ---------------------------------------------------------------------------
+
+from ba_gepris_crawler_spark.operators.politeness import PolitenessConfig
+from ba_gepris_crawler_spark.plans.checkpoint import SnapshotStore
+from ba_gepris_crawler_spark.plans.round_loop import CrawlEngine, CrawlSettings
+from ba_gepris_crawler_spark.sources.synthetic_site import SiteConfig, detail_url
+
+
+def _site() -> SiteConfig:
+    return SiteConfig(
+        hosts=("h0.example.org", "h1.example.org"),
+        n_projects=12, n_persons=8, n_institutions=4,
+        hits_per_page=5, seed=23,
+    )
+
+
+def _engine(spark, tmp, site) -> CrawlEngine:
+    return CrawlEngine(
+        spark, site, SnapshotStore(spark, tmp),
+        CrawlSettings(
+            n_buckets=4, extract=False,
+            politeness=PolitenessConfig(per_host_rate=40, round_seconds=1.0),
+        ),
+    )
+
+
+def _sitemap_body(urls: list[str]) -> str:
+    frags = "".join(
+        f"<url><loc>{u.replace('&', '&amp;')}</loc></url>\n" for u in urls
+    )
+    return f'<?xml version="1.0"?>\n<urlset>\n{frags}</urlset>'
+
+
+def test_engine_sitemap_seeds_fetch_in_round_zero(spark, tmp_path_factory):
+    """Sitemap locs parsed by the REAL parser seed round 0 next to the
+    catalog seeds: the listed detail pages are fetched in round 0 (a plain
+    crawl reaches them only after catalog pagination), and the final seen
+    set is identical — seeding accelerates, never changes, the crawl."""
+    site = _site()
+    listed = [detail_url(site, "person", rid) for rid in site.ids("person")[:5]]
+    bodies = spark.createDataFrame(
+        [("https://h0.example.org/sitemap.xml", _sitemap_body(listed))],
+        "sitemap_url string, body string",
+    )
+    entries = parse_sitemap_entries(bodies)
+
+    eng = _engine(spark, tmp_path_factory.mktemp("smseed"), _site())
+    eng.seed_urls_df = entries.select(F.col("loc").alias("url"))
+    eng.run(max_rounds=20)
+    seeded_seen = eng.store.read_union("url_seen", eng.store.latest_round())
+    r0 = {r["url"] for r in seeded_seen.filter(F.col("round") == 0).collect()}
+    assert set(listed) <= r0
+
+    plain = _engine(spark, tmp_path_factory.mktemp("plain"), _site())
+    plain.run(max_rounds=20)
+    plain_seen = plain.store.read_union("url_seen", plain.store.latest_round())
+    assert {r["url"] for r in seeded_seen.select("url").collect()} == \
+           {r["url"] for r in plain_seen.select("url").collect()}
+    # in the plain crawl, detail pages can't appear before round 1
+    assert not any("person" in u and "/gepris/person/" in u
+                   for u in {r["url"] for r in plain_seen.filter(F.col("round") == 0).collect()})
+
+
+def test_engine_recrawl_cycle_and_resume(spark, tmp_path_factory):
+    """Full recrawl cycle: crawl to done -> enqueue_recrawl stages every
+    bootstrap-due URL -> the next round refetches exactly that set (second
+    url_seen row per URL, tombstone delta committed) -> the crawl
+    re-converges -> a FRESH engine resume on the same store sees the
+    tombstoned history and converges immediately without refetching."""
+    site = _site()
+    eng = _engine(spark, tmp_path_factory.mktemp("recrawl"), site)
+    eng.run(max_rounds=20)
+    store = eng.store
+    done_round = store.latest_round()
+    ok_urls = {
+        r["url"]
+        for r in store.read_union("url_seen", done_round)
+        .filter(F.col("status") == 200).collect()
+    }
+
+    # single-observation URLs take bootstrap_interval=2; now = last+2 -> due
+    n = eng.enqueue_recrawl(now_round=done_round + 2, max_interval=2, bootstrap_interval=2)
+    assert n == len(ok_urls)
+    manifests = eng.run(max_rounds=10, start_round=done_round + 1)
+    refetch_round = done_round + 1
+    assert manifests[0]["counters"]["recrawl_enqueued"] == n
+    assert manifests[-1]["counters"]["done"]
+
+    seen = store.read_union("url_seen", store.latest_round())
+    per_url = {
+        r["url"]: r["n"]
+        for r in seen.filter(F.col("status") == 200)
+        .groupBy("url").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_url) == ok_urls
+    assert all(c == 2 for c in per_url.values()), "every due URL refetched exactly once"
+    refetched = {r["url"] for r in seen.filter(F.col("round") == refetch_round).collect()}
+    assert refetched == ok_urls
+
+    # post-refetch history: two observations, zero changes (site is static)
+    docs = store.read_union("documents", store.latest_round()).filter(F.col("status") == 200)
+    hist = docs.select("url", "round", F.xxhash64(F.to_json(F.col("spans"))).alias("content_hash"))
+    sched = recrawl_schedule(hist, now_round=refetch_round + 1, max_interval=8)
+    two = sched.filter(F.col("n_obs") == 2)
+    assert two.count() == len(ok_urls)
+    assert two.filter(F.col("n_changes") != 0).count() == 0
+
+    # fresh engine on the same store: tombstones replay from parquet; the
+    # refetch rows (round > upto) keep every URL seen -> instant done
+    eng2 = CrawlEngine(spark, site, store, eng.s)
+    m2 = eng2.resume(max_rounds=5)
+    assert m2[-1]["counters"]["done"]
+    after = store.read_union("url_seen", store.latest_round())
+    assert after.count() == seen.count(), "resume refetched nothing"
