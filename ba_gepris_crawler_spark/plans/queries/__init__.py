@@ -113,6 +113,7 @@ _CANONICAL_ORDER = [
     "crawl_redirect_resolve",
     "crawl_sitemap_parse",
     "crawl_recrawl_schedule",
+    "crawl_seed_url_recognizer",
 ]
 
 # Round-5 rotation: the 23 names rowed only in round 3 (the round-4 head
@@ -126,6 +127,7 @@ _HEAD_FIRST = [
     "crawl_redirect_resolve",
     "crawl_sitemap_parse",
     "crawl_recrawl_schedule",
+    "crawl_seed_url_recognizer",
     "dedup_clusters",
     "emb_cosine_topk",
     "emb_ivf_assign",

@@ -1268,3 +1268,70 @@ def crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "n_obs", "n_changes", "last_round",
         F.col("interval").alias("interval_rounds"), "next_due", "due",
     ).orderBy("url")
+
+
+@_q(
+    "crawl_seed_url_recognizer",
+    """
+    WITH u AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INT) AS m,
+             'h' || CAST(doc_id % 2 AS VARCHAR) || '.example.org' AS h
+      FROM documents),
+    urls AS (
+      SELECT CASE m
+               WHEN 0 THEN 'https://' || h || '/gepris/projekt/'
+                           || CAST(100000 + doc_id AS VARCHAR) || '?language=en'
+               WHEN 1 THEN 'https://' || h || '/gepris/person/'
+                           || CAST(200000 + doc_id AS VARCHAR) || '?language=en'
+               WHEN 2 THEN 'https://' || h || '/gepris/OCTOPUS?context=projekt&hitsPerPage=50'
+                           || '&index=0&resourceTypeQuery=institution&language=en'
+               ELSE 'https://other.example.org/blog/' || CAST(doc_id AS VARCHAR)
+             END AS url, m, h,
+             CASE m WHEN 0 THEN CAST(100000 + doc_id AS VARCHAR)
+                    WHEN 1 THEN CAST(200000 + doc_id AS VARCHAR) END AS rid
+      FROM u)
+    SELECT url, h AS host,
+           CASE m WHEN 0 THEN 'project' WHEN 1 THEN 'person'
+                  WHEN 2 THEN 'institution' END AS resource_type,
+           coalesce(rid, '') AS resource_id,
+           0 AS crawl_depth,
+           CASE m WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS priority,
+           0 AS discovered_round
+    FROM urls WHERE m < 3 ORDER BY url
+    """,
+)
+def crawl_seed_url_recognizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared seed-URL recognizer through the REAL module
+    (operators/frontier.frontier_rows_from_urls): bare URL strings (e.g.
+    sitemap <loc> entries, redirect Location targets) parse into
+    FRONTIER_SCHEMA rows — detail forms yield (type, id) from the path,
+    catalog forms yield the type from resourceTypeQuery, foreign URLs
+    drop, and the scheduler priority is the engine's type ladder
+    (catalog 0 < project 1 < person 2 < institution 3). One Catalyst
+    projection, plan-asserted Python- and shuffle-free
+    (tests/test_redirects.py). The oracle replays the recognition rules
+    directly. Beyond the reference (hard-coded seed URLs,
+    PaginatedResourceCatalogUrlsGraph.scala:12-28)."""
+    from ba_gepris_crawler_spark.operators.frontier import frontier_rows_from_urls
+
+    d = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 4).cast("int")
+    h = F.concat(F.lit("h"), (F.col("doc_id") % 2).cast("string"), F.lit(".example.org"))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://"), h, F.lit("/gepris/projekt/"),
+                                (F.col("doc_id") + 100000).cast("string"), F.lit("?language=en")))
+        .when(m == 1, F.concat(F.lit("https://"), h, F.lit("/gepris/person/"),
+                               (F.col("doc_id") + 200000).cast("string"), F.lit("?language=en")))
+        .when(m == 2, F.concat(F.lit("https://"), h,
+                               F.lit("/gepris/OCTOPUS?context=projekt&hitsPerPage=50"
+                                     "&index=0&resourceTypeQuery=institution&language=en")))
+        .otherwise(F.concat(F.lit("https://other.example.org/blog/"), F.col("doc_id").cast("string")))
+    )
+    rows = frontier_rows_from_urls(d.select(url.alias("url")), next_round=0)
+    # resource_id is NULL for catalog rows by contract; '' stands in for
+    # the driver's NULL-unsortable row compare
+    return rows.select(
+        "url", "host", "resource_type",
+        F.coalesce("resource_id", F.lit("")).alias("resource_id"),
+        "crawl_depth", "priority", "discovered_round",
+    ).orderBy("url")

@@ -262,3 +262,55 @@ def test_http_transport_redirect_crawl_equals_in_process(spark, tmp_path_factory
         for r in df.collect()
     )
     assert span_key(da) == span_key(db)
+
+
+def test_round_redirect_frontier_plan_is_python_and_shuffle_free(spark):
+    """The live redirect arm is one projection over the round parquet:
+    no Python eval, no Exchange (merge_frontier's groupBy does the dedup
+    downstream, not this operator)."""
+    from ba_gepris_crawler_spark.operators.redirects import round_redirect_frontier
+
+    docs = spark.createDataFrame(
+        [("https://h.org/gepris/projekt/5", 301,
+          [{"kind": "location", "text": "", "media_ref": "/gepris/projekt/6?language=en", "offset": 0}], 1)],
+        "url string, status int, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "crawl_depth int",
+    )
+    out = round_redirect_frontier(docs, next_round=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+    rows = out.collect()
+    assert [r["url"] for r in rows] == ["https://h.org/gepris/projekt/6?language=en"]
+    assert rows[0]["resource_type"] == "project" and rows[0]["resource_id"] == "6"
+    assert rows[0]["crawl_depth"] == 2
+
+
+def test_frontier_rows_from_urls_recognizes_forms(spark):
+    """The shared URL recognizer: detail and catalog forms parse into
+    frontier metadata; foreign URLs drop; Python/shuffle-free plan."""
+    from ba_gepris_crawler_spark.operators.frontier import frontier_rows_from_urls
+
+    urls = spark.createDataFrame(
+        [
+            ("https://h.org/gepris/person/200001?language=en",),
+            ("https://h.org/gepris/OCTOPUS?context=projekt&index=0&resourceTypeQuery=projekt",),
+            ("https://elsewhere.org/not/gepris",),
+            ("relative/not-a-url",),
+        ],
+        "url string",
+    )
+    out = frontier_rows_from_urls(urls, next_round=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan, plan
+    rows = {r["url"]: r for r in out.collect()}
+    assert set(rows) == {
+        "https://h.org/gepris/person/200001?language=en",
+        "https://h.org/gepris/OCTOPUS?context=projekt&index=0&resourceTypeQuery=projekt",
+    }
+    det = rows["https://h.org/gepris/person/200001?language=en"]
+    assert det["resource_type"] == "person" and det["resource_id"] == "200001"
+    cat = rows["https://h.org/gepris/OCTOPUS?context=projekt&index=0&resourceTypeQuery=projekt"]
+    assert cat["resource_type"] == "project" and cat["resource_id"] is None
+    assert all(r["crawl_depth"] == 0 and r["discovered_round"] == 0 for r in rows.values())
