@@ -133,3 +133,31 @@ def sitemap_frontier(entries: DataFrame, next_round: int = 0) -> DataFrame:
         F.round((1.0 - F.col("priority")) * 10).cast("int").alias("priority"),
         F.lit(next_round).cast("int").alias("discovered_round"),
     )
+
+
+def sitemap_urls_from_robots(
+    bodies: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt bodies -> (host, sitemap_url) rows, one per `Sitemap:`
+    line (RFC 9309 §2.3 / sitemaps.org: the field is independent of
+    user-agent groups, so it parses file-wide — unlike Allow/Disallow,
+    which politeness.parse_robots_rules_distributed scopes per group).
+    Field name matches case-insensitively, the value must be an absolute
+    URL by spec (non-URL values drop), and the body is sliced to the same
+    500 KiB hostile-input cap as the rules parse. Pure Catalyst: fuses
+    into whatever scan produced the bodies relation. Output feeds the
+    normal fetch stage; fetched sitemap bodies then flow through
+    parse_sitemap_entries -> engine.seed_urls_df — the full
+    robots -> sitemap -> frontier pipeline with nothing on the driver."""
+    from ba_gepris_crawler_spark.operators.politeness import _MAX_ROBOTS_BODY
+
+    body = F.substring(F.col(body_col), 1, _MAX_ROBOTS_BODY)
+    urls = F.regexp_extract_all(
+        body, F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)[ \t\r]*$"), 1
+    )
+    return (
+        bodies.select(F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"))
+    )

@@ -114,6 +114,7 @@ _CANONICAL_ORDER = [
     "crawl_sitemap_parse",
     "crawl_recrawl_schedule",
     "crawl_seed_url_recognizer",
+    "crawl_robots_sitemap_discovery",
 ]
 
 # Round-5 rotation: the 23 names rowed only in round 3 (the round-4 head
@@ -128,6 +129,7 @@ _HEAD_FIRST = [
     "crawl_sitemap_parse",
     "crawl_recrawl_schedule",
     "crawl_seed_url_recognizer",
+    "crawl_robots_sitemap_discovery",
     "dedup_clusters",
     "emb_cosine_topk",
     "emb_ivf_assign",

@@ -1335,3 +1335,42 @@ def crawl_seed_url_recognizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("resource_id", F.lit("")).alias("resource_id"),
         "crawl_depth", "priority", "discovered_round",
     ).orderBy("url")
+
+
+@_q(
+    "crawl_robots_sitemap_discovery",
+    """
+    WITH h AS (SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.org' AS host,
+                      CAST(doc_id % 3 AS INT) AS m FROM documents),
+    e AS (
+      SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url FROM h
+      UNION ALL
+      SELECT host, 'https://' || host || '/s2.xml' FROM h)
+    SELECT host, sitemap_url FROM e ORDER BY host, sitemap_url
+    """,
+)
+def crawl_robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt -> sitemap URLs through the REAL module
+    (operators/sitemaps.sitemap_urls_from_robots): the `Sitemap:` field is
+    user-agent-independent (RFC 9309 §2.3), matches case-insensitively
+    with arbitrary field-name whitespace, and must carry an absolute URL —
+    the fixture plants a mixed-case `sItEmAp:` line, trailing whitespace,
+    and (on every third host) a RELATIVE value that must drop. The oracle
+    emits the expected (host, url) pairs directly, so the build->parse
+    round-trip must be lossless. Completes the distributed robots pipeline
+    (rules: crawl_robots_distributed_parse; budgets:
+    crawl_crawl_delay_budget) with seed discovery."""
+    from ba_gepris_crawler_spark.operators.sitemaps import sitemap_urls_from_robots
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".example.org"))
+    m = (F.col("doc_id") % 3).cast("int")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\n"),
+        F.lit("Sitemap: https://"), host, F.lit("/sitemap.xml\n"),
+        F.when(m == 0, F.lit("Sitemap: /relative-drops.xml\n")).otherwise(F.lit("")),
+        F.lit("  sItEmAp:\thttps://"), host, F.lit("/s2.xml  \n"),
+        F.lit("Crawl-delay: 2\n"),
+    )
+    robots = d.select(host.alias("host"), body.alias("robots_txt"))
+    return sitemap_urls_from_robots(robots).orderBy("host", "sitemap_url")

@@ -267,3 +267,26 @@ def test_engine_recrawl_cycle_and_resume(spark, tmp_path_factory):
     assert m2[-1]["counters"]["done"]
     after = store.read_union("url_seen", store.latest_round())
     assert after.count() == seen.count(), "resume refetched nothing"
+
+
+def test_sitemap_urls_from_robots(spark):
+    """Sitemap: lines parse file-wide (user-agent independent), match
+    case-insensitively, keep only absolute URLs, and survive the 500 KiB
+    body cap; the plan is Python-free."""
+    from ba_gepris_crawler_spark.operators.sitemaps import sitemap_urls_from_robots
+
+    body = (
+        "User-agent: a\nDisallow: /\n"
+        "Sitemap: https://h.org/a.xml\n"
+        "User-agent: b\n"
+        "  SITEMAP:\thttps://h.org/b.xml.gz  \n"
+        "sitemap: relative/drops.xml\n"
+        "sitemapX: https://h.org/not-the-field.xml\n"
+        "# Sitemap: https://h.org/commented-still-not-line-anchored.xml\n"
+    )
+    df = spark.createDataFrame([("h.org", body)], "host string, robots_txt string")
+    out = sitemap_urls_from_robots(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    got = sorted(r["sitemap_url"] for r in out.collect())
+    assert got == ["https://h.org/a.xml", "https://h.org/b.xml.gz"]
