@@ -71,6 +71,7 @@ def fetch_pages(
     host_rates: tuple[tuple[str, float], ...] = (),
     span_transport: str = "json",
     transport=None,
+    validators: DataFrame | None = None,
 ) -> DataFrame:
     """scheduled: output of politeness.schedule_round(...).fetch_now.
     Returns the same rows + (status, spans-or-body, virtual_cost_sec).
@@ -98,6 +99,15 @@ def fetch_pages(
     check needs_span_parse(fetched) to know whether to apply
     parse_json_spans before treating the result as documents.
 
+    validators: optional (url, etag) relation (operators/revalidate.py —
+    staged by enqueue_recrawl for the due set). Joined co-keyed onto the
+    scheduled rows; each row's etag rides to the worker and out as a
+    conditional request (If-None-Match), so an unchanged page answers 304
+    with NO body — re-seen and budget-charged, nothing re-parsed. Passing
+    validators requires a transport whose fetch_batch accepts the `etags`
+    keyword (both shipped transports do); with validators=None the
+    transport call is byte-identical to the pre-revalidation contract.
+
     transport: the pluggable network seam (operators/transport.py).
     None (default) = SyntheticTransport, the in-process deterministic
     site; pass an HttpTransport for real sockets. The transport is
@@ -123,6 +133,11 @@ def fetch_pages(
     ship_arrays = not as_json and span_transport == "arrays"
     if transport is None:
         transport = SyntheticTransport()
+    if validators is not None:
+        # attach each due URL's validator; co-keyed join (AQE broadcasts
+        # when the staged due set is small). Rows without one (first
+        # fetch, or a quarantined history) fetch unconditionally.
+        scheduled = scheduled.join(validators.select("url", "etag"), "url", "left")
 
     in_schema = scheduled.schema
     result_fields = (
@@ -130,9 +145,10 @@ def fetch_pages(
         else ARRAYS_FETCH_RESULT_FIELDS if ship_arrays
         else FETCH_RESULT_FIELDS
     )
-    # host_max_slot is a scheduler-planted pricing input, not a fetch
-    # output: consume it below, keep the output schema transport-stable
-    passthrough = [fld for fld in in_schema.fields if fld.name != "host_max_slot"]
+    # host_max_slot is a scheduler-planted pricing input and etag a
+    # validator input, not fetch outputs: consume them below, keep the
+    # output schema transport-stable
+    passthrough = [fld for fld in in_schema.fields if fld.name not in ("host_max_slot", "etag")]
     out_schema = T.StructType(passthrough + result_fields)
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,9 +159,18 @@ def fetch_pages(
         for pdf in batches:
             # one transport round-trip per Arrow batch: the transport owns
             # in-batch concurrency and the 401 -> refresh -> retry flow
-            statuses, raw = transport.fetch_batch(
-                cfg, list(pdf["url"]), token, epoch, as_json
-            )
+            if "etag" in pdf.columns:
+                # conditional refetch: NaN/None (no staged validator) fetch
+                # unconditionally; the kwarg is only sent when validators
+                # were joined, so legacy transports stay call-compatible
+                etags = [e if isinstance(e, str) else None for e in pdf["etag"]]
+                statuses, raw = transport.fetch_batch(
+                    cfg, list(pdf["url"]), token, epoch, as_json, etags=etags
+                )
+            else:
+                statuses, raw = transport.fetch_batch(
+                    cfg, list(pdf["url"]), token, epoch, as_json
+                )
             if as_json:
                 out = {"body": raw}  # raw body strings, parsed in the plan
             elif ship_json:

@@ -53,7 +53,19 @@ def recrawl_schedule(
         F.col(url_col).alias("url"), F.col(round_col).cast("int").alias("rnd")
     ).agg(F.max(hash_col).alias("h"))
     w = Window.partitionBy("url").orderBy("rnd")
-    marked = obs.withColumn(
+    # NULL hash = a revalidated-unchanged observation (a 304 conditional
+    # refetch carries no payload to hash): forward-fill from the last
+    # hashed observation so it counts as no-change evidence — and so a
+    # LATER real change still compares against the revalidated content,
+    # not against NULL. Same shuffle: the fill window shares the
+    # partition/order of the change-marking window.
+    filled = obs.withColumn(
+        "h",
+        F.last("h", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    marked = filled.withColumn(
         "changed",
         F.when(F.lag("h").over(w).isNull(), F.lit(0))
         .when(F.col("h") != F.lag("h").over(w), F.lit(1))

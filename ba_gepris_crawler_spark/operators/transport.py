@@ -44,7 +44,6 @@ from ba_gepris_crawler_spark.sources.synthetic_site import (
     SiteConfig,
     fetch_session_header,
     render_page,
-    render_page_json,
 )
 
 SPAN_TUPLE_KEYS = ("kind", "text", "media_ref", "offset")
@@ -65,19 +64,28 @@ class SyntheticTransport:
         token: str | None,
         epoch: int,
         as_json: bool,
+        etags: list[str | None] | None = None,
     ) -> tuple[list[int], list]:
         from ba_gepris_crawler_spark.operators.cookies import parse_set_cookie
+        from ba_gepris_crawler_spark.operators.revalidate import span_etag_py
+        from ba_gepris_crawler_spark.sources.synthetic_site import spans_to_json_body
 
-        get = render_page_json if as_json else render_page
         statuses: list[int] = []
         payloads: list = []
-        for url in urls:
-            st, pl = get(cfg, url, token, epoch)  # simulated HTTP round-trip
+        for i, url in enumerate(urls):
+            st, spans = render_page(cfg, url, token, epoch)  # simulated round-trip
             if st == 401:  # stale session: refresh cookie on the worker, retry once
                 _n, token, _a = parse_set_cookie(self.fetch_session_header(cfg, epoch))
-                st, pl = get(cfg, url, token, epoch)
+                st, spans = render_page(cfg, url, token, epoch)
+            # conditional GET (If-None-Match analog): the synthetic server's
+            # published validator is the content-addressed etag, so a match
+            # revalidates as 304 with no payload — same decision rule as the
+            # HTTP twin (sources/http_site.py)
+            etag = etags[i] if etags is not None else None
+            if etag is not None and st == 200 and span_etag_py(spans) == etag:
+                st, spans = 304, []
             statuses.append(st)
-            payloads.append(pl)
+            payloads.append(spans_to_json_body(spans) if as_json else spans)
         return statuses, payloads
 
 
@@ -105,7 +113,8 @@ class HttpTransport:
 
     # -- one physical request -------------------------------------------
     def _request(
-        self, logical_url: str, token: str | None, epoch: int
+        self, logical_url: str, token: str | None, epoch: int,
+        etag: str | None = None,
     ) -> tuple[int, str, str | None, str | None]:
         """GET the logical URL through base_url. Returns (status, body,
         set_cookie_header, location_header). urllib raises on >=400; both
@@ -125,6 +134,11 @@ class HttpTransport:
         headers = {"Host": p.netloc, "X-Epoch": str(epoch)}
         if token is not None:
             headers["Cookie"] = f"JSESSIONID={token}"
+        if etag is not None:
+            # conditional GET: quoted strong validator (RFC 9110 §8.8.3);
+            # a 304 answer comes back through the HTTPError arm below as
+            # a plain status row with no body — revalidated, not an error
+            headers["If-None-Match"] = f'"{etag}"'
         req = urllib.request.Request(self.base_url + path, headers=headers)
 
         class _NoRedirect(urllib.request.HTTPRedirectHandler):
@@ -182,6 +196,7 @@ class HttpTransport:
         token: str | None,
         epoch: int,
         as_json: bool,
+        etags: list[str | None] | None = None,
     ) -> tuple[list[int], list]:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -189,13 +204,14 @@ class HttpTransport:
 
         if not urls:
             return [], []
+        row_etags = etags if etags is not None else [None] * len(urls)
 
-        def one(url: str, tok: str | None) -> tuple[int, str, str | None]:
-            st, body, _sc, loc = self._request(url, tok, epoch)
+        def one(url: str, tok: str | None, etag: str | None = None) -> tuple[int, str, str | None]:
+            st, body, _sc, loc = self._request(url, tok, epoch, etag)
             return st, body, loc
 
         with ThreadPoolExecutor(max_workers=min(self.max_in_flight, len(urls))) as pool:
-            results = list(pool.map(lambda u: one(u, token), urls))
+            results = list(pool.map(lambda ue: one(ue[0], token, ue[1]), zip(urls, row_etags)))
             # stale session: refresh the cookie ONCE per batch through the
             # real Set-Cookie flow, then retry exactly the 401'd URLs. A
             # refresh that itself fails (session endpoint briefly 503, or
@@ -209,7 +225,7 @@ class HttpTransport:
                     token = None
                 if token is not None:
                     retry_idx = [i for i, (st, _, _) in enumerate(results) if st == 401]
-                    retried = list(pool.map(lambda i: one(urls[i], token), retry_idx))
+                    retried = list(pool.map(lambda i: one(urls[i], token, row_etags[i]), retry_idx))
                     for i, r in zip(retry_idx, retried):
                         results[i] = r
 

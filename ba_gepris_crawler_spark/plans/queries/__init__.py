@@ -115,6 +115,7 @@ _CANONICAL_ORDER = [
     "crawl_recrawl_schedule",
     "crawl_seed_url_recognizer",
     "crawl_robots_sitemap_discovery",
+    "crawl_revalidate_etag",
 ]
 
 # Round-5 rotation: the 23 names rowed only in round 3 (the round-4 head
@@ -123,6 +124,7 @@ _CANONICAL_ORDER = [
 # green round-4 row, so after this rotation every query has a driver row
 # at most two rounds old.
 _HEAD_FIRST = [
+    "crawl_revalidate_etag",
     "crawl_cuckoo_gate",
     "crawl_catalog_null_guard",
     "crawl_redirect_resolve",

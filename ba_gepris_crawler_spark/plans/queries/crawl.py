@@ -1374,3 +1374,83 @@ def crawl_robots_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFram
     )
     robots = d.select(host.alias("host"), body.alias("robots_txt"))
     return sitemap_urls_from_robots(robots).orderBy("host", "sitemap_url")
+
+
+@_q(
+    "crawl_revalidate_etag",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.org/gepris/projekt/' || CAST(doc_id AS VARCHAR) AS url,
+             'title-' || CAST(doc_id AS VARCHAR) AS t0,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'title-' || CAST(doc_id AS VARCHAR) || '-v2'
+                  ELSE 'title-' || CAST(doc_id AS VARCHAR) END AS t1,
+             'img://' || CAST(doc_id AS VARCHAR) AS media
+      FROM documents),
+    h AS (
+      SELECT url,
+             md5(concat_ws(chr(31), 'name_label', 'Project', '', '0') || chr(30)
+                 || concat_ws(chr(31), 'name_value', t0, '', '1') || chr(30)
+                 || concat_ws(chr(31), 'media', '', media, '2')) AS etag,
+             md5(concat_ws(chr(31), 'name_label', 'Project', '', '0') || chr(30)
+                 || concat_ws(chr(31), 'name_value', t1, '', '1') || chr(30)
+                 || concat_ws(chr(31), 'media', '', media, '2')) AS etag_refetch
+      FROM d)
+    SELECT url, etag, (etag_refetch = etag) AS unchanged,
+           CASE WHEN etag_refetch = etag THEN 'revalidate_304'
+                ELSE 're_extract' END AS action
+    FROM h ORDER BY url
+    """,
+)
+def crawl_revalidate_etag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-revalidation kernel (operators/revalidate.py): the
+    content-addressed strong validator (portable md5 over the canonical
+    span serialization — the SAME expression the engine derives validators
+    with, the synthetic servers publish as ETag, and If-None-Match
+    matches against), plus the plan-side unchanged cut `unchanged_urls`
+    that spares unchanged refetches a typed re-extraction. Fixture: two
+    observations of every doc URL; every 4th doc's title changed between
+    them. The oracle replays the md5 over the identical serialization, so
+    a drifted separator, null-coalesce, or field order breaks the hash —
+    not just the boolean. Beyond the reference (one-shot crawl, RFC 9110
+    §13 has no analog there)."""
+    from ba_gepris_crawler_spark.operators.revalidate import unchanged_urls, validators_df
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/gepris/projekt/"), F.col("doc_id").cast("string"),
+    ).alias("url")
+
+    def obs(title: F.Column, rnd: int) -> DataFrame:
+        return d.select(
+            url,
+            F.lit(rnd).cast("int").alias("round"),
+            F.lit(200).cast("int").alias("status"),
+            F.array(
+                _span("name_label", "Project", "", 0),
+                _span("name_value", title, "", 1),
+                _span("media", "", F.concat(F.lit("img://"), F.col("doc_id").cast("string")), 2),
+            ).alias("spans"),
+        )
+
+    t0 = F.concat(F.lit("title-"), F.col("doc_id").cast("string"))
+    t1 = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("title-"), F.col("doc_id").cast("string"), F.lit("-v2")),
+    ).otherwise(t0)
+    validators = validators_df(obs(t0, 0))
+    unchanged = unchanged_urls(obs(t1, 1), validators).withColumn("_u", F.lit(True))
+    return (
+        validators.join(unchanged, "url", "left")
+        .select(
+            "url",
+            "etag",
+            F.coalesce(F.col("_u"), F.lit(False)).alias("unchanged"),
+            F.when(F.coalesce(F.col("_u"), F.lit(False)), F.lit("revalidate_304"))
+            .otherwise(F.lit("re_extract")).alias("action"),
+        )
+        .orderBy("url")
+    )

@@ -96,6 +96,16 @@ class CrawlSettings:
     # default: the reference treats every non-200 as fatal, and with this
     # off a 3xx is just another quarantined status row.
     follow_redirects: bool = False
+    # conditional revalidation for recrawl refetches (operators/
+    # revalidate.py): enqueue_recrawl stages each due URL's content-
+    # addressed validator; the refetch sends If-None-Match and an
+    # unchanged page answers 304 — re-seen and budget-charged, no body,
+    # no re-parse, no typed re-extraction. Servers that ignore the
+    # validator still skip re-extraction via the plan-side unchanged-hash
+    # cut. Off by default: the reference crawls once and never
+    # revalidates, and passing validators requires a transport whose
+    # fetch_batch accepts `etags` (both shipped transports do).
+    revalidate: bool = False
 
 
 class CrawlEngine:
@@ -140,6 +150,10 @@ class CrawlEngine:
         # commits the matching seen-tombstones delta so the readmission
         # replays on resume.
         self._recrawl_df: DataFrame | None = None
+        # Staged (url, etag) validators for the recrawl due set (settings.
+        # revalidate): consumed by the same run_round that consumes
+        # _recrawl_df; derived state, so resume simply re-stages it.
+        self._recrawl_validators: DataFrame | None = None
         # session cookie cache (one Set-Cookie fetch+parse per epoch;
         # reference: CookieFlowGraph.scala:30-58)
         self._jar = CookieJar()
@@ -384,11 +398,12 @@ class CrawlEngine:
             self._jar.get(self.site, epoch, transport=self.transport)
             if self.site.session_rounds else None
         )
+        staged_validators = self._recrawl_validators if recrawl is not None else None
         fetched = fetch_pages(
             fetch_now, self.site, s.politeness.per_host_rate, s.n_buckets,
             session_token=token, epoch=epoch, fmt=s.fetch_format,
             host_rates=s.politeness.host_rates, span_transport=s.span_transport,
-            transport=self.transport,
+            transport=self.transport, validators=staged_validators,
         )
         if needs_span_parse(fetched):  # json API mode or json span transport
             fetched = parse_json_spans(fetched)
@@ -421,8 +436,13 @@ class CrawlEngine:
             F.count("*").alias("n"),
             F.min("host_rank").alias("min_rank"),
             F.max("virtual_cost_sec").alias("cost"),
-            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("errs"),
-            F.sum(F.when(F.col("status").between(300, 399), 1).otherwise(0)).alias("redirs"),
+            # 304 = revalidated-unchanged (settings.revalidate): a
+            # successful conditional refetch, NOT an error and NOT a
+            # followable redirect (redirects.REDIRECT_STATUSES excludes it)
+            F.sum(F.when(~F.col("status").isin(200, 304), 1).otherwise(0)).alias("errs"),
+            F.sum(F.when(F.col("status").between(300, 399) & (F.col("status") != 304), 1)
+                  .otherwise(0)).alias("redirs"),
+            F.sum(F.when(F.col("status") == 304, 1).otherwise(0)).alias("revals"),
         ).cache()
         bucket_rows = (
             stats.groupBy("host_bucket")
@@ -431,6 +451,7 @@ class CrawlEngine:
                 F.max("cost").alias("virtual_cost_sec"),
                 F.sum("errs").alias("errs"),
                 F.sum("redirs").alias("redirs"),
+                F.sum("revals").alias("revals"),
             )
             .orderBy("host_bucket")
             .collect()
@@ -557,7 +578,21 @@ class CrawlEngine:
             # prepare_details drops the span payload from the cached frame
             # (title + institution links precomputed) — half the persisted
             # bytes, and no downstream pass re-scans span text
-            details = X.prepare_details(docs.filter(F.col("resource_id").isNotNull())).cache()
+            extract_src = docs.filter(F.col("resource_id").isNotNull())
+            if staged_validators is not None:
+                # plan-side unchanged cut (servers without revalidation
+                # support return a full 200 for unchanged content): a
+                # refetch whose payload hashes to the staged validator is
+                # already extracted in the store — re-extracting would
+                # duplicate its typed rows at this round. With a
+                # revalidating transport the 304 rows never reach `docs`,
+                # so this join is a no-op over the residue.
+                from ba_gepris_crawler_spark.operators.revalidate import unchanged_urls
+
+                extract_src = extract_src.join(
+                    unchanged_urls(docs, staged_validators), "url", "left_anti"
+                )
+            details = X.prepare_details(extract_src).cache()
             projects = X.projects(details).cache()
             to_write = {
                 "eav": X.eav(details),
@@ -579,8 +614,9 @@ class CrawlEngine:
             "round": rnd,
             "candidates": n_candidates,
             "fetched": n_fetched,
-            "errors": n_errors,  # every non-200 incl. redirects (quarantine class)
+            "errors": n_errors,  # every non-200 incl. redirects (quarantine class; 304 excluded)
             "redirects": int(sum(r["redirs"] for r in bucket_rows)),
+            "revalidated": int(sum(r["revals"] for r in bucket_rows)),
             "recrawl_enqueued": tables.get("seen_tombstones", 0),
             "discovered_raw": n_discovered_raw,
             "frontier_next": tables["frontier"],
@@ -601,6 +637,7 @@ class CrawlEngine:
             counters["phase_secs"] = phases
         manifest = self.store.commit(rnd, tables, counters, lineage_rows)
         self._recrawl_df = None  # consumed; the tombstone delta is committed
+        self._recrawl_validators = None
         if s.compact_every and rnd > 0 and rnd % s.compact_every == 0:
             # post-commit so a compaction crash never loses a round; the
             # round's own manifest is already visible. url_seen gets the
@@ -724,8 +761,18 @@ class CrawlEngine:
         if docs is None:
             return 0
         ok = docs.filter(F.col("status") == 200)
-        hist = ok.select(
-            "url", "round", F.xxhash64(F.to_json(F.col("spans"))).alias("content_hash")
+        # 304 rows are observations too — a conditional refetch that
+        # revalidated means "content unchanged at this round"; their hash
+        # is NULL and recrawl_schedule forward-fills it from the last 200
+        # (operators/recrawl.py). Without them a revalidating crawl would
+        # never accumulate no-change evidence and every due URL would stay
+        # on the bootstrap interval forever.
+        hist = docs.filter(F.col("status").isin(200, 304)).select(
+            "url",
+            "round",
+            F.when(
+                F.col("status") == 200, F.xxhash64(F.to_json(F.col("spans"))).cast("string")
+            ).alias("content_hash"),
         )
         sched = recrawl_schedule(
             hist,
@@ -749,6 +796,19 @@ class CrawlEngine:
         rows = due_frontier(sched, meta).localCheckpoint(eager=True)
         n = rows.count()
         self._recrawl_df = rows if n else None
+        self._recrawl_validators = None
+        if n and self.s.revalidate:
+            # stage each due URL's content-addressed validator (operators/
+            # revalidate.py): one md5 per observation fused into a scan of
+            # the same documents union, cut to the |due| set — the refetch
+            # sends it as If-None-Match and unchanged pages answer 304
+            from ba_gepris_crawler_spark.operators.revalidate import validators_df
+
+            self._recrawl_validators = (
+                validators_df(ok)
+                .join(rows.select("url"), "url")
+                .localCheckpoint(eager=True)
+            )
         return n
 
 
@@ -788,7 +848,8 @@ def published_tables(store: SnapshotStore) -> dict[str, DataFrame]:
     if "url_seen" in out:
         # derived views of the consolidated crawl log
         out["trace"] = out["url_seen"].select("round", "seq", "url")
-        out["fetch_errors"] = out["url_seen"].filter(F.col("status") != 200).select(
+        # 304 = revalidated-unchanged, a SUCCESS class (settings.revalidate)
+        out["fetch_errors"] = out["url_seen"].filter(~F.col("status").isin(200, 304)).select(
             "url", "host", "status", "round"
         )
     return out

@@ -26,10 +26,12 @@ from __future__ import annotations
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from ba_gepris_crawler_spark.operators.revalidate import span_etag_py
 from ba_gepris_crawler_spark.sources.synthetic_site import (
     SiteConfig,
     fetch_session_header,
-    render_page_json,
+    render_page,
+    spans_to_json_body,
 )
 
 SESSION_PATH = "/gepris/session"
@@ -60,24 +62,38 @@ def _make_handler(cfg: SiteConfig):
                 return
             host = (self.headers.get("Host") or "").split(":")[0]
             logical_url = f"https://{host}{self.path}"
-            status, body = render_page_json(cfg, logical_url, self._cookie_token(), epoch)
+            status, spans = render_page(cfg, logical_url, self._cookie_token(), epoch)
             if 300 <= status < 400:
                 # a REAL redirect: the in-process model carries the target
                 # as a 'location' span (synthetic_site.render_page); on the
                 # wire it is the Location header and an empty body, which
                 # HttpTransport maps back to the same span shape
-                import json as _json
-
-                spans = _json.loads(body).get("spans") or []
-                loc = next((s["media_ref"] for s in spans if s["kind"] == "location"), None)
+                loc = next((m for k, _t, m, _o in spans if k == "location"), None)
                 self.send_response(status)
                 if loc:
                     self.send_header("Location", loc)
                 self.send_header("Content-Length", "0")
                 self.end_headers()
                 return
-            payload = body.encode("utf-8")
+            etag = span_etag_py(spans) if status == 200 else None
+            if etag is not None:
+                # conditional GET (RFC 9110 §13.1.2): the published strong
+                # validator is the content-addressed etag; a matching
+                # If-None-Match answers 304 with no body. Weak-compare and
+                # `*` are irrelevant for this server (every etag is strong
+                # and every resource exists), so bare string compare of the
+                # unquoted values suffices.
+                inm = self.headers.get("If-None-Match")
+                if inm is not None and etag in [v.strip().strip('"') for v in inm.split(",")]:
+                    self.send_response(304)
+                    self.send_header("ETag", f'"{etag}"')
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+            payload = spans_to_json_body(spans).encode("utf-8")
             self.send_response(status)
+            if etag is not None:
+                self.send_header("ETag", f'"{etag}"')
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()

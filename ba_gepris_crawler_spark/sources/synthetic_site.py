@@ -470,6 +470,23 @@ def render_page(
     return 200, spans
 
 
+def spans_to_json_body(spans: list[tuple[str, str, str, int]]) -> str:
+    """Span tuples -> the canonical JSON wire body (shared by the JSON-API
+    renderer below, the localhost HTTP twin in sources/http_site.py, and
+    the fetch stage's json span transport — one writer, zero drift)."""
+    import json as _json
+
+    return _json.dumps(
+        {
+            "spans": [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in spans
+            ]
+        },
+        separators=(",", ":"),
+    )
+
+
 def render_page_json(
     cfg: SiteConfig,
     url: str,
@@ -482,19 +499,24 @@ def render_page_json(
     the body is a raw JSON string the ENGINE parses (from_json in the
     plan), not pre-parsed spans. Span content is identical to the HTML
     renderer's, so a JSON-mode crawl is byte-equal to an HTML-mode one."""
-    import json as _json
+    status, spans = render_page(cfg, url, token, epoch)
+    return status, spans_to_json_body(spans)
+
+
+def page_etag(
+    cfg: SiteConfig,
+    url: str,
+    token: str | None = None,
+    epoch: int = 0,
+) -> str | None:
+    """Strong validator the synthetic servers publish for a page: the
+    content-addressed etag (operators/revalidate.span_etag_py) of the
+    rendered span payload, None for any non-200. A conditional request
+    whose If-None-Match equals this value revalidates as 304."""
+    from ba_gepris_crawler_spark.operators.revalidate import span_etag_py
 
     status, spans = render_page(cfg, url, token, epoch)
-    body = _json.dumps(
-        {
-            "spans": [
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for k, t, m, o in spans
-            ]
-        },
-        separators=(",", ":"),
-    )
-    return status, body
+    return span_etag_py(spans) if status == 200 else None
 
 
 def expected_page_count(cfg: SiteConfig, rtype: str, host: str) -> int:

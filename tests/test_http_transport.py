@@ -182,8 +182,8 @@ def test_malformed_200_body_quarantines_as_598(site, server, monkeypatch):
     t = HttpTransport(server.base_url)
     real = HttpTransport._request
 
-    def corrupt(self, url, token, epoch):
-        st, body, sc, loc = real(self, url, token, epoch)
+    def corrupt(self, url, token, epoch, etag=None):
+        st, body, sc, loc = real(self, url, token, epoch, etag)
         return st, "<html>not json</html>" if st == 200 else body, sc, loc
 
     monkeypatch.setattr(HttpTransport, "_request", corrupt)
