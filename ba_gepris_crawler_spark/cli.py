@@ -153,6 +153,13 @@ def main(argv: list[str] | None = None) -> int:
     rc.add_argument("--min-interval", dest="min_interval", type=int, default=1)
     rc.add_argument("--max-interval", dest="max_interval", type=int, default=64)
     rc.add_argument("--bootstrap-interval", dest="bootstrap_interval", type=int, default=4)
+    rc.add_argument(
+        "--revalidate", action="store_true",
+        help="send If-None-Match with each due refetch (content-addressed "
+             "validators derived from the store); unchanged pages answer "
+             "304 — re-seen and budget-charged, nothing re-parsed or "
+             "re-extracted (operators/revalidate.py)",
+    )
     k = sub.add_parser("compact", help="merge delta dirs of the given tables into hash-clustered snapshots")
     k.add_argument("root")
     k.add_argument("--tables", nargs="+", default=["url_seen", "documents"])
@@ -161,6 +168,12 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("root")
     e.add_argument("--out", default=None, help="output dir (default <root>/final)")
     e.add_argument("--format", dest="fmt", choices=["parquet", "csv", "sqlite"], default="parquet")
+    e.add_argument(
+        "--current", action="store_true",
+        help="export latest-version views (one current row set per entity) "
+             "instead of the full append-only history — the difference "
+             "matters after a recrawl whose content changed",
+    )
     g = sub.add_parser("gc", help="expire old compaction snapshots and delete unreferenced data dirs "
                                   "(Iceberg expire_snapshots + remove_orphan_files analog; run offline)")
     g.add_argument("root")
@@ -409,6 +422,9 @@ def main(argv: list[str] | None = None) -> int:
         except (ValueError, TypeError, KeyError) as e:
             print(json.dumps({"error": f"invalid persisted config: {e}"}))
             return 2
+        # per-invocation choice, not persisted config: validators are
+        # derived state, and a later plain recrawl must not inherit it
+        settings.revalidate = bool(args.revalidate)
         engine = CrawlEngine(spark, site, store, settings)
         engine.budgets_df = budgets
         if not (1 <= args.min_interval <= args.max_interval):
@@ -453,7 +469,13 @@ def main(argv: list[str] | None = None) -> int:
         from ba_gepris_crawler_spark.plans.export import export_tables
 
         out_dir = args.out or f"{args.root}/final"
-        counts = export_tables(published_tables(store), out_dir, fmt=args.fmt)
+        if args.current:
+            from ba_gepris_crawler_spark.plans.round_loop import current_tables
+
+            tables = current_tables(store)
+        else:
+            tables = published_tables(store)
+        counts = export_tables(tables, out_dir, fmt=args.fmt)
         print(json.dumps({"out": out_dir, "format": args.fmt, "tables": counts}))
         return 0
 

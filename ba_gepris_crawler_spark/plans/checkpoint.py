@@ -480,6 +480,34 @@ class SnapshotStore:
             return None
         return self.spark.read.parquet(*paths)
 
+    def read_union_versioned(self, name: str, upto: int, round_col: str = "_round") -> DataFrame | None:
+        """read_union, but every row carries the ROUND its delta dir was
+        committed at (the typed extraction tables store no round column;
+        the store's append-only layout is the version history). Only valid
+        for never-compacted tables — a compaction snapshot mixes rounds
+        into one dir, so per-dir provenance would lie; the round loop and
+        the CLI only ever compact url_seen/documents, which carry a real
+        `round` column and never need this."""
+        if self.latest_compaction(name, upto) is not None:
+            raise ValueError(
+                f"{name} has a compaction snapshot <= {upto}: per-dir round "
+                "provenance is gone; read the table's own round column"
+            )
+        from pyspark.sql import functions as _F
+
+        parts = [
+            self.spark.read.parquet(str(self.table_path(name, r)))
+            .withColumn(round_col, _F.lit(r).cast("int"))
+            for r in self.committed_rounds()
+            if r <= upto and r in self._rounds_with(name)
+        ]
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _compaction_tier_paths(self, comp: dict, name: str) -> list[str]:
         """Data dirs a compaction manifest references: the tier list
         (tiered mode), the qualified snapshot dir, or — for manifests from

@@ -116,6 +116,7 @@ _CANONICAL_ORDER = [
     "crawl_seed_url_recognizer",
     "crawl_robots_sitemap_discovery",
     "crawl_revalidate_etag",
+    "crawl_current_version_view",
 ]
 
 # Round-5 rotation: the 23 names rowed only in round 3 (the round-4 head
@@ -125,6 +126,7 @@ _CANONICAL_ORDER = [
 # at most two rounds old.
 _HEAD_FIRST = [
     "crawl_revalidate_etag",
+    "crawl_current_version_view",
     "crawl_cuckoo_gate",
     "crawl_catalog_null_guard",
     "crawl_redirect_resolve",

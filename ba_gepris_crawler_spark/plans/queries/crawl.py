@@ -1454,3 +1454,56 @@ def crawl_revalidate_etag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url")
     )
+
+
+@_q(
+    "crawl_current_version_view",
+    """
+    WITH r0 AS (
+      SELECT CAST(doc_id AS BIGINT) AS entity, 0 AS rnd, f.f AS field_name,
+             CASE f.f WHEN 'a' THEN 'v0a-' || CAST(doc_id AS VARCHAR)
+                      ELSE 'v0b-' || CAST(doc_id AS VARCHAR) END AS field_value
+      FROM documents, (SELECT unnest(['a', 'b']) AS f) f),
+    r1 AS (
+      SELECT CAST(doc_id AS BIGINT) AS entity, 1 AS rnd, f.f AS field_name,
+             CASE f.f WHEN 'a' THEN 'v1a-' || CAST(doc_id AS VARCHAR)
+                      ELSE 'v1c-' || CAST(doc_id AS VARCHAR) END AS field_value
+      FROM documents, (SELECT unnest(['a', 'c']) AS f) f
+      WHERE doc_id % 3 = 0),
+    h AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1),
+    m AS (SELECT *, max(rnd) OVER (PARTITION BY entity) AS mx FROM h)
+    SELECT entity, field_name, field_value
+    FROM m WHERE rnd = mx ORDER BY entity, field_name
+    """,
+)
+def crawl_current_version_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version resolution for the append-only extraction store
+    (plans/round_loop.latest_version, the kernel under current_tables):
+    newest-round-per-entity keeps the winning round's FULL row set and
+    drops every older one — including fields the new version no longer
+    has. Fixture: two fields per entity at round 0; every third entity
+    re-extracted at round 1 with field `a` updated, field `b` gone, field
+    `c` new. The oracle replays the window-max + filter. One shuffle on
+    the entity key, no join, no driver state. Beyond the reference
+    (one-shot crawl: no entity is ever extracted twice)."""
+    from ba_gepris_crawler_spark.plans.round_loop import latest_version
+
+    d = _t(spark, sf_dir, "documents")
+    eid = F.col("doc_id").cast("bigint").alias("entity")
+    sid = F.col("doc_id").cast("string")
+
+    def rows(rnd: int, fields: list[tuple[str, str]]) -> DataFrame:
+        src = d if rnd == 0 else d.filter(F.col("doc_id") % 3 == 0)
+        per = F.array(*[
+            F.struct(F.lit(f).alias("field_name"),
+                     F.concat(F.lit(pre), sid).alias("field_value"))
+            for f, pre in fields
+        ])
+        return src.select(
+            eid, F.lit(rnd).cast("int").alias("_round"), F.explode(per).alias("fv")
+        ).select("entity", "_round", "fv.field_name", "fv.field_value")
+
+    hist = rows(0, [("a", "v0a-"), ("b", "v0b-")]).unionByName(
+        rows(1, [("a", "v1a-"), ("c", "v1c-")])
+    )
+    return latest_version(hist, ["entity"]).orderBy("entity", "field_name")

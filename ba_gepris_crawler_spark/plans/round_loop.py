@@ -820,6 +820,73 @@ def official_subject_areas(spark: SparkSession) -> DataFrame:
     )
 
 
+def latest_version(df: DataFrame, keys: list[str], round_col: str = "_round") -> DataFrame:
+    """Keep each entity's NEWEST version: rows whose round equals the max
+    round observed for their key. One shuffle on the entity key (window
+    max + filter — no join, no driver state); ties within the winning
+    round all survive (an entity's extraction is a row SET per round,
+    e.g. one eav row per field). The round column is dropped."""
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_max_r", F.max(round_col).over(w))
+        .filter(F.col(round_col) == F.col("_max_r"))
+        .drop("_max_r", round_col)
+    )
+
+
+# entity key per typed extraction table: re-extraction rewrites an
+# entity's FULL row set in its round's delta, so newest-round-per-key is
+# exactly "the current version". The 5 relation tables are NOT resolved
+# independently — they are pure projections of the project row
+# (extraction.relation_tables), and keying them by presence would keep
+# stale child rows for a project whose NEW version has an empty relation
+# set; deriving them from the resolved projects frame is exact.
+_CURRENT_KEYS = {
+    "eav": ["resource_type", "resource_id"],
+    "projects": ["project_id"],
+    "persons": ["person_id"],
+    "institutions": ["institution_id"],
+}
+
+
+def current_tables(store: SnapshotStore) -> dict[str, DataFrame]:
+    """Latest-version views: one current row set per entity.
+
+    `published_tables` is the full append-only history — after a recrawl
+    whose content changed, it holds BOTH the old and the new extraction of
+    the same entity (correct for audit/history, wrong for 'give me the
+    catalog as of now'). This view resolves each key to its newest round:
+    documents by their own round column (newest 200 per doc_id), typed
+    tables by delta-dir provenance (SnapshotStore.read_union_versioned —
+    they store no round column; the store layout is the version history),
+    relation tables by re-projecting the resolved projects frame.
+    Each table costs one shuffle on its entity key. Unchanged crawls (no
+    recrawl, or everything revalidated 304) pass through row-identical."""
+    from ba_gepris_crawler_spark.functions.extraction import relation_tables
+
+    upto = store.latest_round()
+    if upto is None:
+        return {}
+    out: dict[str, DataFrame] = {}
+    docs = store.read_union("documents", upto)
+    if docs is not None:
+        out["documents"] = latest_version(
+            docs.filter(F.col("status") == 200).select(
+                "doc_id", "url", "host", "resource_type", "resource_id",
+                "crawl_depth", "round", "status", "spans",
+                F.col("round").alias("_round"),
+            ),
+            ["doc_id"],
+        )
+    for name, keys in _CURRENT_KEYS.items():
+        df = store.read_union_versioned(name, upto)
+        if df is not None:
+            out[name] = latest_version(df, keys)
+    if "projects" in out:
+        out.update(relation_tables(out["projects"]))
+    return out
+
+
 def published_tables(store: SnapshotStore) -> dict[str, DataFrame]:
     """Final artifacts (stage-3 analog): union-read of all committed deltas."""
     upto = store.latest_round()

@@ -287,3 +287,75 @@ def test_validators_latest_wins_and_304_skipped(spark):
     )
     vals = validators_df(docs)
     assert [r["url"] for r in unchanged_urls(refetch, vals).collect()] == ["u"]
+
+
+# ---------------------------------------------------------------------------
+# current-version views over the append-only store
+# ---------------------------------------------------------------------------
+
+def test_current_tables_after_changed_recrawl(spark, tmp_path_factory):
+    """THE pin for latest-version resolution: crawl site A, recrawl after
+    its project pages changed to site B — current_tables over that store
+    must equal a FRESH crawl of site B, table for table (unchanged
+    entities keep their old rows, which are content-identical; changed
+    entities resolve to the recrawl round's re-extraction; relation
+    tables re-project from resolved projects). published_tables keeps the
+    full history (both versions of every changed project)."""
+    from ba_gepris_crawler_spark.plans.round_loop import current_tables, published_tables
+
+    site_a, site_b = _site(), _site(page_weight=2)
+    tmp = tmp_path_factory.mktemp("curview")
+    eng = _engine(spark, tmp, site_a, extract=True)
+    eng.run(max_rounds=20)
+    changed = _engine(spark, tmp, site_b, extract=True)
+    _recrawl_round(changed)
+
+    cur = current_tables(changed.store)
+    fresh = _engine(spark, tmp_path_factory.mktemp("curview-fresh"), site_b, extract=True)
+    fresh.run(max_rounds=20)
+    want = published_tables(fresh.store)
+
+    for name in (
+        "projects", "persons", "institutions", "eav",
+        "project_ids_to_subject_areas", "project_person_relations",
+        "project_institution_relations",
+    ):
+        got = sorted(cur[name].toJSON().collect())
+        ref = sorted(want[name].toJSON().collect())
+        assert got == ref, name
+
+    # documents: exactly one current row per doc_id, and the changed
+    # projects resolve to the recrawl round
+    docs = cur["documents"]
+    assert docs.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    rec_rnd = changed.store.latest_round()
+    n_new = docs.filter(F.col("round") == rec_rnd).count()
+    assert n_new == site_a.n_projects
+
+    # history view keeps both versions of every changed project
+    hist = published_tables(changed.store)["projects"]
+    dup = hist.groupBy("project_id").count().filter(F.col("count") > 1).count()
+    assert dup == site_a.n_projects
+
+
+def test_current_tables_identity_without_recrawl(spark, tmp_path_factory):
+    """With no recrawl the views are row-identical to published_tables."""
+    from ba_gepris_crawler_spark.plans.round_loop import current_tables, published_tables
+
+    eng = _engine(spark, tmp_path_factory.mktemp("curview-id"), _site(), extract=True)
+    eng.run(max_rounds=20)
+    cur, pub = current_tables(eng.store), published_tables(eng.store)
+    for name in ("documents", "projects", "eav", "project_person_relations"):
+        assert sorted(cur[name].toJSON().collect()) == sorted(pub[name].toJSON().collect()), name
+
+
+def test_read_union_versioned_refuses_compacted(spark, tmp_path_factory):
+    """Per-dir round provenance dies at compaction — the versioned read
+    must refuse loudly, not return wrong rounds."""
+    import pytest as _pytest
+
+    eng = _engine(spark, tmp_path_factory.mktemp("curview-comp"), _site(),
+                  extract=False, compact_every=2)
+    eng.run(max_rounds=20)
+    with _pytest.raises(ValueError, match="compaction"):
+        eng.store.read_union_versioned("url_seen", eng.store.latest_round())
