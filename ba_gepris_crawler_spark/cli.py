@@ -39,6 +39,7 @@ def _site(args: argparse.Namespace) -> SiteConfig:
         n_institutions=max(int(args.projects * 0.1), 1),
         hits_per_page=50,
         seed=args.seed,
+        error_mod=getattr(args, "error_mod", 0),
     )
 
 
@@ -95,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--in-flight", dest="in_flight", type=int, default=10)
         c.add_argument("--buckets", type=int, default=32)
         c.add_argument("--seed", type=int, default=42)
+        c.add_argument(
+            "--error-mod", dest="error_mod", type=int, default=0,
+            help="1/N of detail pages answer 503 (quarantine + retry-errors "
+                 "exercise); 0 = none",
+        )
         c.add_argument("--max-rounds", type=int, default=30)
         c.add_argument(
             "--fetch-format", dest="fetch_format", choices=["html", "json"], default="html",
@@ -160,6 +166,19 @@ def main(argv: list[str] | None = None) -> int:
              "304 — re-seen and budget-charged, nothing re-parsed or "
              "re-extracted (operators/revalidate.py)",
     )
+    rr = sub.add_parser(
+        "retry-errors",
+        help="stage transient-error retries (exponential backoff over the "
+             "quarantine: 408/429/5xx/598/599 under --max-attempts) and run "
+             "refetch rounds; config replays from the store's config.json",
+    )
+    rr.add_argument("root")
+    rr.add_argument("--max-rounds", type=int, default=10)
+    rr.add_argument("--now-round", dest="now_round", type=int, default=None,
+                    help="policy clock (default: latest committed round + 1)")
+    rr.add_argument("--max-attempts", dest="max_attempts", type=int, default=4)
+    rr.add_argument("--backoff-base", dest="backoff_base", type=int, default=2)
+    rr.add_argument("--max-backoff", dest="max_backoff", type=int, default=64)
     k = sub.add_parser("compact", help="merge delta dirs of the given tables into hash-clustered snapshots")
     k.add_argument("root")
     k.add_argument("--tables", nargs="+", default=["url_seen", "documents"])
@@ -182,7 +201,7 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--dry-run", dest="dry_run", action="store_true")
     args = p.parse_args(argv)
 
-    if args.cmd in ("gc", "compact", "export", "dq", "resume-crawl", "recrawl"):
+    if args.cmd in ("gc", "compact", "export", "dq", "resume-crawl", "recrawl", "retry-errors"):
         # these operate on an EXISTING store; constructing one would mkdir
         # a skeleton at a mistyped path and report clean-looking empty
         # results — refuse pre-JVM instead (new-/stream-crawl create)
@@ -443,6 +462,45 @@ def main(argv: list[str] | None = None) -> int:
             except ValueError as e:
                 # e.g. a budgets relation set via the Python API that
                 # config.json cannot reload — same contract as resume-crawl
+                print(json.dumps({"error": str(e)}))
+                return 2
+            for m in manifests:
+                print(json.dumps(m["counters"]))
+        return 0
+
+    if args.cmd == "retry-errors":
+        try:
+            cfg = store.load_config()
+        except (ValueError, OSError) as e:
+            print(json.dumps({"error": f"invalid persisted config: {e}"}))
+            return 2
+        if cfg is None:
+            print(json.dumps({"error": "no persisted config.json: retry-errors "
+                                       "replays the crawl's own site/politeness"}))
+            return 2
+        try:
+            site, settings = _rebuild_from_config(cfg)
+            budgets = _budgets_from(cfg.get("robots_file"))
+        except (ValueError, TypeError, KeyError) as e:
+            print(json.dumps({"error": f"invalid persisted config: {e}"}))
+            return 2
+        engine = CrawlEngine(spark, site, store, settings)
+        engine.budgets_df = budgets
+        try:
+            n = engine.enqueue_error_retries(
+                now_round=args.now_round,
+                max_attempts=args.max_attempts,
+                backoff_base=args.backoff_base,
+                max_backoff=args.max_backoff,
+            )
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 2
+        print(json.dumps({"retries_enqueued": n}))
+        if n:
+            try:
+                manifests = engine.resume(max_rounds=args.max_rounds)
+            except ValueError as e:
                 print(json.dumps({"error": str(e)}))
                 return 2
             for m in manifests:

@@ -117,6 +117,7 @@ _CANONICAL_ORDER = [
     "crawl_robots_sitemap_discovery",
     "crawl_revalidate_etag",
     "crawl_current_version_view",
+    "crawl_error_retry_schedule",
 ]
 
 # Round-5 rotation: the 23 names rowed only in round 3 (the round-4 head
@@ -127,6 +128,7 @@ _CANONICAL_ORDER = [
 _HEAD_FIRST = [
     "crawl_revalidate_etag",
     "crawl_current_version_view",
+    "crawl_error_retry_schedule",
     "crawl_cuckoo_gate",
     "crawl_catalog_null_guard",
     "crawl_redirect_resolve",

@@ -1507,3 +1507,67 @@ def crawl_current_version_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows(1, [("a", "v1a-"), ("c", "v1c-")])
     )
     return latest_version(hist, ["entity"]).orderBy("entity", "field_name")
+
+
+@_q(
+    "crawl_error_retry_schedule",
+    """
+    WITH d AS (SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS url,
+                      CAST(doc_id % 4 AS INT) AS m FROM documents),
+    h AS (
+      SELECT url, 0 AS rnd,
+             CASE m WHEN 0 THEN 503 WHEN 1 THEN 599 WHEN 2 THEN 503 ELSE 404 END AS st
+      FROM d
+      UNION ALL SELECT url, 1, CASE m WHEN 0 THEN 598 ELSE 200 END FROM d WHERE m IN (0, 1)
+      UNION ALL SELECT url, 2, 503 FROM d WHERE m = 0),
+    p AS (
+      SELECT url, arg_max(st, rnd) AS last_status, CAST(max(rnd) AS INT) AS last_round,
+             CAST(sum(CASE WHEN st IN (408,429,500,502,503,504,598,599) THEN 1 ELSE 0 END) AS INT)
+               AS n_attempts
+      FROM h GROUP BY url),
+    c AS (
+      SELECT *, CAST(least(round(pow(2, n_attempts)), 8) AS INT) AS delay
+      FROM p WHERE last_status IN (408,429,500,502,503,504,598,599))
+    SELECT url, n_attempts, last_round, last_status, delay,
+           CAST(last_round + delay AS INT) AS next_due,
+           (n_attempts >= 3) AS exhausted,
+           (n_attempts < 3 AND last_round + delay <= 5) AS due
+    FROM c ORDER BY url
+    """,
+)
+def crawl_error_retry_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transient-error retry policy (operators/retry.error_retry_schedule:
+    exponential backoff over the quarantine, newest-observation gating,
+    max_attempts exhaustion). Fixture per doc URL: three straight
+    failures 503/598/503 (exhausted at max_attempts=3, backoff clamped to
+    max_backoff=8 so next_due > now), one failure-then-200 (lineage ended
+    — excluded), one single 503 (due: 0 + 2^1 <= now=5), one 404 (content
+    answer, never retried). The oracle replays arg_max/backoff/clamp
+    arithmetic exactly. Beyond the reference (any non-200 kills its
+    stream, CrawledResourceDetailDataGraph.scala:43-46)."""
+    from ba_gepris_crawler_spark.operators.retry import error_retry_schedule
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 4).cast("int").alias("m"),
+    )
+    r0 = d.select(
+        "url", F.lit(0).alias("round"),
+        F.when(F.col("m") == 0, 503).when(F.col("m") == 1, 599)
+        .when(F.col("m") == 2, 503).otherwise(404).alias("status"),
+    )
+    r1 = d.filter(F.col("m").isin(0, 1)).select(
+        "url", F.lit(1).alias("round"),
+        F.when(F.col("m") == 0, 598).otherwise(200).alias("status"),
+    )
+    r2 = d.filter(F.col("m") == 0).select(
+        "url", F.lit(2).alias("round"), F.lit(503).alias("status")
+    )
+    hist = r0.unionByName(r1).unionByName(r2)
+    sched = error_retry_schedule(
+        hist, now_round=5, max_attempts=3, backoff_base=2, max_backoff=8
+    )
+    return sched.select(
+        "url", "n_attempts", "last_round", "last_status", "delay",
+        "next_due", "exhausted", "due",
+    ).orderBy("url")

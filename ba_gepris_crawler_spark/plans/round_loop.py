@@ -811,6 +811,63 @@ class CrawlEngine:
             )
         return n
 
+    def enqueue_error_retries(
+        self,
+        now_round: int | None = None,
+        max_attempts: int = 4,
+        backoff_base: int = 2,
+        max_backoff: int = 64,
+    ) -> int:
+        """Stage the DUE set of the transient-error retry policy
+        (operators/retry.error_retry_schedule: exponential backoff over
+        the quarantine — 408/429/5xx/598/599 whose NEWEST observation is
+        still an error, under max_attempts) for the next run_round. The
+        refetch rides the exact staged-recrawl machinery: seen-tombstone
+        delta, politeness budgets, deterministic resume. A retry that
+        fails again deepens the backoff; one that succeeds ends the
+        lineage (its 200 becomes the newest observation). Returns the
+        number staged; composes with a staged content recrawl (the sets
+        union, first staging's validators kept — retry URLs have no 200
+        history to validate against)."""
+        from ba_gepris_crawler_spark.operators.recrawl import due_frontier
+        from ba_gepris_crawler_spark.operators.retry import error_retry_schedule
+
+        latest = self.store.latest_round()
+        if latest is None:
+            return 0
+        docs = self.store.read_union("documents", latest)
+        if docs is None:
+            return 0
+        sched = error_retry_schedule(
+            docs.select("url", "round", "status"),
+            now_round=latest + 1 if now_round is None else now_round,
+            max_attempts=max_attempts,
+            backoff_base=backoff_base,
+            max_backoff=max_backoff,
+        )
+        # last-known frontier metadata: error rows carry it too (the
+        # write-once layout keeps quarantined rows' type/id/depth/priority)
+        meta = docs.groupBy("url").agg(
+            F.max_by(
+                F.struct("host", "resource_type", "resource_id", "crawl_depth", "priority"),
+                F.col("round"),
+            ).alias("m")
+        ).select(
+            "url", "m.host", "m.resource_type", "m.resource_id",
+            F.col("m.crawl_depth").cast("int").alias("crawl_depth"),
+            F.col("m.priority").cast("int").alias("priority"),
+            F.lit(latest + 1).cast("int").alias("discovered_round"),
+        )
+        rows = due_frontier(sched, meta).localCheckpoint(eager=True)
+        n = rows.count()
+        if n:
+            self._recrawl_df = (
+                rows
+                if self._recrawl_df is None
+                else self._recrawl_df.unionByName(rows).dropDuplicates(["url"])
+            )
+        return n
+
 
 def official_subject_areas(spark: SparkSession) -> DataFrame:
     """Stage-0 taxonomy dimension (broadcast-sized, 213 rows in the
