@@ -54,6 +54,7 @@ def _settings(args: argparse.Namespace) -> CrawlSettings:
         cuckoo_mode=getattr(args, "cuckoo_mode", "auto"),
         cuckoo_shards=getattr(args, "cuckoo_shards", None),
         span_transport=getattr(args, "span_transport", "json"),
+        circuit_breaker={} if getattr(args, "circuit_breaker", False) else None,
     )
 
 
@@ -80,6 +81,7 @@ def _rebuild_from_config(
         cuckoo_mode=cfg.get("cuckoo_mode", fb.cuckoo_mode),
         cuckoo_shards=cfg.get("cuckoo_shards", fb.cuckoo_shards),
         span_transport=cfg.get("span_transport", fb.span_transport),
+        circuit_breaker=cfg.get("circuit_breaker", fb.circuit_breaker),
     )
     return site, settings
 
@@ -100,6 +102,12 @@ def main(argv: list[str] | None = None) -> int:
             "--error-mod", dest="error_mod", type=int, default=0,
             help="1/N of detail pages answer 503 (quarantine + retry-errors "
                  "exercise); 0 = none",
+        )
+        c.add_argument(
+            "--circuit-breaker", dest="circuit_breaker", action="store_true",
+            help="suspend hosts whose transient-failure rate crosses the "
+                 "threshold for a few rounds (operators/backpressure.py "
+                 "defaults); their candidates defer, never drop",
         )
         c.add_argument("--max-rounds", type=int, default=30)
         c.add_argument(
@@ -360,6 +368,7 @@ def main(argv: list[str] | None = None) -> int:
                     "cuckoo_mode": settings.cuckoo_mode,
                     "cuckoo_shards": settings.cuckoo_shards,
                     "span_transport": settings.span_transport,
+                    "circuit_breaker": settings.circuit_breaker,
                     "robots_file": args.robots_file,
                 }
             )

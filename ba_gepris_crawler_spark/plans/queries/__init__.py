@@ -118,6 +118,7 @@ _CANONICAL_ORDER = [
     "crawl_revalidate_etag",
     "crawl_current_version_view",
     "crawl_error_retry_schedule",
+    "crawl_circuit_breaker",
 ]
 
 # Round-5 rotation: the 23 names rowed only in round 3 (the round-4 head
@@ -129,6 +130,7 @@ _HEAD_FIRST = [
     "crawl_revalidate_etag",
     "crawl_current_version_view",
     "crawl_error_retry_schedule",
+    "crawl_circuit_breaker",
     "crawl_cuckoo_gate",
     "crawl_catalog_null_guard",
     "crawl_redirect_resolve",

@@ -1571,3 +1571,86 @@ def crawl_error_retry_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "n_attempts", "last_round", "last_status", "delay",
         "next_due", "exhausted", "due",
     ).orderBy("url")
+
+
+@_q(
+    "crawl_circuit_breaker",
+    """
+    WITH d AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             CASE CAST(doc_id % 7 AS INT)
+               WHEN 3 THEN 404
+               WHEN 4 THEN CASE WHEN doc_id % 2 = 0 THEN 503 ELSE 200 END
+               WHEN 5 THEN CASE WHEN doc_id % 2 = 0 THEN 599 ELSE 200 END
+               WHEN 6 THEN 503
+               ELSE 200 END AS status
+      FROM documents),
+    p AS (
+      SELECT host, count(*) AS n,
+             sum(CASE WHEN status IN (408,429,500,502,503,504,598,599)
+                      THEN 1 ELSE 0 END) AS n_fail
+      FROM d GROUP BY host),
+    tripped AS (
+      SELECT host, 10 AS until_round FROM p
+      WHERE n >= 8 AND n_fail / n >= 0.5),
+    susp AS (
+      SELECT * FROM tripped
+      UNION ALL SELECT 'h4', 3       -- lapsed earlier trip
+      UNION ALL SELECT 'h0', 9),     -- still-active earlier trip
+    active AS (
+      SELECT host, max(until_round) AS until_round FROM susp
+      GROUP BY host HAVING max(until_round) >= 7)
+    SELECT host, CAST(until_round AS INT) AS until_round, 'tripped' AS phase
+    FROM tripped
+    UNION ALL
+    SELECT host, NULL, 'active' FROM active
+    ORDER BY phase, host
+    """,
+)
+def crawl_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host circuit breaker (operators/backpressure.py): the trip rule
+    (>= min_fetches attempts AND transient-failure rate >= error_rate —
+    404s are answers, never failures) and active-suspension resolution
+    (max until_round per host, lapsed trips excluded). Fixture: 7 hosts —
+    three healthy, one all-404 (must NOT trip), two straddling the 0.5
+    threshold from either side (even-id failures over an odd row count:
+    36/71 trips, 35/71 does not — the comparison boundary is exercised,
+    not just the obvious cases), one fully down; plus a lapsed and a
+    still-active earlier suspension in the union. The oracle replays the
+    rate arithmetic and the max/filter resolution. Beyond the reference
+    (one host, fail-fast)."""
+    from ba_gepris_crawler_spark.operators.backpressure import (
+        active_suspensions,
+        tripped_hosts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 7).cast("int")
+    even = F.col("doc_id") % 2 == 0
+    docs = d.select(
+        F.concat(F.lit("h"), m.cast("string")).alias("host"),
+        F.when(m == 3, 404)
+        .when(m == 4, F.when(even, 503).otherwise(200))
+        .when(m == 5, F.when(even, 599).otherwise(200))
+        .when(m == 6, 503)
+        .otherwise(200)
+        .cast("int")
+        .alias("status"),
+    )
+    tripped = tripped_hosts(
+        docs, next_round=7, min_fetches=8, error_rate=0.5, suspend_rounds=4
+    )
+    prior = spark.createDataFrame(
+        [("h4", 3), ("h0", 9)], "host string, until_round int"
+    )
+    active = active_suspensions(tripped.unionByName(prior), rnd=7)
+    return (
+        tripped.select("host", "until_round", F.lit("tripped").alias("phase"))
+        .unionByName(
+            active.select(
+                "host", F.lit(None).cast("int").alias("until_round"),
+                F.lit("active").alias("phase"),
+            )
+        )
+        .orderBy("phase", "host")
+    )

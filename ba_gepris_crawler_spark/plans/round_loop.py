@@ -106,6 +106,15 @@ class CrawlSettings:
     # revalidates, and passing validators requires a transport whose
     # fetch_batch accepts `etags` (both shipped transports do).
     revalidate: bool = False
+    # per-host circuit breaker (operators/backpressure.py): after a round,
+    # a host with >= min_fetches attempts whose transient-failure rate
+    # (408/429/5xx/598/599) reaches error_rate is suspended for
+    # suspend_rounds rounds — its candidates defer (non-lossy, like
+    # budget-cut overflow) instead of burning politeness budget on fetches
+    # that will quarantine anyway. None = off (reference behavior: one
+    # host, fail-fast). Pass e.g. {} for the operator defaults or
+    # {"min_fetches": 8, "error_rate": 0.5, "suspend_rounds": 4}.
+    circuit_breaker: dict | None = None
 
 
 class CrawlEngine:
@@ -377,6 +386,21 @@ class CrawlEngine:
             return manifest
 
         _mark('candidates_count')
+        # circuit breaker: candidates of currently-suspended hosts defer
+        # (they rejoin the next frontier below, the same non-lossy path as
+        # budget-cut overflow); the suspensions relation is committed
+        # state, so resume replays the exact same skips
+        sched_cand, suspended_cand = candidates, None
+        if s.circuit_breaker is not None and rnd > 0:
+            from ba_gepris_crawler_spark.operators import backpressure as BP
+
+            susp = self.store.read_union("host_suspensions", rnd - 1)
+            if susp is not None:
+                # both splits reuse the cached candidates frame
+                sched_cand, suspended_cand = BP.split_suspended(
+                    candidates, BP.active_suspensions(susp, rnd)
+                )
+
         # size-aware offsets-join strategy: broadcast for a small host
         # universe, co-keyed shuffle join when hosts x depths x priorities
         # x B would make the broadcast a driver-scale round-trip
@@ -389,7 +413,7 @@ class CrawlEngine:
             self.budgets_df = self.budgets_df.localCheckpoint(eager=True)
             self._budgets_ckpt = True
         fetch_now, deferred = schedule_round(
-            candidates, s.politeness, s.n_buckets, many_hosts=many_hosts,
+            sched_cand, s.politeness, s.n_buckets, many_hosts=many_hosts,
             budgets_df=self.budgets_df,
         )
         # session cookie: refreshed once per epoch, broadcast into the fetch
@@ -542,7 +566,12 @@ class CrawlEngine:
         # a 1:1 broadcast join over it) — using docs_stored directly keeps
         # the crawl-log offset subtree OUT of the frontier write's plan
         seen_after = seen.select("url").unionByName(docs_stored.select("url"))
-        next_frontier = FR.merge_frontier(deferred, disc).join(seen_after, "url", "left_anti")
+        pending = FR.merge_frontier(deferred, disc)
+        if suspended_cand is not None:
+            # circuit-broken hosts' candidates re-enter the frontier; they
+            # were never fetched, so the seen anti-join below keeps them
+            pending = FR.merge_frontier(pending, suspended_cand)
+        next_frontier = pending.join(seen_after, "url", "left_anti")
 
         _mark('discover_counts')
         # NB: these two writes are independent, but running them as
@@ -553,6 +582,18 @@ class CrawlEngine:
         tables["url_seen"] = self.store.write_table("url_seen", rnd, seen_delta)
         _mark('write_seen')
         tables["frontier"] = self.store.write_table("frontier", rnd, next_frontier)
+        if s.circuit_breaker is not None:
+            # trip evaluation on THIS round's fetches only (fresh evidence;
+            # old errors never re-trip a lapsed host). Committed as a delta
+            # so resume replays identical skips. One pruned (host, status)
+            # re-read of the round's documents; the output is
+            # tripped-hosts-sized and empty most rounds.
+            from ba_gepris_crawler_spark.operators import backpressure as BP
+
+            tables["host_suspensions"] = self.store.write_table(
+                "host_suspensions", rnd,
+                BP.tripped_hosts(docs_stored, rnd + 1, **s.circuit_breaker),
+            )
         if recrawl is not None:
             # persist the readmission: (url, upto=rnd-1) cancels every seen
             # row written BEFORE this round, while this round's refetch row
@@ -617,6 +658,7 @@ class CrawlEngine:
             "errors": n_errors,  # every non-200 incl. redirects (quarantine class; 304 excluded)
             "redirects": int(sum(r["redirs"] for r in bucket_rows)),
             "revalidated": int(sum(r["revals"] for r in bucket_rows)),
+            "hosts_suspended": tables.get("host_suspensions", 0),
             "recrawl_enqueued": tables.get("seen_tombstones", 0),
             "discovered_raw": n_discovered_raw,
             "frontier_next": tables["frontier"],
