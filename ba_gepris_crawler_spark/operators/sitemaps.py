@@ -135,6 +135,59 @@ def sitemap_frontier(entries: DataFrame, next_round: int = 0) -> DataFrame:
     )
 
 
+def gunzip_bodies(
+    bodies: DataFrame,
+    binary_col: str = "body_gz",
+    out_col: str = "body",
+    max_chars: int = MAX_SITEMAP_CHARS,
+) -> DataFrame:
+    """Gzipped sitemap payloads -> text bodies (the protocol allows
+    .xml.gz up to 50 MB UNCOMPRESSED — sitemaps.org). This is the one
+    sitemap stage that cannot be pure Catalyst (no gzip expression), so
+    it is an Arrow-batched mapInPandas kernel, the same boundary class as
+    the fetch stage. Bounded against zip bombs: decompression stops at
+    max_chars + 1 bytes via zlib's max_length, so a 40 KB body that
+    inflates to 10 GB costs max_chars of memory and gets sliced by the
+    downstream parse cap like any oversized plain body. Plain (non-gzip)
+    bytes pass through utf-8-decoded — one relation can mix .xml and
+    .xml.gz; undecodable/corrupt payloads yield NULL (the parse drops
+    them, the quarantine discipline of every hostile-input path). All
+    other columns pass through; the binary column is consumed."""
+    import pyspark.sql.types as T
+
+    passthrough = [f for f in bodies.schema.fields if f.name != binary_col]
+    schema = T.StructType(passthrough + [T.StructField(out_col, T.StringType(), True)])
+    limit = int(max_chars)
+
+    def kernel(batches):
+        import zlib
+
+        def one(raw) -> str | None:
+            if raw is None:
+                return None
+            b = bytes(raw)
+            if b[:2] == b"\x1f\x8b":  # gzip magic
+                try:
+                    # wbits=47: gzip or zlib headers; max_length caps the
+                    # inflate — the +1 makes over-limit detectable yet
+                    # still just gets sliced downstream
+                    d = zlib.decompressobj(47)
+                    b = d.decompress(b, limit + 1)
+                except zlib.error:
+                    return None
+            try:
+                return b[: limit + 1].decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+
+        for pdf in batches:
+            out = pdf.drop(columns=[binary_col])
+            out[out_col] = [one(raw) for raw in pdf[binary_col]]
+            yield out[[f.name for f in schema.fields]]
+
+    return bodies.mapInPandas(kernel, schema=schema)
+
+
 def sitemap_urls_from_robots(
     bodies: DataFrame,
     host_col: str = "host",

@@ -119,6 +119,7 @@ _CANONICAL_ORDER = [
     "crawl_current_version_view",
     "crawl_error_retry_schedule",
     "crawl_circuit_breaker",
+    "dq_staleness",
 ]
 
 # Round-5 rotation: the 23 names rowed only in round 3 (the round-4 head
@@ -131,6 +132,7 @@ _HEAD_FIRST = [
     "crawl_current_version_view",
     "crawl_error_retry_schedule",
     "crawl_circuit_breaker",
+    "dq_staleness",
     "crawl_cuckoo_gate",
     "crawl_catalog_null_guard",
     "crawl_redirect_resolve",

@@ -312,3 +312,61 @@ def dq_url_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_urls"))
         .orderBy("liveness")
     )
+
+
+@_q(
+    "dq_staleness",
+    """
+    WITH h AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+             'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+             CAST(doc_id % 4 AS INT) AS rnd
+      FROM documents
+      UNION ALL
+      SELECT 'u' || CAST(doc_id AS VARCHAR), 'h' || CAST(doc_id % 5 AS VARCHAR), 6
+      FROM documents WHERE doc_id % 3 = 0),
+    m AS (SELECT *, max(rnd) OVER (PARTITION BY url) AS mx FROM h),
+    cur AS (SELECT url, host, 8 - rnd AS age FROM m WHERE rnd = mx)
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(round(avg(age), 3) AS DOUBLE) AS avg_age,
+           CAST(max(age) AS INT) AS max_age,
+           CAST(sum(CASE WHEN age > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+           CAST(round(sum(CASE WHEN age > 3 THEN 1 ELSE 0 END) * 1.0 / count(*), 3)
+                AS DOUBLE) AS stale_frac
+    FROM cur GROUP BY host ORDER BY host
+    """,
+)
+def dq_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness report over the CURRENT corpus (the ops view a
+    continuously-recrawling engine answers daily): resolve each URL to its
+    newest observation (plans/round_loop.latest_version, the current_tables
+    kernel), then per-host age statistics + the stale fraction past a
+    threshold. Fixture: every URL observed once at round doc_id%4; every
+    third URL re-observed at round 6; clock now=8, stale = age > 3. One
+    shuffle on url (resolve) + one metadata-sized agg on host. Beyond the
+    reference (one-shot crawl: everything is round-0 stale forever)."""
+    from ba_gepris_crawler_spark.plans.round_loop import latest_version
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")).alias("host")
+    h0 = d.select(url, host, (F.col("doc_id") % 4).cast("int").alias("_round"))
+    h1 = d.filter(F.col("doc_id") % 3 == 0).select(
+        url, host, F.lit(6).cast("int").alias("_round")
+    )
+    cur = latest_version(
+        h0.unionByName(h1).withColumn("last_round", F.col("_round")), ["url"]
+    ).withColumn("age", F.lit(8) - F.col("last_round"))
+    stale = F.sum(F.when(F.col("age") > 3, 1).otherwise(0))
+    return (
+        cur.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.round(F.avg("age"), 3).cast("double").alias("avg_age"),
+            F.max("age").cast("int").alias("max_age"),
+            stale.cast("bigint").alias("n_stale"),
+            F.round(stale / F.count(F.lit(1)), 3).cast("double").alias("stale_frac"),
+        )
+        .orderBy("host")
+    )

@@ -290,3 +290,40 @@ def test_sitemap_urls_from_robots(spark):
     assert "EvalPython" not in plan, plan
     got = sorted(r["sitemap_url"] for r in out.collect())
     assert got == ["https://h.org/a.xml", "https://h.org/b.xml.gz"]
+
+
+# ---------------------------------------------------------------------------
+# gzipped sitemaps (.xml.gz): bounded inflate -> same parse as plain bodies
+# ---------------------------------------------------------------------------
+
+def test_gunzip_bodies_roundtrip_and_bombs(spark):
+    import gzip as _gzip
+
+    from ba_gepris_crawler_spark.operators.sitemaps import gunzip_bodies
+
+    plain = URLSET
+    rows = [
+        ("https://h/ok.xml.gz", _gzip.compress(plain.encode("utf-8"))),
+        ("https://h/plain.xml", plain.encode("utf-8")),       # pass-through
+        ("https://h/corrupt.gz", b"\x1f\x8b" + b"garbage"),   # -> NULL
+        ("https://h/bomb.gz", _gzip.compress(b"<url>" * 3_000_000)),  # inflate cap
+        ("https://h/binary.bin", b"\xff\xfe\x00\x01"),        # undecodable -> NULL
+    ]
+    bodies = spark.createDataFrame(rows, "sitemap_url string, body_gz binary")
+    got = {r["sitemap_url"]: r["body"]
+           for r in gunzip_bodies(bodies, max_chars=100_000).collect()}
+    assert got["https://h/ok.xml.gz"] == plain
+    assert got["https://h/plain.xml"] == plain
+    assert got["https://h/corrupt.gz"] is None
+    assert got["https://h/binary.bin"] is None
+    bomb = got["https://h/bomb.gz"]
+    assert bomb is not None and len(bomb) <= 100_001  # inflate stopped at the cap
+
+    # the inflated relation parses identically to a plain-text one
+    from ba_gepris_crawler_spark.operators.sitemaps import parse_sitemap_entries
+
+    inflated = gunzip_bodies(bodies, max_chars=100_000).filter(
+        F.col("sitemap_url") == "https://h/ok.xml.gz"
+    )
+    want = {r["loc"] for r in parse_sitemap_entries(_bodies(spark, plain)).collect()}
+    assert {r["loc"] for r in parse_sitemap_entries(inflated).collect()} == want
