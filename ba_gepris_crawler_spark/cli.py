@@ -194,7 +194,10 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("export")
     e.add_argument("root")
     e.add_argument("--out", default=None, help="output dir (default <root>/final)")
-    e.add_argument("--format", dest="fmt", choices=["parquet", "csv", "sqlite"], default="parquet")
+    e.add_argument("--format", dest="fmt", choices=["parquet", "csv", "sqlite", "warc"], default="parquet",
+                   help="warc archives the crawled documents as WARC/1.0 "
+                        "response records (ISO 28500), dated from the "
+                        "store's commit timestamp")
     e.add_argument(
         "--current", action="store_true",
         help="export latest-version views (one current row set per entity) "
@@ -542,6 +545,21 @@ def main(argv: list[str] | None = None) -> int:
             tables = current_tables(store)
         else:
             tables = published_tables(store)
+        if args.fmt == "warc":
+            from datetime import datetime, timezone
+
+            from ba_gepris_crawler_spark.plans.export import export_warc
+
+            # WARC-Date from the store's commit clock: exports stay a pure
+            # function of store state (byte-identical re-exports)
+            ts = store.manifest(store.latest_round()).get("committed_at", 0.0)
+            date_iso = datetime.fromtimestamp(float(ts), tz=timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+            n = export_warc(tables["documents"], f"{out_dir}/documents.warc", date_iso)
+            print(json.dumps({"out": out_dir, "format": "warc",
+                              "warc_date": date_iso, "tables": {"documents": n}}))
+            return 0
         counts = export_tables(tables, out_dir, fmt=args.fmt)
         print(json.dumps({"out": out_dir, "format": args.fmt, "tables": counts}))
         return 0

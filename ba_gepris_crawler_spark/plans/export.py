@@ -174,3 +174,61 @@ def export_tables(
             out.write.mode("overwrite").parquet(path)
         counts[name] = int(obs.get["n"])
     return counts
+
+
+def export_warc(
+    documents: DataFrame,
+    out_dir: str,
+    date_iso: str,
+    software: str = "ba-gepris-crawler-spark",
+) -> int:
+    """Archive the crawled corpus as WARC/1.0 response records (ISO
+    28500 — the interchange format every crawl consumer reads), entirely
+    in the plan: record assembly is Catalyst string concat, Content-Length
+    is `octet_length` of the UTF-8 block (NOT character length — a German
+    title would corrupt the offset math otherwise), WARC-Record-ID is a
+    deterministic UUID-shaped digest of (url, round) so re-exports are
+    byte-identical, and the writer emits one valid WARC file per
+    partition (records are self-delimiting, so per-partition files
+    concatenate into one archive). The record block is the page's span
+    payload as the canonical JSON body the wire formats already use;
+    quarantined rows carry no body and are not captures, so only 200s
+    (and their metadata) are archived. No warcinfo record: it is optional
+    per spec and would make per-partition files non-identical.
+
+    Returns the record count. The caller supplies the mandatory
+    WARC-Date (the CLI uses the store's commit timestamp, keeping exports
+    a pure function of store state)."""
+    crlf = "\r\n"
+    body = F.to_json(F.struct(F.col("spans").alias("spans")))
+    digest = F.md5(F.concat_ws("#", F.col("url"), F.col("round").cast("string")))
+    rec_id = F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(digest, 1, 8), F.lit("-"),
+        F.substring(digest, 9, 4), F.lit("-"),
+        F.substring(digest, 13, 4), F.lit("-"),
+        F.substring(digest, 17, 4), F.lit("-"),
+        F.substring(digest, 21, 12),
+        F.lit(">"),
+    )
+    record = F.concat_ws(
+        crlf,
+        F.lit("WARC/1.0"),
+        F.lit("WARC-Type: response"),
+        F.concat(F.lit("WARC-Record-ID: "), rec_id),
+        F.lit(f"WARC-Date: {date_iso}"),
+        F.concat(F.lit("WARC-Target-URI: "), F.col("url")),
+        F.lit(f"X-Crawler-Software: {software}"),  # extension field (§4, grammar allows)
+        F.lit("Content-Type: application/json"),
+        F.concat(F.lit("Content-Length: "), F.octet_length(body).cast("string")),
+        F.lit(""),
+        # block + ONE of the two record-terminating CRLFs; the text
+        # writer's lineSep supplies the second, so the bytes on disk are
+        # exactly block + CRLF CRLF (ISO 28500 §4)
+        F.concat(body, F.lit(crlf)),
+    )
+    out = documents.filter(F.col("status") == 200).select(record.alias("value"))
+    obs = Observation("warc-export")
+    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+    out.write.mode("overwrite").option("lineSep", crlf).text(out_dir)
+    return int(obs.get["n"])
