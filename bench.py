@@ -287,6 +287,26 @@ def main() -> None:
                         out.write.format("noop").mode("overwrite").save()
                     extract_secs.append(time.time() - t0)
                     d.unpersist()
+                # revalidated recrawl cycle (round-5 feature): every page
+                # due, nothing changed -> all 304s. Times the whole
+                # conditional path: history scan + validator staging +
+                # If-None-Match fetch + committed round. The page cost is
+                # a hash compare instead of body+parse+extract — the
+                # number to compare against crawl_pages_per_sec.
+                from dataclasses import replace as _dc_replace
+
+                reng = CrawlEngine(
+                    spark, site, store, _dc_replace(settings, revalidate=True)
+                )
+                t0 = time.time()
+                n_due = reng.enqueue_recrawl(now_round=store.latest_round() + 100)
+                rm = reng.run_round(store.latest_round() + 1)
+                reval_sec = time.time() - t0
+                queries["crawl_revalidate_cycle"] = round(reval_sec, 3)
+                n_reval = rm["counters"].get("revalidated", 0)
+                extras["revalidate_due"] = n_due
+                extras["revalidated_pages"] = n_reval
+                extras["revalidated_pages_per_sec"] = round(n_reval / max(reval_sec, 1e-9), 1)
         finally:
             shutil.rmtree(work, ignore_errors=True)
     crawl_sec, extract_sec = min(crawl_secs), min(extract_secs)
