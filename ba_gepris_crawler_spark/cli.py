@@ -155,6 +155,12 @@ def main(argv: list[str] | None = None) -> int:
             )
     d = sub.add_parser("dq")
     d.add_argument("root")
+    d.add_argument(
+        "--current", action="store_true",
+        help="run the DQ workload over latest-version views (after a "
+             "changed recrawl, history duplicates would skew the rates); "
+             "crawl-log-grain queries (liveness) keep the full history",
+    )
     rc = sub.add_parser(
         "recrawl",
         help="stage the change-rate revisit due set (Cho & Garcia-Molina) and "
@@ -565,6 +571,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     tables = published_tables(store)
+    if getattr(args, "current", False):
+        # overlay: entity tables resolve to their newest version; the
+        # crawl-log views (url_seen/trace/fetch_errors) stay full-history
+        # — liveness is a statement about fetches, not entities
+        from ba_gepris_crawler_spark.plans.round_loop import current_tables
+
+        tables = {**tables, **current_tables(store)}
     results = dq.run_all(spark, tables, official_subject_areas(spark))
     for name, df in results.items():
         for row in df.limit(20).collect():
