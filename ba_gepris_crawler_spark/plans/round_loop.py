@@ -837,7 +837,15 @@ class CrawlEngine:
         )
         rows = due_frontier(sched, meta).localCheckpoint(eager=True)
         n = rows.count()
-        self._recrawl_df = rows if n else None
+        if n:
+            # UNION with (never clobber) an already-staged refetch set —
+            # enqueue_error_retries and enqueue_recrawl compose in either
+            # call order; the consuming round refetches both sets
+            self._recrawl_df = (
+                rows
+                if self._recrawl_df is None
+                else self._recrawl_df.unionByName(rows).dropDuplicates(["url"])
+            )
         self._recrawl_validators = None
         if n and self.s.revalidate:
             # stage each due URL's content-addressed validator (operators/

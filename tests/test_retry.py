@@ -139,15 +139,21 @@ def test_engine_retries_until_exhaustion_then_recovers(spark, tmp_path_factory):
     assert fixed.enqueue_error_retries(now_round=rnd + 100, max_attempts=10) == 0
 
 
-def test_retry_composes_with_staged_recrawl(spark, tmp_path_factory):
-    """Content recrawl and error retry stage into the same refetch round;
-    the union dedups and the round refetches both sets."""
-    tmp = tmp_path_factory.mktemp("retry-compose")
+@pytest.mark.parametrize("retries_first", [False, True])
+def test_retry_composes_with_staged_recrawl(spark, tmp_path_factory, retries_first):
+    """Content recrawl and error retry stage into the same refetch round
+    — in EITHER call order (staging unions, never clobbers); the round
+    refetches both sets."""
+    tmp = tmp_path_factory.mktemp(f"retry-compose-{retries_first}")
     eng = _engine(spark, tmp, _site(error_mod=5), extract=False)
     eng.run(max_rounds=20)
     latest = eng.store.latest_round()
-    n_re = eng.enqueue_recrawl(now_round=latest + 100)
-    n_er = eng.enqueue_error_retries(now_round=latest + 100)
+    if retries_first:
+        n_er = eng.enqueue_error_retries(now_round=latest + 100)
+        n_re = eng.enqueue_recrawl(now_round=latest + 100)
+    else:
+        n_re = eng.enqueue_recrawl(now_round=latest + 100)
+        n_er = eng.enqueue_error_retries(now_round=latest + 100)
     assert n_re > 0 and n_er > 0
     c = eng.run_round(latest + 1)["counters"]
     assert c["fetched"] == n_re + n_er  # disjoint sets (recrawl = 200/304 history)
