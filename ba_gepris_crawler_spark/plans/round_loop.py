@@ -846,18 +846,24 @@ class CrawlEngine:
                 if self._recrawl_df is None
                 else self._recrawl_df.unionByName(rows).dropDuplicates(["url"])
             )
-        self._recrawl_validators = None
         if n and self.s.revalidate:
             # stage each due URL's content-addressed validator (operators/
             # revalidate.py): one md5 per observation fused into a scan of
             # the same documents union, cut to the |due| set — the refetch
-            # sends it as If-None-Match and unchanged pages answer 304
+            # sends it as If-None-Match and unchanged pages answer 304.
+            # Unions like _recrawl_df (multi-staging composes); consumed
+            # and cleared by the same run_round.
             from ba_gepris_crawler_spark.operators.revalidate import validators_df
 
-            self._recrawl_validators = (
+            vals = (
                 validators_df(ok)
                 .join(rows.select("url"), "url")
                 .localCheckpoint(eager=True)
+            )
+            self._recrawl_validators = (
+                vals
+                if self._recrawl_validators is None
+                else self._recrawl_validators.unionByName(vals).dropDuplicates(["url"])
             )
         return n
 
