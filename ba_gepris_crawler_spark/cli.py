@@ -202,7 +202,7 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", default=None, help="output dir (default <root>/final)")
     e.add_argument("--format", dest="fmt", choices=["parquet", "csv", "sqlite", "warc"], default="parquet",
                    help="warc archives the crawled documents as WARC/1.0 "
-                        "response records (ISO 28500), dated from the "
+                        "resource records (ISO 28500), dated from the "
                         "store's commit timestamp")
     e.add_argument(
         "--current", action="store_true",
@@ -548,10 +548,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.current:
             from ba_gepris_crawler_spark.plans.round_loop import current_tables
 
-            tables = current_tables(store)
+            try:
+                tables = current_tables(store)
+            except ValueError as exc:
+                # e.g. a typed table was compacted offline — per-dir round
+                # provenance is gone; same JSON-error contract as every
+                # other CLI failure path
+                print(json.dumps({"error": str(exc)}))
+                return 2
         else:
             tables = published_tables(store)
         if args.fmt == "warc":
+            if store.latest_round() is None or "documents" not in tables:
+                print(json.dumps({"error": "no committed documents to archive "
+                                           "(store has no completed round)"}))
+                return 2
             from datetime import datetime, timezone
 
             from ba_gepris_crawler_spark.plans.export import export_warc
@@ -577,7 +588,11 @@ def main(argv: list[str] | None = None) -> int:
         # — liveness is a statement about fetches, not entities
         from ba_gepris_crawler_spark.plans.round_loop import current_tables
 
-        tables = {**tables, **current_tables(store)}
+        try:
+            tables = {**tables, **current_tables(store)}
+        except ValueError as exc:  # compacted typed table: provenance gone
+            print(json.dumps({"error": str(exc)}))
+            return 2
     results = dq.run_all(spark, tables, official_subject_areas(spark))
     for name, df in results.items():
         for row in df.limit(20).collect():

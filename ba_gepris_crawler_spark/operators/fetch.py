@@ -152,7 +152,10 @@ def fetch_pages(
     out_schema = T.StructType(passthrough + result_fields)
 
     def do_fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import json as _json
+        # ONE span-json writer repo-wide (synthetic_site.spans_to_json_body):
+        # the revalidation etags and the byte-equality pins between
+        # transports depend on this serialization never forking
+        from ba_gepris_crawler_spark.sources.synthetic_site import spans_to_json_body
 
         cfg = cfg_bc.value
         token = token_bc.value  # sent with every request
@@ -175,16 +178,7 @@ def fetch_pages(
                 out = {"body": raw}  # raw body strings, parsed in the plan
             elif ship_json:
                 # html parse happened on the worker; JSON transport to the JVM
-                out = {"body": [
-                    _json.dumps(
-                        {"spans": [
-                            {"kind": k, "text": t, "media_ref": m, "offset": o}
-                            for k, t, m, o in pl
-                        ]},
-                        separators=(",", ":"),
-                    )
-                    for pl in raw
-                ]}
+                out = {"body": [spans_to_json_body(pl) for pl in raw]}
             elif ship_arrays:
                 # four parallel primitive arrays: Arrow converts flat
                 # list<string>/list<int> columns without building a dict

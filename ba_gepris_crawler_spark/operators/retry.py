@@ -14,11 +14,14 @@ operators/recrawl.py for the failure side of the ledger):
   not failures.
 - a URL is a candidate only while its NEWEST observation is a retryable
   error (a later 200/304/redirect resolution ends the retry lineage);
-- n_attempts = number of retryable-error observations so far; the next
-  try is due `backoff_base ** n_attempts` rounds after the last one
-  (clamped to max_backoff), and after max_attempts failures the URL is
-  `exhausted` — reported, never due again (permanent quarantine, the
-  round loop's original behavior).
+- n_attempts = the CURRENT failure streak: retryable-error observations
+  since the last non-retryable one (a success resets the count — a URL
+  that fails, recovers, and fails again months later starts a fresh
+  lineage, it does not inherit decade-old attempts). The next try is due
+  `backoff_base ** n_attempts` rounds after the last observation
+  (clamped to max_backoff), and after max_attempts consecutive failures
+  the URL is `exhausted` — reported, never due again (permanent
+  quarantine, the round loop's original behavior).
 
 Shape: one shuffle on url (two aggregates share the partition); output is
 per-URL metadata rows, the same scale class as url_seen. The due set
@@ -30,7 +33,7 @@ recrawl. No driver state, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RETRYABLE_STATUSES = (408, 429, 500, 502, 503, 504, 598, 599)
@@ -50,8 +53,10 @@ def error_retry_schedule(
     """history (url, round, status; one row per fetch observation) ->
     one row per url whose NEWEST observation is a retryable error:
     (url, n_attempts, last_round, last_status, delay, next_due, due,
-    exhausted). Duplicate (url, round) rows are tolerated (idempotent
-    re-run: max status per (url, round) wins deterministically)."""
+    exhausted); n_attempts is the failure streak SINCE the last
+    non-retryable observation. Duplicate (url, round) rows are tolerated
+    (idempotent re-run: max status per (url, round) wins
+    deterministically)."""
     if max_attempts < 1 or backoff_base < 1 or max_backoff < 1:
         raise ValueError(
             f"need max_attempts/backoff_base/max_backoff >= 1, got "
@@ -61,10 +66,20 @@ def error_retry_schedule(
         F.col(url_col).alias("url"), F.col(round_col).cast("int").alias("rnd")
     ).agg(F.max(F.col(status_col)).cast("int").alias("st"))
     is_retry = F.col("st").isin(*retryable)
-    per_url = obs.groupBy("url").agg(
+    # current failure STREAK, not lifetime failure count: attempts since
+    # the last non-retryable observation (window + groupBy share the url
+    # partition — still one shuffle). Lifetime counting would let a URL
+    # that failed, recovered, and failed again inherit its ancient
+    # attempts and exhaust prematurely.
+    w = Window.partitionBy("url")
+    last_ok = F.max(F.when(~is_retry, F.col("rnd"))).over(w)
+    marked = obs.withColumn("_after_ok", F.col("rnd") > F.coalesce(last_ok, F.lit(-(1 << 31))))
+    per_url = marked.groupBy("url").agg(
         F.max_by("st", F.col("rnd")).alias("last_status"),
         F.max("rnd").alias("last_round"),
-        F.sum(F.when(is_retry, 1).otherwise(0)).cast("int").alias("n_attempts"),
+        F.sum(F.when(is_retry & F.col("_after_ok"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_attempts"),
     )
     cand = per_url.filter(F.col("last_status").isin(*retryable))
     # delay after the n-th failure: backoff_base^n, clamped. pow() is

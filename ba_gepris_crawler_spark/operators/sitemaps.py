@@ -47,6 +47,17 @@ def _xml_unescape(c: Column) -> Column:
     return c
 
 
+def _inflate_if_binary(bodies: DataFrame, body_col: str, max_chars: int) -> DataFrame:
+    """Auto-inflate a BINARY body column (gunzip_bodies) so the parse
+    entry points accept .xml.gz relations directly — the product wiring
+    for gzipped sitemaps; string relations pass through untouched."""
+    from pyspark.sql import types as T
+
+    if isinstance(bodies.schema[body_col].dataType, T.BinaryType):
+        return gunzip_bodies(bodies, binary_col=body_col, out_col=body_col, max_chars=max_chars)
+    return bodies
+
+
 def _field(block: Column, tag: str) -> Column:
     """<tag>value</tag> within one block -> trimmed value, NULL if absent."""
     raw = F.regexp_extract(block, f"(?s)<{tag}[^>]*>\\s*(.*?)\\s*</{tag}>", 1)
@@ -68,7 +79,9 @@ def parse_sitemap_entries(
     unless it is one of the seven spec values; priority try_casts to
     double (the spec range is 0.0-1.0; out-of-range values clamp, the
     spec default 0.5 fills absent/unparsable ones). All other columns of
-    `bodies` pass through."""
+    `bodies` pass through. A BINARY body column is inflated first
+    (gunzip_bodies) — .xml.gz relations parse without a separate call."""
+    bodies = _inflate_if_binary(bodies, body_col, max_chars)
     body = F.substring(F.col(body_col), 1, max_chars)
     blocks = F.slice(
         F.regexp_extract_all(body, F.lit("(?s)<url>(.*?)</url>"), 1),
@@ -102,7 +115,9 @@ def sitemap_index_children(
     """<sitemapindex> bodies -> one row per child sitemap:
     (passthrough cols..., child_url). One level only, BY SPEC: an index
     file must not list other index files, so child expansion is a single
-    extra fetch round, never a recursion."""
+    extra fetch round, never a recursion. A BINARY body column is
+    inflated first (gunzip_bodies)."""
+    bodies = _inflate_if_binary(bodies, body_col, max_chars)
     body = F.substring(F.col(body_col), 1, max_chars)
     blocks = F.slice(
         F.regexp_extract_all(body, F.lit("(?s)<sitemap>(.*?)</sitemap>"), 1),
@@ -175,9 +190,22 @@ def gunzip_bodies(
                     b = d.decompress(b, limit + 1)
                 except zlib.error:
                     return None
+            truncated = len(b) > limit + 1
+            b = b[: limit + 1]
             try:
-                return b[: limit + 1].decode("utf-8")
+                return b.decode("utf-8")
             except UnicodeDecodeError:
+                if not truncated:
+                    return None  # genuinely undecodable payload
+                # OUR byte cut may have landed inside a multi-byte
+                # character (a umlaut at exactly the limit) — stripping at
+                # most 3 trailing bytes recovers the valid prefix; an
+                # over-limit body must SLICE, not drop (review r5 #2)
+                for k in (1, 2, 3):
+                    try:
+                        return b[:-k].decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
                 return None
 
         for pdf in batches:

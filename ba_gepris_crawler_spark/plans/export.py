@@ -182,8 +182,12 @@ def export_warc(
     date_iso: str,
     software: str = "ba-gepris-crawler-spark",
 ) -> int:
-    """Archive the crawled corpus as WARC/1.0 response records (ISO
-    28500 — the interchange format every crawl consumer reads), entirely
+    """Archive the crawled corpus as WARC/1.0 `resource` records (ISO
+    28500 — the interchange format every crawl consumer reads; NOT
+    `response`, which must carry a full protocol message
+    (application/http) — our block is the extracted span payload, and
+    `resource` is the record type the spec assigns to captured content
+    without its protocol envelope), entirely
     in the plan: record assembly is Catalyst string concat, Content-Length
     is `octet_length` of the UTF-8 block (NOT character length — a German
     title would corrupt the offset math otherwise), WARC-Record-ID is a
@@ -214,7 +218,7 @@ def export_warc(
     record = F.concat_ws(
         crlf,
         F.lit("WARC/1.0"),
-        F.lit("WARC-Type: response"),
+        F.lit("WARC-Type: resource"),
         F.concat(F.lit("WARC-Record-ID: "), rec_id),
         F.lit(f"WARC-Date: {date_iso}"),
         F.concat(F.lit("WARC-Target-URI: "), F.col("url")),

@@ -1520,11 +1520,16 @@ def crawl_current_version_view(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
       UNION ALL SELECT url, 1, CASE m WHEN 0 THEN 598 ELSE 200 END FROM d WHERE m IN (0, 1)
       UNION ALL SELECT url, 2, 503 FROM d WHERE m = 0),
+    hw AS (
+      SELECT *, max(CASE WHEN st NOT IN (408,429,500,502,503,504,598,599)
+                         THEN rnd END) OVER (PARTITION BY url) AS last_ok
+      FROM h),
     p AS (
       SELECT url, arg_max(st, rnd) AS last_status, CAST(max(rnd) AS INT) AS last_round,
-             CAST(sum(CASE WHEN st IN (408,429,500,502,503,504,598,599) THEN 1 ELSE 0 END) AS INT)
-               AS n_attempts
-      FROM h GROUP BY url),
+             CAST(sum(CASE WHEN st IN (408,429,500,502,503,504,598,599)
+                            AND rnd > coalesce(last_ok, -2147483648)
+                           THEN 1 ELSE 0 END) AS INT) AS n_attempts
+      FROM hw GROUP BY url),
     c AS (
       SELECT *, CAST(least(round(pow(2, n_attempts)), 8) AS INT) AS delay
       FROM p WHERE last_status IN (408,429,500,502,503,504,598,599))
@@ -1538,7 +1543,8 @@ def crawl_current_version_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 def crawl_error_retry_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transient-error retry policy (operators/retry.error_retry_schedule:
     exponential backoff over the quarantine, newest-observation gating,
-    max_attempts exhaustion). Fixture per doc URL: three straight
+    streak-since-last-success attempt counting, max_attempts
+    exhaustion). Fixture per doc URL: three straight
     failures 503/598/503 (exhausted at max_attempts=3, backoff clamped to
     max_backoff=8 so next_due > now), one failure-then-200 (lineage ended
     — excluded), one single 503 (due: 0 + 2^1 <= now=5), one 404 (content

@@ -193,7 +193,9 @@ def test_export_warc_roundtrip(spark, tmp_path):
     ids = set()
     by_uri: dict[str, list[bytes]] = {}
     for headers, body in recs:
-        assert headers["WARC-Type"] == "response"
+        # `resource`, not `response`: the block is extracted content, not
+        # an application/http protocol message (ISO 28500 §6.5 vs §6.3)
+        assert headers["WARC-Type"] == "resource"
         assert headers["WARC-Date"] == "2026-01-02T03:04:05Z"
         assert headers["Content-Type"] == "application/json"
         assert headers["WARC-Record-ID"].startswith("<urn:uuid:")

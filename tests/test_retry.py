@@ -56,6 +56,21 @@ def test_retry_policy_arithmetic(spark):
     ).collect()) == ["u_once", "u_twice"]
 
 
+def test_retry_streak_resets_after_success(spark):
+    """n_attempts counts the CURRENT failure streak, not lifetime
+    failures: a URL that failed, recovered, and failed again starts a
+    fresh lineage — lifetime counting would exhaust it prematurely."""
+    rows = [
+        ("u", 0, 503), ("u", 2, 200), ("u", 10, 503), ("u", 14, 200),
+        ("u", 20, 503), ("u", 24, 200), ("u", 30, 503),
+    ]
+    got = error_retry_schedule(
+        _hist(spark, rows), now_round=40, max_attempts=4, backoff_base=2
+    ).collect()[0]
+    assert got["n_attempts"] == 1  # only the round-30 failure counts
+    assert not got["exhausted"] and got["due"]  # 30 + 2 <= 40
+
+
 def test_retry_validation(spark):
     with pytest.raises(ValueError):
         error_retry_schedule(_hist(spark, [("u", 0, 503)]), now_round=1, max_attempts=0)

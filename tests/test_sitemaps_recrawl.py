@@ -327,3 +327,45 @@ def test_gunzip_bodies_roundtrip_and_bombs(spark):
     )
     want = {r["loc"] for r in parse_sitemap_entries(_bodies(spark, plain)).collect()}
     assert {r["loc"] for r in parse_sitemap_entries(inflated).collect()} == want
+
+
+def test_gunzip_midchar_truncation_slices_not_drops(spark):
+    """An over-limit body whose byte cut lands inside a multi-byte char
+    must SLICE (valid prefix survives), never drop the whole sitemap."""
+    from ba_gepris_crawler_spark.operators.sitemaps import gunzip_bodies
+
+    body = ("x" * 99) + "ü" + "tail"  # 'ü' spans bytes 99-100 -> cut at 100 lands mid-char
+    rows = [("u", body.encode("utf-8"))]
+    bodies = spark.createDataFrame(rows, "sitemap_url string, body_gz binary")
+    got = gunzip_bodies(bodies, max_chars=99).collect()[0]["body"]
+    assert got == "x" * 99  # prefix recovered; nothing dropped
+    # a genuinely undecodable (non-truncated) payload still nulls
+    bad = spark.createDataFrame([("u", b"\xff\xfe")], "sitemap_url string, body_gz binary")
+    assert gunzip_bodies(bad, max_chars=99).collect()[0]["body"] is None
+
+
+def test_parse_accepts_binary_gz_bodies_directly(spark):
+    """Product wiring: the parse entry points auto-inflate BINARY body
+    columns, so a .xml.gz relation needs no separate gunzip call."""
+    import gzip as _gzip
+
+    from ba_gepris_crawler_spark.operators.sitemaps import (
+        parse_sitemap_entries,
+        sitemap_index_children,
+    )
+
+    gz = spark.createDataFrame(
+        [("https://h/s.xml.gz", _gzip.compress(URLSET.encode("utf-8")))],
+        "sitemap_url string, body binary",
+    )
+    want = {r["loc"] for r in parse_sitemap_entries(_bodies(spark, URLSET)).collect()}
+    assert {r["loc"] for r in parse_sitemap_entries(gz).collect()} == want
+
+    gzi = spark.createDataFrame(
+        [("https://h/i.xml.gz", _gzip.compress(INDEX.encode("utf-8")))],
+        "sitemap_url string, body binary",
+    )
+    assert [r["child_url"] for r in sitemap_index_children(gzi).collect()] == [
+        "https://h.example.org/sitemap-1.xml",
+        "https://h.example.org/sitemap-2.xml",
+    ]
