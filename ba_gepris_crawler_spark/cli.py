@@ -47,7 +47,9 @@ def _settings(args: argparse.Namespace) -> CrawlSettings:
     return CrawlSettings(
         n_buckets=args.buckets,
         politeness=PolitenessConfig(
-            per_host_rate=args.rate, round_seconds=1.0, max_in_flight=args.in_flight
+            per_host_rate=args.rate,
+            round_seconds=getattr(args, "round_seconds", 1.0),
+            max_in_flight=args.in_flight,
         ),
         fetch_format=getattr(args, "fetch_format", "html"),
         seen_filter=getattr(args, "seen_filter", "bloom"),
@@ -95,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--hosts", type=int, default=4)
         c.add_argument("--projects", type=int, default=200)
         c.add_argument("--rate", type=float, default=1000)
+        c.add_argument(
+            "--round-seconds", dest="round_seconds", type=float, default=1.0,
+            help="wall-clock length one crawl round represents; per-host "
+                 "budgets = rate x this (matters with Crawl-delay budgets: "
+                 "delay 2s at --round-seconds 60 allows 30 pages/round)",
+        )
         c.add_argument("--in-flight", dest="in_flight", type=int, default=10)
         c.add_argument("--buckets", type=int, default=32)
         c.add_argument("--seed", type=int, default=42)
@@ -102,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
             "--error-mod", dest="error_mod", type=int, default=0,
             help="1/N of detail pages answer 503 (quarantine + retry-errors "
                  "exercise); 0 = none",
+        )
+        c.add_argument(
+            "--bootstrap-robots", dest="bootstrap_robots", action="store_true",
+            help="before round 0, fetch each host's /robots.txt: Crawl-delay "
+                 "lines become the per-host budgets relation and Sitemap: "
+                 "urlsets seed the round-0 frontier (new-crawl only)",
         )
         c.add_argument(
             "--circuit-breaker", dest="circuit_breaker", action="store_true",
@@ -378,6 +392,7 @@ def main(argv: list[str] | None = None) -> int:
                     "cuckoo_shards": settings.cuckoo_shards,
                     "span_transport": settings.span_transport,
                     "circuit_breaker": settings.circuit_breaker,
+                    "bootstrap_robots": bool(getattr(args, "bootstrap_robots", False)),
                     "robots_file": args.robots_file,
                 }
             )
@@ -425,8 +440,27 @@ def main(argv: list[str] | None = None) -> int:
                 )
         engine = CrawlEngine(spark, site, store, settings)
         engine.budgets_df = budgets
+        if (
+            args.cmd == "resume-crawl" and budgets is None
+            and cfg is not None and cfg.get("bootstrap_robots")
+        ):
+            # the original run drew its budgets from the site's own
+            # robots.txt (data, not a replayable file path) — re-fetch them
+            # the same way so resume keeps identical politeness
+            engine.bootstrap_from_robots()
+            engine.seed_urls_df = None  # seeds are a round-0 concern only
         try:
             if args.cmd == "new-crawl":
+                if getattr(args, "bootstrap_robots", False):
+                    if args.robots_file:
+                        print(json.dumps({"error": "--bootstrap-robots fetches "
+                                                   "robots from the site itself; "
+                                                   "it conflicts with --robots-file"}))
+                        return 2
+                    # open-web startup: robots -> budgets relation +
+                    # sitemap-seeded round-0 frontier, all from the site's
+                    # own metadata endpoints
+                    print(json.dumps({"bootstrap": engine.bootstrap_from_robots()}))
                 manifests = engine.run(max_rounds=args.max_rounds)
             else:
                 if getattr(args, "from_round", None) is not None:

@@ -221,6 +221,54 @@ def fetch_pages(
     return scheduled.repartition(n_buckets, "host_bucket").mapInPandas(do_fetch, schema=out_schema)
 
 
+def fetch_raw_bodies(
+    urls: DataFrame,
+    site_cfg: SiteConfig,
+    transport=None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Fetch site-METADATA endpoints (robots.txt, sitemap.xml) whose
+    payload is a raw text body riding a single 'raw' span: urls
+    (url, host) -> (url, host, status, body). Same executor-side batch
+    shape as fetch_pages — bodies never transit the driver, so a 10^6-host
+    bootstrap is |hosts| distributed rows — but unauthenticated (robots is
+    fetched before any session exists) and outside politeness (RFC 9309
+    reads robots BEFORE the budget it defines can apply; one fetch per
+    host per bootstrap is the accepted cost)."""
+    from ba_gepris_crawler_spark.operators.transport import SyntheticTransport
+
+    if transport is None:
+        transport = SyntheticTransport()
+    spark = urls.sparkSession
+    cfg_bc = spark.sparkContext.broadcast(site_cfg)
+    out_schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("body", T.StringType(), True),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cfg = cfg_bc.value
+        for pdf in batches:
+            statuses, payloads = transport.fetch_batch(
+                cfg, list(pdf["url"]), None, 0, False
+            )
+            bodies = [
+                next((t for k, t, _m, _o in pl if k == "raw"), None) if st == 200 else None
+                for st, pl in zip(statuses, payloads)
+            ]
+            yield pd.DataFrame({
+                "url": pdf["url"], "host": pdf["host"],
+                "status": pd.Series(statuses, index=pdf.index, dtype="int32"),
+                "body": bodies,
+            })
+
+    return urls.select("url", "host").repartition(n_buckets, "host").mapInPandas(
+        kernel, schema=out_schema
+    )
+
+
 def needs_span_parse(fetched: DataFrame) -> bool:
     """True iff a fetch_pages result still carries a wire-format span
     column (`body` for fmt="json" / span_transport="json", the four

@@ -867,6 +867,64 @@ class CrawlEngine:
             )
         return n
 
+    def bootstrap_from_robots(self) -> dict:
+        """Self-describing bootstrap — the open-web startup sequence over
+        the site's OWN metadata endpoints, nothing hand-configured:
+
+        1. fetch https://<host>/robots.txt for every configured host
+           (operators/fetch.fetch_raw_bodies — executor-side, |hosts|
+           rows, unauthenticated, outside politeness per RFC 9309);
+        2. Crawl-delay lines -> the per-host budgets RELATION
+           (politeness.crawl_delay_budgets), set as engine.budgets_df so
+           every round's scheduler honors the site's own politeness;
+        3. Sitemap: lines -> fetch each sitemap -> parse urlset ->
+           engine.seed_urls_df, merged into the round-0 frontier next to
+           the catalog seeds.
+
+        Call once before run(); returns counts. Resume note: budgets_df
+        is data, not config — a resumed engine re-runs this (or re-sets
+        budgets_df) exactly like the --robots-file flow."""
+        from ba_gepris_crawler_spark.operators.fetch import fetch_raw_bodies
+        from ba_gepris_crawler_spark.operators.politeness import crawl_delay_budgets
+        from ba_gepris_crawler_spark.operators.sitemaps import (
+            parse_sitemap_entries,
+            sitemap_urls_from_robots,
+        )
+
+        hosts_df = self.spark.createDataFrame(
+            [(h,) for h in self.site.hosts], "host string"
+        )
+        robots_urls = hosts_df.select(
+            F.concat(F.lit("https://"), F.col("host"), F.lit("/robots.txt")).alias("url"),
+            "host",
+        )
+        robots = (
+            fetch_raw_bodies(robots_urls, self.site, transport=self.transport,
+                             n_buckets=self.s.n_buckets)
+            .filter(F.col("status") == 200)
+            .select("host", F.col("body").alias("robots_txt"))
+            .localCheckpoint(eager=True)  # one fetch feeds budgets AND discovery
+        )
+        n_robots = robots.count()
+        self.budgets_df = crawl_delay_budgets(robots, self.s.politeness)
+        self._budgets_ckpt = False  # run_round materializes it once
+        sm_urls = sitemap_urls_from_robots(robots).select(
+            F.col("sitemap_url").alias("url"), "host"
+        )
+        sm_bodies = (
+            fetch_raw_bodies(sm_urls, self.site, transport=self.transport,
+                             n_buckets=self.s.n_buckets)
+            .filter(F.col("status") == 200)
+            .select(F.col("url").alias("sitemap_url"), "body")
+        )
+        entries = parse_sitemap_entries(sm_bodies)
+        self.seed_urls_df = entries.select(F.col("loc").alias("url")).localCheckpoint(
+            eager=True
+        )
+        n_seeds = self.seed_urls_df.count()
+        return {"hosts": len(self.site.hosts), "robots_fetched": n_robots,
+                "sitemap_seeds": n_seeds}
+
     def enqueue_error_retries(
         self,
         now_round: int | None = None,

@@ -210,7 +210,7 @@ _DETAIL_RE = re.compile(r"^/gepris/(projekt|person|institution)/(\d+)$")
 @dataclass
 class ParsedUrl:
     host: str
-    kind: str  # 'catalog' | 'detail' | 'unknown'
+    kind: str  # 'catalog' | 'detail' | 'robots' | 'sitemap' | 'unknown'
     resource_type: str | None = None
     resource_id: str | None = None
     index: int = 0
@@ -218,6 +218,10 @@ class ParsedUrl:
 
 def parse_url(url: str) -> ParsedUrl:
     u = urlparse(url)
+    if u.path == "/robots.txt":
+        return ParsedUrl(u.netloc, "robots")
+    if u.path == "/sitemap.xml":
+        return ParsedUrl(u.netloc, "sitemap")
     m = _DETAIL_RE.match(u.path)
     if m:
         return ParsedUrl(u.netloc, "detail", TYPE_FROM_URL[m.group(1)], m.group(2))
@@ -430,6 +434,46 @@ def fetch_session_header(cfg: SiteConfig, epoch: int = 0) -> str:
     return f"JSESSIONID={session_token(cfg, epoch)}; Path=/gepris; HttpOnly; Secure"
 
 
+def robots_body(cfg: SiteConfig, host: str) -> str:
+    """Deterministic robots.txt for one host: a Disallow, a wildcard
+    rule, a per-host Crawl-delay (1 + host_index % 3 seconds — hosts get
+    DIFFERENT politeness budgets, so a bootstrap that ignores them is
+    detectable), and the Sitemap pointer that closes the
+    robots -> sitemap -> frontier loop."""
+    delay = 1 + cfg.hosts.index(host) % 3
+    return (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Disallow: /*?*session=\n"
+        f"Crawl-delay: {delay}\n"
+        f"Sitemap: https://{host}/sitemap.xml\n"
+    )
+
+
+def sitemap_body(cfg: SiteConfig, host: str) -> str:
+    """Deterministic urlset for one host: roughly the first third of each
+    resource type's detail pages (a PARTIAL listing — seeding accelerates
+    the crawl but catalog discovery must still find the rest), with
+    spec-conforming entity escaping and a priority that decays with list
+    position."""
+    locs: list[tuple[str, float]] = []
+    for rtype in ("project", "person", "institution"):
+        ids = _host_resources(cfg, rtype, host)
+        for i, rid in enumerate(ids[: max(1, len(ids) // 3)]):
+            locs.append((detail_url(cfg, rtype, rid), round(0.9 - 0.1 * (i % 5), 1)))
+    entries = "".join(
+        "  <url><loc>{u}</loc><priority>{p}</priority></url>\n".format(
+            u=u.replace("&", "&amp;"), p=p
+        )
+        for u, p in locs
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        f"{entries}</urlset>\n"
+    )
+
+
 def render_page(
     cfg: SiteConfig,
     url: str,
@@ -442,6 +486,13 @@ def render_page(
     p = parse_url(url)
     if p.kind == "unknown" or p.host not in cfg.hosts:
         return 404, []
+    if p.kind in ("robots", "sitemap"):
+        # site-metadata endpoints are UNAUTHENTICATED (a crawler fetches
+        # robots.txt before it has any session — RFC 9309 presumes open
+        # access) and carry a RAW text body as a single 'raw' span, so
+        # every transport/wire format ships them like any page
+        body = (robots_body if p.kind == "robots" else sitemap_body)(cfg, p.host)
+        return 200, [("raw", body, "", 0)]
     if cfg.session_rounds > 0 and token != session_token(cfg, epoch):
         return 401, []
     if p.kind == "catalog":
