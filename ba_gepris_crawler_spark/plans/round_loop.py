@@ -141,6 +141,18 @@ class CrawlEngine:
         # replay — silently dropping it would change politeness mid-crawl).
         self.budgets_df: DataFrame | None = None
         self._budgets_ckpt = False
+        # Optional robots RULES relation (ROBOTS_RULES_SCHEMA rows —
+        # politeness.parse_robots_rules_distributed over fetched bodies):
+        # every round's schedulable candidates pass the longest-match
+        # Allow/Disallow evaluation (politeness.apply_robots_rules) before
+        # politeness budgeting. Disallowed URLs DROP (robots says never
+        # fetch — unlike breaker suspensions they must not defer) and
+        # never enter url_seen, so a rediscovered disallowed link is
+        # re-filtered, not re-fetched. Same lifecycle as budgets_df: live
+        # data, localCheckpointed on first use, recorded in manifests,
+        # resume() refuses to continue without it.
+        self.rules_df: DataFrame | None = None
+        self._rules_ckpt = False
         # Pluggable network seam (operators/transport.py): None = the
         # in-process SyntheticTransport; set an HttpTransport to crawl
         # over real sockets. Like budgets_df it is a live object, not
@@ -378,7 +390,8 @@ class CrawlEngine:
             tables = {"frontier": self.store.write_table("frontier", rnd, candidates)}
             manifest = self.store.commit(rnd, tables, {"fetched": 0, "errors": 0, "done": True,
                                                        "seen_total": n_seen, "candidates": 0,
-                                                       "budgets_df": self.budgets_df is not None})
+                                                       "budgets_df": self.budgets_df is not None,
+                                                       "rules_df": self.rules_df is not None})
             for df in (candidates, seen):  # the early return must not leak caches
                 df.unpersist()
             if bloom is not None and bloom is not self._bloom:
@@ -406,6 +419,17 @@ class CrawlEngine:
         # x B would make the broadcast a driver-scale round-trip
         # (crossover rationale lives with the constant in politeness.py)
         many_hosts = len(self.site.hosts) > MANY_HOSTS_THRESHOLD
+        if self.rules_df is not None:
+            from ba_gepris_crawler_spark.operators.politeness import apply_robots_rules
+
+            if not self._rules_ckpt:
+                # materialize ONCE — an unpersisted rules plan would re-parse
+                # every robots body through mapInPandas every round
+                self.rules_df = self.rules_df.localCheckpoint(eager=True)
+                self._rules_ckpt = True
+            sched_cand = apply_robots_rules(
+                sched_cand, self.rules_df, many_hosts=many_hosts, n_buckets=s.n_buckets
+            )
         if self.budgets_df is not None and not self._budgets_ckpt:
             # materialize the budgets relation ONCE — an unpersisted
             # crawl_delay_budgets plan would re-parse every robots body
@@ -670,6 +694,7 @@ class CrawlEngine:
                        "version": cuckoo.version} if cuckoo else None,
             "virtual_cost_sec": max((r["virtual_cost_sec"] for r in lineage_rows), default=0.0),
             "budgets_df": self.budgets_df is not None,
+            "rules_df": self.rules_df is not None,
             "done": False,
         }
         if self.site.session_rounds:
@@ -770,6 +795,16 @@ class CrawlEngine:
                     "(manifest counters.budgets_df=true); set "
                     "engine.budgets_df (e.g. crawl_delay_budgets over the "
                     "same robots bodies) before resume()"
+                )
+        if latest is not None and self.rules_df is None:
+            if self.store.manifest(latest)["counters"].get("rules_df"):
+                # same contract as budgets_df: silently dropping the rules
+                # relation would fetch robots-disallowed URLs mid-crawl
+                raise ValueError(
+                    "this crawl ran with a robots rules relation (manifest "
+                    "counters.rules_df=true); set engine.rules_df (e.g. "
+                    "parse_robots_rules_distributed over the same robots "
+                    "bodies) before resume()"
                 )
         start = 0 if latest is None else latest + 1
         return self.run(max_rounds=max_rounds, start_round=start)
@@ -877,7 +912,11 @@ class CrawlEngine:
         2. Crawl-delay lines -> the per-host budgets RELATION
            (politeness.crawl_delay_budgets), set as engine.budgets_df so
            every round's scheduler honors the site's own politeness;
-        3. Sitemap: lines -> fetch each sitemap -> parse urlset ->
+        3. Allow/Disallow groups -> the robots rules RELATION
+           (politeness.parse_robots_rules_distributed), set as
+           engine.rules_df so every round's candidates pass longest-match
+           robots evaluation before budgeting;
+        4. Sitemap: lines -> fetch each sitemap -> parse urlset ->
            engine.seed_urls_df, merged into the round-0 frontier next to
            the catalog seeds.
 
@@ -885,7 +924,10 @@ class CrawlEngine:
         is data, not config — a resumed engine re-runs this (or re-sets
         budgets_df) exactly like the --robots-file flow."""
         from ba_gepris_crawler_spark.operators.fetch import fetch_raw_bodies
-        from ba_gepris_crawler_spark.operators.politeness import crawl_delay_budgets
+        from ba_gepris_crawler_spark.operators.politeness import (
+            crawl_delay_budgets,
+            parse_robots_rules_distributed,
+        )
         from ba_gepris_crawler_spark.operators.sitemaps import (
             parse_sitemap_entries,
             sitemap_urls_from_robots,
@@ -908,6 +950,8 @@ class CrawlEngine:
         n_robots = robots.count()
         self.budgets_df = crawl_delay_budgets(robots, self.s.politeness)
         self._budgets_ckpt = False  # run_round materializes it once
+        self.rules_df = parse_robots_rules_distributed(robots)
+        self._rules_ckpt = False
         sm_urls = sitemap_urls_from_robots(robots).select(
             F.col("sitemap_url").alias("url"), "host"
         )

@@ -104,3 +104,58 @@ def test_engine_bootstrap_over_real_http(spark, tmp_path_factory):
         budgets = {r["host"]: r["budget"] for r in eng.budgets_df.collect()}
     assert counts["robots_fetched"] == 2 and counts["sitemap_seeds"] > 0
     assert budgets == {"h0.example.org": 30, "h1.example.org": 15}
+
+
+def test_engine_enforces_rules_relation(spark, tmp_path_factory):
+    """engine.rules_df: robots Disallow groups as a RELATION evaluated on
+    every round's candidates — disallowed URLs are never fetched, never
+    enter url_seen, and the crawl still converges; the allowed remainder
+    equals a rule-less crawl minus exactly the disallowed set."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        parse_robots_rules_distributed,
+    )
+
+    site = _site()
+    eng = _engine(spark, tmp_path_factory.mktemp("rules"), site)
+    robots = spark.createDataFrame(
+        [("h0.example.org", "User-agent: *\nDisallow: /gepris/person/\n")],
+        "host string, robots_txt string",
+    )
+    eng.rules_df = parse_robots_rules_distributed(robots)
+    manifests = eng.run(max_rounds=20)
+    assert manifests[-1]["counters"]["done"]
+    assert manifests[0]["counters"]["rules_df"] is True
+    seen = {
+        r["url"] for r in eng.store.read_union(
+            "url_seen", eng.store.latest_round()
+        ).select("url").collect()
+    }
+    assert not any("h0.example.org/gepris/person/" in u for u in seen)
+    assert any("h1.example.org/gepris/person/" in u for u in seen)  # unruled host
+
+    plain = _engine(spark, tmp_path_factory.mktemp("rules-plain"), _site())
+    plain.run(max_rounds=20)
+    plain_seen = {
+        r["url"] for r in plain.store.read_union(
+            "url_seen", plain.store.latest_round()
+        ).select("url").collect()
+    }
+    assert seen == {u for u in plain_seen if "h0.example.org/gepris/person/" not in u}
+
+    # resume contract: the rules relation is data — a fresh engine must
+    # refuse to continue without it
+    import pytest as _pytest
+
+    fresh = CrawlEngine(spark, site, eng.store, eng.s)
+    with _pytest.raises(ValueError, match="rules_df"):
+        fresh.resume(max_rounds=1)
+
+
+def test_bootstrap_sets_rules_relation(spark, tmp_path_factory):
+    site = _site()
+    eng = _engine(spark, tmp_path_factory.mktemp("boot-rules"), site)
+    eng.bootstrap_from_robots()
+    rules = eng.rules_df.collect()
+    hosts = {r["host"] for r in rules}
+    assert hosts == set(site.hosts)  # every host's robots parsed
+    assert any("/private/" in r["rx"] for r in rules)  # the served Disallow
