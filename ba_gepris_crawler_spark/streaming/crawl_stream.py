@@ -83,6 +83,11 @@ class StreamingCrawl:
     # carried to the fetch cost model; localCheckpointed on first use so
     # the robots bodies parse once, not once per micro-batch
     budgets_df: DataFrame | None = None
+    # optional robots rules RELATION (politeness.parse_robots_rules_
+    # distributed) — same semantics as CrawlEngine.rules_df: every batch's
+    # candidates pass longest-match Allow/Disallow evaluation before
+    # budgeting; disallowed URLs drop and never enter the seen set
+    rules_df: DataFrame | None = None
     # pluggable network seam (operators/transport.py), same semantics as
     # CrawlEngine.transport: None = in-process SyntheticTransport
     transport: object | None = None
@@ -94,6 +99,7 @@ class StreamingCrawl:
     _bloom: US.BloomFilterModel | None = field(default=None, init=False, repr=False)
     _bloom_dirs: set = field(default_factory=set, init=False, repr=False)
     _budgets_ckpt: bool = field(default=False, init=False, repr=False)
+    _rules_ckpt: bool = field(default=False, init=False, repr=False)
 
     def __post_init__(self) -> None:
         self.root = Path(self.root)
@@ -201,6 +207,15 @@ class StreamingCrawl:
         if self.budgets_df is not None and not self._budgets_ckpt:
             self.budgets_df = self.budgets_df.localCheckpoint(eager=True)
             self._budgets_ckpt = True
+        if self.rules_df is not None:
+            from ba_gepris_crawler_spark.operators.politeness import apply_robots_rules
+
+            if not self._rules_ckpt:
+                self.rules_df = self.rules_df.localCheckpoint(eager=True)
+                self._rules_ckpt = True
+            candidates = apply_robots_rules(
+                candidates, self.rules_df, n_buckets=self.n_buckets
+            )
         fetch_now, deferred = schedule_round(
             candidates, self.politeness, self.n_buckets, budgets_df=self.budgets_df
         )

@@ -330,3 +330,41 @@ def test_stream_stale_feed_removed_on_empty_replay(spark, tmp_path):
     assert not feed_dir.exists()  # stale feed did not survive the commit
     stored = spark.read.parquet(str(sc.root / "documents" / "b00100"))
     assert stored.filter(F.col("status") == 200).count() == 0
+
+
+def test_streaming_rules_relation_matches_batch(spark, tmp_path):
+    """The robots RULES relation in the STREAM: a streamed crawl under a
+    Disallow must land on the same final seen set as the batch engine
+    running the same relation — and the disallowed path never appears."""
+    from ba_gepris_crawler_spark.operators.politeness import (
+        parse_robots_rules_distributed,
+    )
+
+    cfg = SiteConfig(
+        hosts=("ruled.example.org", "free.example.org"),
+        n_projects=12, n_persons=6, n_institutions=3,
+        hits_per_page=6, seed=17,
+    )
+    pol = PolitenessConfig(per_host_rate=40, round_seconds=1.0, max_in_flight=5)
+    robots = spark.createDataFrame(
+        [("ruled.example.org", "User-agent: *\nDisallow: /gepris/person/\n")],
+        "host string, robots_txt string")
+    rules = parse_robots_rules_distributed(robots)
+
+    sc = StreamingCrawl(spark, cfg, tmp_path / "stream-r", politeness=pol,
+                        n_buckets=8, rules_df=rules)
+    sc.seed()
+    assert 1 < sc.drain(max_waves=40) <= 40
+
+    store = SnapshotStore(spark, tmp_path / "batch-r")
+    eng = CrawlEngine(spark, cfg, store,
+                      CrawlSettings(n_buckets=8, politeness=pol, extract=False))
+    eng.rules_df = rules
+    eng.run(max_rounds=40)
+
+    batch_seen = {(r.url, r.status)
+                  for r in store.read_union("url_seen", store.latest_round()).collect()}
+    stream_seen = {(r.url, r.status) for r in sc.seen().collect()}
+    assert stream_seen == batch_seen
+    assert not any("ruled.example.org/gepris/person/" in u for u, _ in stream_seen)
+    assert any("free.example.org/gepris/person/" in u for u, _ in stream_seen)
