@@ -207,6 +207,17 @@ def main(argv: list[str] | None = None) -> int:
     rr.add_argument("--max-attempts", dest="max_attempts", type=int, default=4)
     rr.add_argument("--backoff-base", dest="backoff_base", type=int, default=2)
     rr.add_argument("--max-backoff", dest="max_backoff", type=int, default=64)
+    an = sub.add_parser(
+        "analyze",
+        help="training-data analysis over the crawl's CURRENT corpus: "
+             "per-doc language/quality/token metrics, exact-duplicate "
+             "groups, MinHash+LSH verified near-dups; tables written under "
+             "<root>/analysis",
+    )
+    an.add_argument("root")
+    an.add_argument("--out", default=None, help="output dir (default <root>/analysis)")
+    an.add_argument("--near-dup-threshold", dest="near_dup_threshold",
+                    type=float, default=0.7)
     k = sub.add_parser("compact", help="merge delta dirs of the given tables into hash-clustered snapshots")
     k.add_argument("root")
     k.add_argument("--tables", nargs="+", default=["url_seen", "documents"])
@@ -232,7 +243,8 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--dry-run", dest="dry_run", action="store_true")
     args = p.parse_args(argv)
 
-    if args.cmd in ("gc", "compact", "export", "dq", "resume-crawl", "recrawl", "retry-errors"):
+    if args.cmd in ("gc", "compact", "export", "dq", "resume-crawl", "recrawl",
+                    "retry-errors", "analyze"):
         # these operate on an EXISTING store; constructing one would mkdir
         # a skeleton at a mistyped path and report clean-looking empty
         # results — refuse pre-JVM instead (new-/stream-crawl create)
@@ -557,6 +569,29 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             for m in manifests:
                 print(json.dumps(m["counters"]))
+        return 0
+
+    if args.cmd == "analyze":
+        from ba_gepris_crawler_spark.plans.analysis import analysis_tables
+        from ba_gepris_crawler_spark.plans.round_loop import current_tables
+
+        try:
+            cur = current_tables(store)
+        except ValueError as e:  # compacted typed table: provenance gone
+            print(json.dumps({"error": str(e)}))
+            return 2
+        if "documents" not in cur:
+            print(json.dumps({"error": "no committed documents to analyze"}))
+            return 2
+        out_dir = args.out or f"{args.root}/analysis"
+        tables = analysis_tables(
+            cur["documents"], near_dup_threshold=args.near_dup_threshold
+        )
+        counts = {}
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+            counts[name] = spark.read.parquet(f"{out_dir}/{name}").count()
+        print(json.dumps({"out": out_dir, "tables": counts}))
         return 0
 
     if args.cmd == "compact":

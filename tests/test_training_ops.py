@@ -581,3 +581,41 @@ def test_ivf_topk_excludes_self_matches(spark):
     out = S.ivf_topk(index, cents, queries, k=3, nprobe=2).collect()
     assert all(r.vec_id != 10 for r in out)
     assert len(out) == 3
+
+
+def test_analysis_tables_over_crawl_documents(spark):
+    """plans/analysis.analysis_tables: the training-data composition over
+    crawl-shaped documents — planted exact dups group, planted near-dups
+    verify, metrics cover every doc."""
+    from ba_gepris_crawler_spark.plans.analysis import analysis_tables
+
+    def doc(i, text):
+        spans = [{"kind": "title", "text": text, "media_ref": None, "offset": 0}]
+        return (f"d{i}", f"https://h/{i}", "h", spans)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        doc(0, base),
+        doc(1, base),                      # exact dup of d0
+        doc(2, base + " with a tail"),     # near dup of d0/d1
+        doc(3, "vollkommen anderer deutscher text ohne gemeinsamkeit und zwar der"),
+        doc(4, ""),                        # blank page: NULL quality, no crash
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, url string, host string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    t = analysis_tables(docs, near_dup_threshold=0.5, num_perm=8, bands=4)
+    m = {r["doc_id"]: r for r in t["doc_metrics"].collect()}
+    assert set(m) == {"d0", "d1", "d2", "d3", "d4"}
+    assert m["d0"]["predicted_lang"] == "en"
+    assert m["d4"]["quality_score"] is None and m["d4"]["n_tokens"] == 0
+    assert m["d0"]["fingerprint"] == m["d1"]["fingerprint"]
+
+    groups = t["exact_dup_groups"].collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == ["d0", "d1"]
+
+    near = {(r["doc_a"], r["doc_b"]) for r in t["near_dups"].collect()}
+    assert ("d0", "d2") in near or ("d2", "d0") in near
+    assert not any("d3" in p for pair in near for p in pair)
