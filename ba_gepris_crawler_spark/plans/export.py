@@ -222,7 +222,12 @@ def export_warc(
         F.concat(F.lit("WARC-Record-ID: "), rec_id),
         F.lit(f"WARC-Date: {date_iso}"),
         F.concat(F.lit("WARC-Target-URI: "), F.col("url")),
-        F.lit(f"X-Crawler-Software: {software}"),  # extension field (§4, grammar allows)
+        F.lit(f"X-Crawler-Software: {software}"),  # extension fields (§4, grammar allows)
+        # round + doc id ride extension headers so sources/warc.read_warc
+        # reconstructs the documents shape losslessly (readers that don't
+        # know them skip them, per spec)
+        F.concat(F.lit("X-Crawl-Round: "), F.col("round").cast("string")),
+        F.concat(F.lit("X-Doc-ID: "), F.col("doc_id")),
         F.lit("Content-Type: application/json"),
         F.concat(F.lit("Content-Length: "), F.octet_length(body).cast("string")),
         F.lit(""),

@@ -214,3 +214,58 @@ def test_export_warc_roundtrip(spark, tmp_path):
         open(p, "rb").read() for p in sorted(glob.glob(f"{out}/part-*"))
     )
     assert sorted(blob.split(b"WARC/1.0")) == sorted(blob2.split(b"WARC/1.0"))
+
+
+def test_warc_source_roundtrips_sink(spark, tmp_path):
+    """sources/warc.read_warc is the sink's inverse: export the documents
+    table, read the archive back, get the same (doc_id, url, host, round,
+    status, spans) rows — the source/sink symmetry that lets an archived
+    corpus re-enter the analysis pipelines."""
+    from ba_gepris_crawler_spark.plans.export import export_warc
+    from ba_gepris_crawler_spark.sources.warc import read_warc
+
+    mk = lambda t: [{"kind": "title", "text": t, "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": t + " körper", "media_ref": None, "offset": 1}]
+    rows = [
+        ("doc/1", "https://h0.example.org/x/1", 0, 200, mk("eins")),
+        ("doc/2", "https://h1.example.org/x/2", 3, 200, mk("zwei")),
+        ("doc/2", "https://h1.example.org/x/2", 7, 200, mk("zwei v2")),  # recrawl capture
+        ("doc/3", "https://h0.example.org/x/3", 0, 503, None),  # not archived
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, url string, round int, status int, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = str(tmp_path / "rt")
+    assert export_warc(docs, out, date_iso="2026-01-02T03:04:05Z") == 3
+
+    back = read_warc(spark, f"{out}/part-*")
+    got = sorted(
+        (r["doc_id"], r["url"], r["host"], r["round"], r["status"],
+         tuple((s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]))
+        for r in back.collect()
+    )
+    # media_ref None vs '' conflate across the json wire (documented wire
+    # behavior everywhere in the engine); normalize for comparison
+    want = sorted(
+        (d, u, u.split("/")[2], rnd, st,
+         tuple((s["kind"], s["text"], s["media_ref"] or "", s["offset"]) for s in spans))
+        for d, u, rnd, st, spans in rows if st == 200
+    )
+    got = [(d, u, h, rnd, st, tuple((k, t, m or "", o) for k, t, m, o in sp))
+           for d, u, h, rnd, st, sp in got]
+    assert got == want
+
+    # a foreign record without the engine's extension headers still ingests
+    foreign = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:0>\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: https://f.example.org/page\r\n"
+        b"Content-Type: text/plain\r\nContent-Length: 9\r\n\r\nnot spans\r\n\r\n"
+    )
+    fdir = tmp_path / "foreign"; fdir.mkdir()
+    (fdir / "part-0000").write_bytes(foreign)
+    f = read_warc(spark, str(fdir / "part-*"), include_body=True).collect()[0]
+    assert f["url"] == "https://f.example.org/page" and f["round"] is None
+    assert f["doc_id"] == f["url"] and f["spans"] is None and f["body"] == "not spans"
