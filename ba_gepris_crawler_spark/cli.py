@@ -218,6 +218,12 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--out", default=None, help="output dir (default <root>/analysis)")
     an.add_argument("--near-dup-threshold", dest="near_dup_threshold",
                     type=float, default=0.7)
+    an.add_argument(
+        "--warc", default=None,
+        help="analyze a WARC archive (sources/warc.read_warc) instead of "
+             "the store's current corpus; <root> still anchors the default "
+             "output dir",
+    )
     k = sub.add_parser("compact", help="merge delta dirs of the given tables into hash-clustered snapshots")
     k.add_argument("root")
     k.add_argument("--tables", nargs="+", default=["url_seen", "documents"])
@@ -575,18 +581,22 @@ def main(argv: list[str] | None = None) -> int:
         from ba_gepris_crawler_spark.plans.analysis import analysis_tables
         from ba_gepris_crawler_spark.plans.round_loop import current_tables
 
-        try:
-            cur = current_tables(store)
-        except ValueError as e:  # compacted typed table: provenance gone
-            print(json.dumps({"error": str(e)}))
-            return 2
-        if "documents" not in cur:
-            print(json.dumps({"error": "no committed documents to analyze"}))
-            return 2
+        if args.warc:
+            from ba_gepris_crawler_spark.sources.warc import read_warc
+
+            docs = read_warc(spark, args.warc).filter("spans is not null")
+        else:
+            try:
+                cur = current_tables(store)
+            except ValueError as e:  # compacted typed table: provenance gone
+                print(json.dumps({"error": str(e)}))
+                return 2
+            if "documents" not in cur:
+                print(json.dumps({"error": "no committed documents to analyze"}))
+                return 2
+            docs = cur["documents"]
         out_dir = args.out or f"{args.root}/analysis"
-        tables = analysis_tables(
-            cur["documents"], near_dup_threshold=args.near_dup_threshold
-        )
+        tables = analysis_tables(docs, near_dup_threshold=args.near_dup_threshold)
         counts = {}
         for name, df in tables.items():
             df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
