@@ -104,3 +104,61 @@ def test_retry_schedule_matches_python_twin(spark):
     assert got == want
     assert any(v[5] for v in want.values()), "corpus never exercised exhaustion"
     assert any(v[6] for v in want.values()), "corpus never exercised due"
+
+
+# ---------------------------------------------------------------------------
+# plan-shape assertions: the new operators keep the physical plans we want
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_latest_version_plan_one_shuffle_no_python(spark):
+    from ba_gepris_crawler_spark.plans.round_loop import latest_version
+
+    df = spark.createDataFrame(
+        [("a", 0, "x"), ("a", 1, "y")], "k string, _round int, v string"
+    )
+    import re
+
+    plan = _plan(latest_version(df, ["k"]))
+    # one Exchange NODE (the formatted text repeats each node in the
+    # detail section, so count node headers, not substrings)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_doc_metrics_plan_is_python_free(spark):
+    """The per-doc metrics pass (lang + quality + tokens + fingerprint)
+    must stay whole-stage Catalyst: chained HOF expressions, zero Python
+    boundaries, zero shuffles (it is a pure projection)."""
+    from ba_gepris_crawler_spark.plans.analysis import analysis_tables
+
+    docs = spark.createDataFrame(
+        [("d", "u", "h", [{"kind": "t", "text": "x", "media_ref": None, "offset": 0}])],
+        "doc_id string, url string, host string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    plan = _plan(analysis_tables(docs)["doc_metrics"])
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "Exchange" not in plan
+
+
+def test_fetch_plan_has_validator_join_only_when_staged(spark, cfg):
+    from ba_gepris_crawler_spark.operators.fetch import fetch_pages
+
+    sched = spark.createDataFrame(
+        [("https://u", "h", None, None, 0, 1, 0, 0, 0, 0.0)],
+        "url string, host string, resource_type string, resource_id string, "
+        "crawl_depth int, priority int, discovered_round int, host_bucket int, "
+        "host_rank long, slot double",
+    )
+    plain = _plan(fetch_pages(sched, cfg, per_host_rate=10.0, n_buckets=2))
+    vals = spark.createDataFrame([("https://u", "e")], "url string, etag string")
+    cond = _plan(fetch_pages(sched, cfg, per_host_rate=10.0, n_buckets=2, validators=vals))
+    # the conditional path pays its join; the default path must not
+    assert plain.count("Join") == 0
+    assert cond.count("Join") >= 1
