@@ -120,6 +120,7 @@ _CANONICAL_ORDER = [
     "crawl_error_retry_schedule",
     "crawl_circuit_breaker",
     "dq_staleness",
+    "crawl_refetch_lifecycle",
 ]
 
 # Round-5 rotation: the 23 names rowed only in round 3 (the round-4 head
@@ -133,6 +134,7 @@ _HEAD_FIRST = [
     "crawl_error_retry_schedule",
     "crawl_circuit_breaker",
     "dq_staleness",
+    "crawl_refetch_lifecycle",
     "crawl_cuckoo_gate",
     "crawl_catalog_null_guard",
     "crawl_redirect_resolve",

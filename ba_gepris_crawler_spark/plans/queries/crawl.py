@@ -1660,3 +1660,135 @@ def crawl_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase", "host")
     )
+
+
+@_q(
+    "crawl_refetch_lifecycle",
+    """
+    WITH d AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                      CAST(doc_id % 6 AS INT) AS m FROM documents),
+    h AS (
+      SELECT url, CAST(r.r * 2 AS INT) AS rnd, 200 AS st,
+             CASE WHEN m = 0 THEN 'a'
+                  ELSE 'h' || CAST(r.r * 2 AS VARCHAR) END AS ch
+      FROM d, (SELECT unnest(range(3)) AS r) r WHERE m IN (0, 1)
+      UNION ALL SELECT url, CAST(r.r AS INT), 503, NULL
+      FROM d, (SELECT unnest(range(2)) AS r) r WHERE m = 2
+      UNION ALL SELECT url, CAST(r.r AS INT), 503, NULL
+      FROM d, (SELECT unnest(range(3)) AS r) r WHERE m = 3
+      UNION ALL SELECT url, 0, 404, NULL FROM d WHERE m = 4
+      UNION ALL SELECT url, CAST(5 + r.r AS INT), 503, NULL
+      FROM d, (SELECT unnest(range(2)) AS r) r WHERE m = 5),
+    last AS (SELECT url, arg_max(st, rnd) AS last_status FROM h GROUP BY url),
+    okh AS (SELECT url, rnd, ch FROM h WHERE st IN (200, 304)),
+    rm AS (SELECT url, rnd,
+                  CASE WHEN lag(ch) OVER w IS NULL THEN 0
+                       WHEN ch <> lag(ch) OVER w THEN 1 ELSE 0 END AS c
+           FROM okh WINDOW w AS (PARTITION BY url ORDER BY rnd)),
+    rp AS (SELECT url, count(*) AS n_obs, sum(c) AS n_changes,
+                  min(rnd) AS fr, max(rnd) AS lr FROM rm GROUP BY url),
+    rs AS (SELECT url, CAST(lr + CASE WHEN n_obs < 2 THEN 4
+                                      WHEN n_changes = 0 THEN 8
+                                      ELSE greatest(least((lr - fr) // n_changes, 8), 1)
+                                 END AS INT) AS next_due_re FROM rp),
+    hw AS (SELECT *, max(CASE WHEN st NOT IN (408,429,500,502,503,504,598,599)
+                              THEN rnd END) OVER (PARTITION BY url) AS lastok FROM h),
+    ep AS (SELECT url, arg_max(st, rnd) AS ls, CAST(max(rnd) AS INT) AS lr,
+                  CAST(sum(CASE WHEN st IN (408,429,500,502,503,504,598,599)
+                                 AND rnd > coalesce(lastok, -2147483648)
+                                THEN 1 ELSE 0 END) AS INT) AS n
+           FROM hw GROUP BY url),
+    es AS (SELECT url, (n >= 3) AS exhausted,
+                  CAST(lr + least(CAST(round(pow(2, n)) AS INT), 8) AS INT) AS next_due_err
+           FROM ep WHERE ls IN (408,429,500,502,503,504,598,599))
+    SELECT l.url, l.last_status,
+           CASE WHEN es.url IS NOT NULL AND es.exhausted THEN 'quarantined'
+                WHEN es.url IS NOT NULL AND es.next_due_err <= 6 THEN 'retry_due'
+                WHEN es.url IS NOT NULL THEN 'retry_backoff'
+                WHEN l.last_status = 404 THEN 'gone'
+                WHEN rs.next_due_re <= 6 THEN 'recrawl_due'
+                ELSE 'monitor' END AS state,
+           CAST(CASE WHEN l.last_status = 404 OR (es.url IS NOT NULL AND es.exhausted)
+                     THEN -1
+                     ELSE coalesce(es.next_due_err, rs.next_due_re) END AS INT)
+             AS next_due
+    FROM last l LEFT JOIN es ON l.url = es.url LEFT JOIN rs ON l.url = rs.url
+    ORDER BY l.url
+    """,
+)
+def crawl_refetch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE per-URL lifecycle view — both refetch policies composed
+    (operators/recrawl.recrawl_schedule + operators/retry.
+    error_retry_schedule, the REAL modules) into one ops answer: what
+    happens to this URL next? States: recrawl_due / monitor (healthy,
+    change-rate policy), retry_due / retry_backoff / quarantined
+    (transient-failure policy with streak exhaustion), gone (content
+    answer, never refetched). Fixture: six URL classes, one per state.
+    The oracle replays both policies' window arithmetic AND the
+    composition precedence. Beyond the reference (one-shot crawl: no URL
+    has a future)."""
+    from ba_gepris_crawler_spark.operators.recrawl import recrawl_schedule
+    from ba_gepris_crawler_spark.operators.retry import (
+        RETRYABLE_STATUSES,
+        error_retry_schedule,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") % 6).cast("int").alias("m"),
+    )
+    three = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r")
+    h = (
+        d.filter(F.col("m").isin(0, 1)).select("url", "m", three)
+        .select("url", (F.col("r") * 2).cast("int").alias("round"),
+                F.lit(200).alias("status"),
+                F.when(F.col("m") == 0, F.lit("a"))
+                .otherwise(F.concat(F.lit("h"), (F.col("r") * 2).cast("string")))
+                .alias("content_hash"))
+        .unionByName(
+            d.filter(F.col("m") == 2).select("url", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("round"))
+            .select("url", F.col("round").cast("int"), F.lit(503).alias("status"),
+                    F.lit(None).cast("string").alias("content_hash")))
+        .unionByName(
+            d.filter(F.col("m") == 3).select("url", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("round"))
+            .select("url", F.col("round").cast("int"), F.lit(503).alias("status"),
+                    F.lit(None).cast("string").alias("content_hash")))
+        .unionByName(
+            d.filter(F.col("m") == 4).select("url", F.lit(0).cast("int").alias("round"),
+                                             F.lit(404).alias("status"),
+                                             F.lit(None).cast("string").alias("content_hash")))
+        .unionByName(
+            d.filter(F.col("m") == 5).select("url", F.explode(F.sequence(F.lit(5), F.lit(6))).alias("round"))
+            .select("url", F.col("round").cast("int"), F.lit(503).alias("status"),
+                    F.lit(None).cast("string").alias("content_hash")))
+    )
+    now = 6
+    last = h.groupBy("url").agg(F.max_by("status", F.col("round")).alias("last_status"))
+    re_s = recrawl_schedule(
+        h.filter(F.col("status").isin(200, 304)).select("url", "round", "content_hash"),
+        now_round=now, min_interval=1, max_interval=8, bootstrap_interval=4,
+    ).select("url", F.col("next_due").alias("next_due_re"))
+    er_s = error_retry_schedule(
+        h.select("url", "round", "status"), now_round=now,
+        max_attempts=3, backoff_base=2, max_backoff=8,
+    ).select("url", F.col("next_due").alias("next_due_err"), "exhausted",
+             F.lit(True).alias("_err"))
+    j = last.join(er_s, "url", "left").join(re_s, "url", "left")
+    err = F.coalesce(F.col("_err"), F.lit(False))
+    state = (
+        F.when(err & F.col("exhausted"), F.lit("quarantined"))
+        .when(err & (F.col("next_due_err") <= now), F.lit("retry_due"))
+        .when(err, F.lit("retry_backoff"))
+        .when(F.col("last_status") == 404, F.lit("gone"))
+        .when(F.col("next_due_re") <= now, F.lit("recrawl_due"))
+        .otherwise(F.lit("monitor"))
+    )
+    # -1 = no future fetch (gone/quarantined): a sentinel, not NULL —
+    # the driver's row sort can't order NULL-mixed columns
+    next_due = F.when(
+        (F.col("last_status") == 404) | (err & F.col("exhausted")),
+        F.lit(-1),
+    ).otherwise(F.coalesce("next_due_err", "next_due_re")).cast("int")
+    return j.select(
+        "url", "last_status", state.alias("state"), next_due.alias("next_due")
+    ).orderBy("url")
