@@ -83,9 +83,24 @@ def _rebuild_from_config(
         cuckoo_mode=cfg.get("cuckoo_mode", fb.cuckoo_mode),
         cuckoo_shards=cfg.get("cuckoo_shards", fb.cuckoo_shards),
         span_transport=cfg.get("span_transport", fb.span_transport),
-        circuit_breaker=cfg.get("circuit_breaker", fb.circuit_breaker),
+        circuit_breaker=_cb_from(cfg.get("circuit_breaker", fb.circuit_breaker)),
     )
     return site, settings
+
+
+def _cb_from(cb) -> dict | None:
+    """Persisted circuit-breaker config -> tripped_hosts kwargs. A
+    hand-edited config with junk keys/types must fail HERE (callers map
+    to the JSON-error contract), not as a mid-crawl TypeError rounds in."""
+    if cb is None:
+        return None
+    if not isinstance(cb, dict):
+        raise ValueError(f"circuit_breaker must be an object, got {type(cb).__name__}")
+    allowed = {"min_fetches", "error_rate", "suspend_rounds"}
+    bad = set(cb) - allowed
+    if bad:
+        raise ValueError(f"unknown circuit_breaker keys: {sorted(bad)}")
+    return cb
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -292,6 +307,13 @@ def main(argv: list[str] | None = None) -> int:
         # stream analog yet — fail loudly instead of silently downgrading.
         print(json.dumps({"error": "--seen-filter cuckoo is batch-engine only; "
                                    "stream-crawl supports the bloom gate + exact backstop"}))
+        return 2
+    if args.cmd == "stream-crawl" and getattr(args, "bootstrap_robots", False):
+        # silently ignoring the flag would crawl without the politeness
+        # the user asked the site for — refuse pre-JVM instead
+        print(json.dumps({"error": "--bootstrap-robots is new-crawl only; "
+                                   "stream-crawl takes --robots-file (the relation "
+                                   "forms are CrawlStream.budgets_df/rules_df)"}))
         return 2
 
     site = settings = None
