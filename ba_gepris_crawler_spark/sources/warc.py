@@ -8,7 +8,10 @@ distributed per WARC file (`binaryFile` source; one task per file, and
 the writer emits one partition-sized file per task, so the shapes
 match); the Python boundary extracts (headers, body) only, and the span
 payload is parsed JVM-side via from_json — the same split as the fetch
-stage's json transport.
+stage's json transport. Bound: `binaryFile` materializes one file per
+row, so a single FOREIGN archive file must fit a byte array (< 2 GiB —
+engine-written archives are partition-sized by construction); split
+oversized foreign archives at record boundaries first.
 
 Foreign WARCs: any `resource`/`response` record with a Target-URI is
 ingested; records whose block is not the engine's span JSON get a NULL
